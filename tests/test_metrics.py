@@ -1,0 +1,202 @@
+"""Tests for the relaxed-boundary metric port (reference Evaluate.m / Main.m)."""
+
+import numpy as np
+import pytest
+
+from tmrnet_tpu.eval.metrics import (
+    VideoScores,
+    _runs,
+    aggregate_videos,
+    classification_metrics,
+    evaluate_protocol,
+    read_phase_file,
+    relaxed_evaluate,
+    write_phase_file,
+)
+
+
+def test_runs_segmentation():
+    m = np.array([0, 1, 1, 0, 1, 0, 0, 1, 1, 1], dtype=bool)
+    assert _runs(m) == [(1, 3), (4, 5), (7, 10)]
+    assert _runs(np.zeros(4, dtype=bool)) == []
+    assert _runs(np.ones(3, dtype=bool)) == [(0, 3)]
+
+
+def test_perfect_prediction():
+    gt = np.array([0] * 20 + [1] * 30 + [2] * 25)
+    s = relaxed_evaluate(gt, gt.copy(), fps=1)
+    assert s.accuracy == 100.0
+    np.testing.assert_allclose(s.jaccard[:3], 100.0)
+    assert np.isnan(s.jaccard[3:]).all()  # phases absent from GT -> NaN
+    np.testing.assert_allclose(s.precision[:3], 100.0)
+    np.testing.assert_allclose(s.recall[:3], 100.0)
+
+
+def test_late_transition_forgiven():
+    # GT switches 0->1 at frame 30; prediction is 5 frames late. Within the
+    # 10-frame relaxed boundary of the phase-1 run, diff==-1 is forgiven.
+    gt = np.array([0] * 30 + [1] * 30)
+    pred = np.array([0] * 35 + [1] * 25)
+    s = relaxed_evaluate(gt, pred, fps=1)
+    assert s.accuracy == 100.0
+    np.testing.assert_allclose(s.jaccard[:2], 100.0)
+
+
+def test_late_transition_beyond_boundary_not_forgiven():
+    # 15 frames late: only frames within oriT=10 of the run start are eligible.
+    gt = np.array([0] * 30 + [1] * 40)
+    pred = np.array([0] * 45 + [1] * 25)
+    s = relaxed_evaluate(gt, pred, fps=1)
+    # 5 frames remain wrong (positions 40..44 are outside the first 10 of the run)
+    assert s.accuracy == pytest.approx(100.0 * 65 / 70)
+
+
+def test_early_transition_quirk_vs_intended():
+    # Prediction enters phase 1 five frames early (diff==1 at end of phase-0 run).
+    gt = np.array([0] * 30 + [1] * 30)
+    pred = np.array([0] * 25 + [1] * 35)
+    # Intended semantics: the last 10 frames of the phase-0 run forgive diff==1.
+    s_intended = relaxed_evaluate(gt, pred, fps=1, quirk_compat=False)
+    assert s_intended.accuracy == 100.0
+    # Quirk semantics: the mask from the last 10 frames is applied to the FIRST
+    # 10 frames of the run, where diff==0 already, so nothing is forgiven.
+    s_quirk = relaxed_evaluate(gt, pred, fps=1, quirk_compat=True)
+    assert s_quirk.accuracy == pytest.approx(100.0 * 55 / 60)
+
+
+def test_phase4_jump_two_forgiven_cholec80():
+    # GT run of phase 5 (0-based 4) ending; prediction jumps to phase 6 (0-based
+    # 5, diff=+1) and phase 7 (0-based 6, diff=+2) early: both forgiven for
+    # phases 4/5 (1-based) per Evaluate.m:38-40. Use intended mode so the
+    # relaxation lands on the run tail.
+    gt = np.array([4] * 30 + [6] * 20)
+    pred = np.array([4] * 22 + [6] * 28)
+    s = relaxed_evaluate(gt, pred, fps=1, quirk_compat=False)
+    assert s.accuracy == 100.0
+    # diff=+2 case
+    gt2 = np.array([3] * 30 + [5] * 20)
+    pred2 = np.array([3] * 22 + [5] * 28)
+    s2 = relaxed_evaluate(gt2, pred2, fps=1, quirk_compat=False)
+    assert s2.accuracy == 100.0
+
+
+def test_phase6_late_minus_two_forgiven():
+    # 1-based phase 6 (0-based 5) forgives diff in {-1,-2} at run start.
+    gt = np.array([3] * 20 + [5] * 30)
+    pred = np.array([3] * 26 + [5] * 24)  # diff=-2 for 6 frames at start of run
+    s = relaxed_evaluate(gt, pred, fps=1)
+    assert s.accuracy == 100.0
+    # General phase (1-based 2) does NOT forgive -2:
+    gt2 = np.array([3] * 20 + [1] * 30)
+    pred2 = np.array([3] * 26 + [1] * 24)
+    s2 = relaxed_evaluate(gt2, pred2, fps=1)
+    assert s2.accuracy < 100.0
+
+
+def test_short_phase_clamps_boundary():
+    # Run shorter than oriT: t clamps to run length; all of it is eligible.
+    gt = np.array([0] * 5 + [1] * 50)
+    pred = np.array([0] * 2 + [1] * 53)  # early by 3 within a 5-frame run
+    s = relaxed_evaluate(gt, pred, fps=1, quirk_compat=False)
+    assert s.accuracy == 100.0
+
+
+def test_jaccard_union_semantics():
+    # Phase 1 (0-based 0): GT frames 0..9, pred claims 0..14 (5 false pos far
+    # from any relaxation since phase 2's run start forgives -1 only in first
+    # 10... actually those ARE within first 10 of phase-2 run and diff==-1, so
+    # use a jump of 2 to defeat relaxation).
+    gt = np.array([0] * 10 + [2] * 40)
+    pred = np.array([0] * 15 + [2] * 35)  # diff=-2 at frames 10..14
+    s = relaxed_evaluate(gt, pred, fps=1)
+    # union for phase 0: frames 0..14 -> 15; tp = 10 -> jaccard 66.67
+    assert s.jaccard[0] == pytest.approx(100.0 * 10 / 15)
+    assert s.precision[0] == pytest.approx(100.0 * 10 / 15)
+    assert s.recall[0] == pytest.approx(100.0)
+    assert s.accuracy == pytest.approx(100.0 * 45 / 50)
+
+
+def test_precision_inf_when_no_predictions_clamped_in_aggregate():
+    # Phase forgiven by relaxation but never predicted -> tp>0, sumPred=0 -> Inf,
+    # clamped to 100 in aggregation (Main.m:67-68).
+    gt = np.array([0] * 12 + [1] * 30)
+    pred = np.array([0] * 42)  # never predicts phase 1; first 10 of run forgiven
+    s = relaxed_evaluate(gt, pred, fps=1)
+    assert np.isinf(s.precision[1])
+    rep = aggregate_videos([s], phase_names=("a", "b", "c", "d", "e", "f", "g"))
+    assert rep.precision_per_phase[1] == 100.0
+
+
+def test_m2cai_protocol_shifted_phases():
+    # m2cai 1-based phase 5 (0-based 4) forgives early {1,2}; and has 8 phases.
+    gt = np.array([4] * 30 + [6] * 20)
+    pred = np.array([4] * 22 + [6] * 28)
+    s = relaxed_evaluate(gt, pred, fps=1, protocol="m2cai", quirk_compat=False)
+    assert s.accuracy == 100.0
+    assert s.jaccard.size == 8
+
+
+def test_aggregate_matches_hand_computation():
+    v1 = relaxed_evaluate(np.array([0] * 50), np.array([0] * 50))
+    v2 = relaxed_evaluate(
+        np.array([0] * 25 + [1] * 25), np.array([0] * 20 + [1] * 30),
+        quirk_compat=False)
+    rep = aggregate_videos([v1, v2])
+    # accuracy: v1=100, v2=100 (5 early diff=+1 frames forgiven)
+    assert rep.mean_accuracy == pytest.approx(100.0)
+    # phase 0 jaccard: v1 100; v2: pred phase0 frames 0..19, gt 0..24 ->
+    # union 25, tp 25 (all updated diffs zero) -> 100
+    assert rep.jaccard_per_phase[0] == pytest.approx(100.0)
+    # mean_jaccard is plain mean over phases -> NaN (phases absent everywhere)
+    assert np.isnan(rep.mean_jaccard)
+    # precision uses nanmean -> finite
+    assert rep.mean_precision == pytest.approx(100.0)
+    assert isinstance(rep.format_table(), str)
+
+
+def test_phase_file_roundtrip(tmp_path):
+    labels = np.array([0, 0, 1, 2, 2, 6])
+    p = str(tmp_path / "video41-phase.txt")
+    write_phase_file(p, labels, fps=25, header=True)
+    frames, labs = read_phase_file(p)
+    np.testing.assert_array_equal(labs, labels)
+    np.testing.assert_array_equal(frames, 25 * np.arange(len(labels)))
+
+
+def test_phase_file_reads_names(tmp_path):
+    p = str(tmp_path / "gt.txt")
+    with open(p, "w") as f:
+        f.write("Frame\tPhase\n0\tPreparation\n25\tClippingCutting\n")
+    _, labs = read_phase_file(p)
+    np.testing.assert_array_equal(labs, [0, 2])
+
+
+def test_evaluate_protocol_end_to_end():
+    rng = np.random.RandomState(0)
+    gts, preds = [], []
+    for _ in range(4):
+        gt = np.repeat(rng.permutation(7), rng.randint(15, 40, size=7))
+        noise = rng.rand(gt.size) < 0.05
+        pred = np.where(noise, rng.randint(0, 7, gt.size), gt)
+        gts.append(gt)
+        preds.append(pred)
+    rep = evaluate_protocol(gts, preds, protocol="cholec80")
+    assert 80.0 < rep.mean_accuracy <= 100.0
+    assert rep.accuracy_per_video.shape == (4,)
+    assert len(rep.phase_names) == 7
+
+
+def test_classification_metrics_against_sklearn():
+    sklearn = pytest.importorskip("sklearn.metrics")
+    rng = np.random.RandomState(1)
+    y, p = rng.randint(0, 5, 200), rng.randint(0, 5, 200)
+    m = classification_metrics(y, p, 5)
+    np.testing.assert_allclose(
+        m["precision"],
+        sklearn.precision_score(y, p, average=None, labels=range(5), zero_division=0),
+    )
+    np.testing.assert_allclose(
+        m["recall"],
+        sklearn.recall_score(y, p, average=None, labels=range(5), zero_division=0),
+    )
+    assert m["accuracy"] == pytest.approx(sklearn.accuracy_score(y, p))

@@ -1,0 +1,302 @@
+"""Typed configuration for every pipeline stage.
+
+Replaces the reference's per-script argparse flag soup (~20 flags duplicated across
+5 drivers, e.g. reference `Training memory bank model/train_singlenet_phase_1fc.py:32-50`
+and `Training TMRNet/train_non-local_mutiConv_resnet.py:30-53`) with one typed,
+serializable config tree. The five PRESETS correspond to BASELINE.json's configs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence, Tuple
+
+# Dataset normalization constants measured by the reference's meanStd.py
+# (reference `Training memory bank model/meanStd.py:27-63`; used at e.g.
+# `train_singlenet_phase_1fc.py:269`).
+CHOLEC80_MEAN: Tuple[float, float, float] = (0.41757566, 0.26098573, 0.25888634)
+CHOLEC80_STD: Tuple[float, float, float] = (0.21938758, 0.1983, 0.19342837)
+
+# Cholec80 phase names, order defines label ids 0..6
+# (reference `Training TMRNet/get_paths_labels.py:49-54`).
+CHOLEC80_PHASES: Tuple[str, ...] = (
+    "Preparation",
+    "CalotTriangleDissection",
+    "ClippingCutting",
+    "GallbladderDissection",
+    "GallbladderPackaging",
+    "CleaningCoagulation",
+    "GallbladderRetraction",
+)
+
+# M2CAI16 has 8 phases including TrocarPlacement
+# (reference `eval/result/matlab-eval/Main_m2cai.m`).
+M2CAI_PHASES: Tuple[str, ...] = (
+    "TrocarPlacement",
+    "Preparation",
+    "CalotTriangleDissection",
+    "ClippingCutting",
+    "GallbladderDissection",
+    "GallbladderPackaging",
+    "CleaningCoagulation",
+    "GallbladderRetraction",
+)
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset, manifest, and input-pipeline settings."""
+
+    # Root directory of extracted frames (one subdir per video) or videos.
+    data_root: str = "./data/frames"
+    annotation_root: str = "./data/phase_annotations"
+    # Manifest format: 'pickle' (train_val_paths_labels.pkl 6-list) or 'csv'
+    # (columns frame,class,id — the fork's format, reference
+    # `code/train_memorybank.py:55-70`).
+    manifest_format: str = "pickle"
+    manifest_path: str = "./train_val_paths_labels.pkl"
+    # Clip settings: the reference trains on 10-frame 1-fps clips.
+    sequence_length: int = 10
+    fps: int = 1
+    source_fps: int = 25  # raw video fps; keep every (source_fps // fps)-th frame
+    # Image geometry: decode -> cutmargin crop -> resize 250 -> crop 224.
+    resize: int = 250
+    crop_size: int = 224
+    # Augmentation (train): clip-deterministic crop/flip/rotate/jitter.
+    use_flip: bool = True
+    rotate_degrees: float = 5.0
+    color_jitter: float = 0.1
+    # Test-time crop type: 0 random / 1 center / 2 resize-only
+    # (five/ten-crop of the reference are intentionally unsupported: never used
+    # by its published configs).
+    test_crop_type: int = 1
+    mean: Tuple[float, float, float] = CHOLEC80_MEAN
+    std: Tuple[float, float, float] = CHOLEC80_STD
+    num_classes: int = 7
+    phase_names: Tuple[str, ...] = CHOLEC80_PHASES
+    # Host pipeline
+    batch_clips: int = 40  # clips per global batch (reference uses batch 400 frames)
+    prefetch: int = 2
+    num_workers: int = 8
+    use_native_preproc: bool = True  # C++ libtmrnet_data.so if built, else numpy
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Backbone + temporal head architecture."""
+
+    backbone: str = "resnet50"  # resnet50 | resnest50 | tiny (tests)
+    # ResNet stage depths; (3,4,6,3) = ResNet-50. Tests use smaller.
+    stage_sizes: Tuple[int, ...] = (3, 4, 6, 3)
+    width: int = 64
+    feature_dim: int = 2048  # backbone output dim (after global avgpool)
+    hidden_dim: int = 512  # LSTM hidden size
+    num_classes: int = 7
+    # Head variant: 'stage1' (trunk+LSTM+fc), 'lfb' (trunk+LSTM, last step only),
+    # 'tmr' (TimeConv+NLBlock memory head), 'nl_only' (NLBlock without TimeConv,
+    # reference `train_only_non-local_pretrained.py`).
+    head: str = "tmr"
+    lfb_window: int = 30  # --LFB_l; 40 for nl_only in the reference
+    dropout_stage1: float = 0.2
+    dropout_head: float = 0.5
+    dropout_nl: float = 0.2
+    # Compute dtype: bfloat16 on TPU; float32 for reference-parity logit checks.
+    compute_dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+    # Use Pallas fused kernels for NLBlock/TimeConv where available.
+    use_pallas: bool = False
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Optimizer, schedule, loop settings."""
+
+    epochs: int = 25
+    optimizer: str = "sgd"  # sgd | adam
+    lr: float = 5e-4
+    momentum: float = 0.9
+    weight_decay: float = 5e-4
+    dampening: float = 0.0
+    nesterov: bool = False
+    # The reference trains trunk+lstm at lr/10 and heads at lr
+    # (`train_non-local_mutiConv_resnet.py:795-818`).
+    trunk_lr_scale: float = 0.1
+    # Schedule: 'step' (StepLR) | 'plateau' (ReduceLROnPlateau) | 'constant'
+    schedule: str = "plateau"
+    step_size: int = 3
+    gamma: float = 0.1
+    plateau_factor: float = 0.1
+    plateau_patience: int = 2
+    # Loss: class-weighted CE summed over the batch, scored on the clip's last
+    # frame only (`train_singlenet_phase_1fc.py:551-566`).
+    class_weighting: bool = True
+    label_smoothing: float = 0.0
+    seed: int = 0
+    log_every: int = 50
+    checkpoint_dir: str = "./checkpoints"
+    keep_checkpoints: int = 3
+    resume: bool = True  # resume from latest checkpoint if present
+    remat: bool = False  # jax.checkpoint the backbone to trade FLOPs for HBM
+    donate_state: bool = True
+
+
+@dataclass(frozen=True)
+class MemoryConfig:
+    """Long-term Feature Bank settings."""
+
+    window: int = 30
+    feature_dim: int = 512
+    cache_path: str = "./LFB/lfb.npz"
+    load_cached: bool = True
+    # The reference's lookback dict silently crosses video boundaries
+    # (`train_non-local_mutiConv_resnet.py:315-322`); default is the paper's
+    # intended clamp-at-video-start. Set True to replicate the reference quirk.
+    compat_cross_video: bool = False
+
+
+@dataclass(frozen=True)
+class EvalConfig:
+    """Inference + scoring settings."""
+
+    checkpoint: str = ""
+    batch_clips: int = 64
+    pred_dir: str = "./eval/phase"
+    gt_dir: str = "./eval/gt-phase"
+    protocol: str = "cholec80"  # cholec80 | m2cai
+    relaxed_seconds: int = 10
+    export_fps: int = 25  # txt rows are 25*k frame ids (export_phase_copy.py:63-73)
+    test_videos: Tuple[int, int] = (41, 80)  # inclusive video-number range
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh / sharding settings (SPMD via jax.sharding + jit)."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    # -1 means "all devices on the data axis".
+    data_parallel: int = -1
+    model_parallel: int = 1
+    multihost: bool = False  # jax.distributed.initialize() when True
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    name: str = "tmrnet"
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    memory: MemoryConfig = field(default_factory=MemoryConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    def replace(self, **kw: Any) -> "ExperimentConfig":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    @staticmethod
+    def from_json(text: str) -> "ExperimentConfig":
+        raw = json.loads(text)
+
+        def build(cls, d):
+            kwargs = {}
+            for f in dataclasses.fields(cls):
+                if f.name not in d:
+                    continue
+                v = d[f.name]
+                if dataclasses.is_dataclass(f.type) or f.name in (
+                    "data", "model", "train", "memory", "eval", "mesh"):
+                    sub_cls = {
+                        "data": DataConfig, "model": ModelConfig,
+                        "train": TrainConfig, "memory": MemoryConfig,
+                        "eval": EvalConfig, "mesh": MeshConfig,
+                    }[f.name]
+                    v = build(sub_cls, v)
+                elif isinstance(v, list):
+                    v = tuple(v)
+                kwargs[f.name] = v
+            return cls(**kwargs)
+
+        return build(ExperimentConfig, raw)
+
+
+def _preset_memorybank() -> ExperimentConfig:
+    """Config 1: stage-1 memory-bank model (ResNet-50+LSTM, 10-frame clip, 224px).
+
+    Mirrors reference `Training memory bank model/train_singlenet_phase_1fc.py`.
+    """
+    return ExperimentConfig(
+        name="memorybank",
+        model=ModelConfig(head="stage1"),
+        train=TrainConfig(lr=5e-4, optimizer="sgd", schedule="plateau"),
+    )
+
+
+def _preset_nl_only() -> ExperimentConfig:
+    """Config 2: non-local only head, LFB window 40.
+
+    Mirrors reference `Training TMRNet/train_only_non-local_pretrained.py` (LFB_l=40
+    default at `:44`).
+    """
+    return ExperimentConfig(
+        name="tmr-nl-only",
+        model=ModelConfig(head="nl_only", lfb_window=40),
+        memory=MemoryConfig(window=40),
+        train=TrainConfig(lr=5e-7),
+    )
+
+
+def _preset_tmr_resnet() -> ExperimentConfig:
+    """Config 3: full TMRNet (TimeConv + NLBlock), ResNet-50.
+
+    Mirrors reference `Training TMRNet/train_non-local_mutiConv_resnet.py`
+    (default lr 5e-7 at `:41`, LFB_l=30 at `:49`).
+    """
+    return ExperimentConfig(
+        name="tmr-resnet50",
+        model=ModelConfig(head="tmr", lfb_window=30),
+        memory=MemoryConfig(window=30),
+        train=TrainConfig(lr=5e-7),
+    )
+
+
+def _preset_tmr_resnest() -> ExperimentConfig:
+    """Config 4: TMRNet with ResNeSt-50 split-attention backbone (best accuracy).
+
+    Mirrors reference `Training TMRNet/train_non-local_mutiConv_resnest.py`.
+    """
+    return ExperimentConfig(
+        name="tmr-resnest50",
+        model=ModelConfig(backbone="resnest50", head="tmr", lfb_window=30),
+        memory=MemoryConfig(window=30),
+        train=TrainConfig(lr=5e-7),
+    )
+
+
+def _preset_inference() -> ExperimentConfig:
+    """Config 5: end-to-end inference pipeline over the 40-video Cholec80 test split."""
+    return ExperimentConfig(
+        name="inference-e2e",
+        model=ModelConfig(head="tmr", lfb_window=30, compute_dtype="bfloat16"),
+        memory=MemoryConfig(window=30),
+        eval=EvalConfig(batch_clips=128),
+    )
+
+
+PRESETS = {
+    "memorybank": _preset_memorybank,
+    "tmr-nl-only": _preset_nl_only,
+    "tmr-resnet50": _preset_tmr_resnet,
+    "tmr-resnest50": _preset_tmr_resnest,
+    "inference-e2e": _preset_inference,
+}
+
+
+def get_preset(name: str) -> ExperimentConfig:
+    if name not in PRESETS:
+        raise KeyError(f"unknown preset {name!r}; available: {sorted(PRESETS)}")
+    return PRESETS[name]()

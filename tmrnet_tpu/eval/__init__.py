@@ -1,0 +1,8 @@
+from tmrnet_tpu.eval.metrics import (  # noqa: F401
+    relaxed_evaluate,
+    aggregate_videos,
+    evaluate_protocol,
+    read_phase_file,
+    write_phase_file,
+    classification_metrics,
+)
