@@ -1,0 +1,17 @@
+from tmrnet_tpu.data.indexing import (  # noqa: F401
+    clip_start_indices,
+    expand_clip_indices,
+    clips_per_video,
+    video_first_rows,
+    memory_window_rows,
+    memory_window_rows_reference,
+)
+from tmrnet_tpu.data.manifests import (  # noqa: F401
+    Manifest,
+    VideoRecord,
+    build_manifest_from_frames,
+    load_pickle_manifest,
+    save_pickle_manifest,
+    load_csv_manifest,
+    save_csv_manifest,
+)
