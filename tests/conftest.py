@@ -4,13 +4,18 @@ TPU slice)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+# The host environment presets JAX_PLATFORMS=axon (real TPU) and the axon
+# plugin ignores the env var; force the virtual CPU mesh via jax.config.
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
