@@ -1,0 +1,214 @@
+"""PyTorch checkpoint import.
+
+Converts reference-format state_dicts (the `.pth` files produced by the
+reference trainers, whose module names are `share.conv1`, `share.layer1.0...`,
+`lstm.weight_ih_l0`, `fc`/`fc_c`/`fc_h_c`, `nl_block.linear1..4`,
+`time_conv.timeconv1..3` — see reference `train_singlenet_phase_1fc.py:201-232`
+and `train_non-local_mutiConv_resnet.py:208-253`) into this framework's flax
+variable trees. Covers torchvision ImageNet ResNet-50 weights too (same names
+without the `share.` prefix + `fc.*` classifier, which is dropped since the
+reference discards it).
+
+Layout conversions: conv OIHW -> HWIO; linear (out,in) -> (in,out);
+conv1d (out,in,k) -> (k,in,out); BatchNorm weight/bias -> scale/bias and
+running_mean/var -> batch_stats mean/var. LSTM tensors keep torch layout
+(see models/lstm.py).
+
+No torch import is required at conversion time: inputs are any mapping of
+name -> numpy-convertible array. `load_torch_state_dict` uses torch.load when
+a path is given (torch is a baked-in CPU dependency).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Mapping, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+Array = np.ndarray
+Tree = Dict[str, Any]
+
+
+def load_torch_state_dict(path: str) -> Dict[str, Array]:
+    """Load a .pth/.pt file to a flat name->numpy dict (handles nested
+    {'state_dict': ...} wrappers and DataParallel 'module.' prefixes)."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    out = {}
+    for k, v in obj.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        if hasattr(v, "numpy"):
+            v = v.detach().cpu().numpy()
+        out[k] = np.asarray(v)
+    return out
+
+
+def _np(x) -> Array:
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
+def conv2d_kernel(w) -> Array:
+    """torch OIHW -> flax HWIO."""
+    return _np(w).transpose(2, 3, 1, 0)
+
+
+def conv1d_kernel(w) -> Array:
+    """torch (out,in,k) -> flax (k,in,out)."""
+    return _np(w).transpose(2, 1, 0)
+
+
+def linear_params(sd: Mapping[str, Any], prefix: str) -> Tree:
+    p = {"kernel": _np(sd[f"{prefix}.weight"]).T}
+    if f"{prefix}.bias" in sd:
+        p["bias"] = _np(sd[f"{prefix}.bias"])
+    return p
+
+
+def bn_params(sd: Mapping[str, Any], prefix: str) -> Tuple[Tree, Tree]:
+    params = {"scale": _np(sd[f"{prefix}.weight"]),
+              "bias": _np(sd[f"{prefix}.bias"])}
+    stats = {"mean": _np(sd[f"{prefix}.running_mean"]),
+             "var": _np(sd[f"{prefix}.running_var"])}
+    return params, stats
+
+
+def lstm_params(sd: Mapping[str, Any], prefix: str) -> Tree:
+    return {
+        "weight_ih": _np(sd[f"{prefix}.weight_ih_l0"]),
+        "weight_hh": _np(sd[f"{prefix}.weight_hh_l0"]),
+        "bias_ih": _np(sd[f"{prefix}.bias_ih_l0"]),
+        "bias_hh": _np(sd[f"{prefix}.bias_hh_l0"]),
+    }
+
+
+def convert_resnet_trunk(
+    sd: Mapping[str, Any],
+    stage_sizes: Sequence[int] = (3, 4, 6, 3),
+    prefix: str = "share.",
+) -> Tuple[Tree, Tree]:
+    """torchvision-style ResNet trunk -> (params, batch_stats) trees matching
+    tmrnet_tpu.models.resnet.ResNet module names."""
+    params: Tree = {}
+    stats: Tree = {}
+    params["conv1"] = {"kernel": conv2d_kernel(sd[f"{prefix}conv1.weight"])}
+    params["bn1"], stats["bn1"] = bn_params(sd, f"{prefix}bn1")
+    for l, n_blocks in enumerate(stage_sizes, start=1):
+        for i in range(n_blocks):
+            tname = f"{prefix}layer{l}.{i}"
+            fname = f"layer{l}_{i}"
+            bp: Tree = {}
+            bs: Tree = {}
+            for c in (1, 2, 3):
+                bp[f"conv{c}"] = {
+                    "kernel": conv2d_kernel(sd[f"{tname}.conv{c}.weight"])}
+                bp[f"bn{c}"], bs[f"bn{c}"] = bn_params(sd, f"{tname}.bn{c}")
+            if f"{tname}.downsample.0.weight" in sd:
+                bp["downsample_conv"] = {
+                    "kernel": conv2d_kernel(sd[f"{tname}.downsample.0.weight"])}
+                bp["downsample_bn"], bs["downsample_bn"] = bn_params(
+                    sd, f"{tname}.downsample.1")
+            params[fname] = bp
+            stats[fname] = bs
+    return params, stats
+
+
+def _nl_block(sd: Mapping[str, Any], prefix: str = "nl_block.") -> Tree:
+    ln_scale = _np(sd[f"{prefix}layer_norm.weight"]).reshape(-1)
+    ln_bias = _np(sd[f"{prefix}layer_norm.bias"]).reshape(-1)
+    return {
+        "query": linear_params(sd, f"{prefix}linear1"),
+        "key": linear_params(sd, f"{prefix}linear2"),
+        "value": linear_params(sd, f"{prefix}linear3"),
+        "out": linear_params(sd, f"{prefix}linear4"),
+        # torch LayerNorm([1,512]) weight reshapes to the feature axis.
+        "layer_norm": {"scale": ln_scale, "bias": ln_bias},
+    }
+
+
+def _time_conv(sd: Mapping[str, Any], prefix: str = "time_conv.") -> Tree:
+    out = {}
+    for k, name in ((1, "conv_k3"), (2, "conv_k5"), (3, "conv_k7")):
+        out[name] = {
+            "kernel": conv1d_kernel(sd[f"{prefix}timeconv{k}.weight"]),
+            "bias": _np(sd[f"{prefix}timeconv{k}.bias"]),
+        }
+    return out
+
+
+def convert_reference_checkpoint(
+    sd: Mapping[str, Any],
+    head: str,
+    stage_sizes: Sequence[int] = (3, 4, 6, 3),
+) -> Dict[str, Tree]:
+    """Reference .pth state_dict -> flax variables for the given head
+    ('stage1' | 'lfb' | 'tmr' | 'nl_only').
+
+    The reference loads stage-1 weights into stage-2 models with strict=False
+    (`train_non-local_mutiConv_resnet.py:707,774`); the analogue here is
+    converting whatever subset of keys exists and merging over a fresh init
+    (see merge_variables).
+    """
+    trunk_params, trunk_stats = convert_resnet_trunk(sd, stage_sizes)
+    params: Tree = {"backbone": trunk_params,
+                    "encoder": {"lstm": lstm_params(sd, "lstm")}}
+    stats: Tree = {"backbone": trunk_stats}
+    if head == "stage1" and "fc.weight" in sd:
+        params["fc"] = linear_params(sd, "fc")
+    if head in ("tmr", "nl_only"):
+        if "nl_block.linear1.weight" in sd:
+            params["nl_block"] = _nl_block(sd)
+        if "time_conv.timeconv1.weight" in sd:
+            params["time_conv"] = _time_conv(sd)
+        if "fc_h_c.weight" in sd:
+            params["fc_h_c"] = linear_params(sd, "fc_h_c")
+        if "fc_c.weight" in sd:
+            params["fc_c"] = linear_params(sd, "fc_c")
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_imagenet_resnet(sd: Mapping[str, Any],
+                            stage_sizes: Sequence[int] = (3, 4, 6, 3)
+                            ) -> Dict[str, Tree]:
+    """torchvision ImageNet resnet50 state_dict (no 'share.' prefix) ->
+    backbone-only variables; the 1000-class fc is dropped like the reference
+    does when wrapping the trunk."""
+    trunk_params, trunk_stats = convert_resnet_trunk(sd, stage_sizes, prefix="")
+    return {"params": {"backbone": trunk_params},
+            "batch_stats": {"backbone": trunk_stats}}
+
+
+def merge_variables(base: Mapping[str, Any], update: Mapping[str, Any]) -> Tree:
+    """Deep-merge `update` over `base` (the strict=False analogue): keys in
+    update override; everything else keeps the freshly-initialized value."""
+    out = dict(base)
+    for k, v in update.items():
+        if k in out and isinstance(out[k], Mapping) and isinstance(v, Mapping):
+            out[k] = merge_variables(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def assert_shapes_match(init_vars: Mapping[str, Any],
+                        converted: Mapping[str, Any], path: str = "") -> None:
+    """Validate every converted leaf matches the model's expected shape."""
+    for k, v in converted.items():
+        sub = f"{path}/{k}"
+        if isinstance(v, Mapping):
+            if k not in init_vars:
+                raise KeyError(f"converted tree has unknown module {sub}")
+            assert_shapes_match(init_vars[k], v, sub)
+        else:
+            want = np.shape(init_vars[k])
+            got = np.shape(v)
+            if want != got:
+                raise ValueError(f"shape mismatch at {sub}: model {want}, "
+                                 f"checkpoint {got}")
