@@ -1,0 +1,161 @@
+"""Optimizers and schedules.
+
+Replicates the reference's optimizer semantics with optax:
+
+* two learning-rate groups — trunk modules at lr * trunk_lr_scale (0.1), heads
+  at lr (stage-1: trunk slow, lstm+fc fast, `train_singlenet_phase_1fc.py:496-507`;
+  stage-2: trunk+lstm slow, time_conv/nl_block/fc_h_c/fc_c fast,
+  `train_non-local_mutiConv_resnet.py:795-818`);
+* torch-style SGD (momentum buffer, coupled weight decay, optional Nesterov)
+  or Adam;
+* StepLR and ReduceLROnPlateau, driven host-side between epochs via
+  optax.inject_hyperparams (the jitted step reads the current lr from the
+  optimizer state, so no recompilation on lr change).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from tmrnet_tpu.config import TrainConfig
+
+
+def _group_of(path: Tuple[str, ...], slow_modules: Sequence[str]) -> str:
+    return "slow" if path and path[0] in slow_modules else "fast"
+
+
+def make_optimizer(cfg: TrainConfig, params: Any,
+                   slow_modules: Sequence[str] = ("backbone",)
+                   ) -> optax.GradientTransformation:
+    """Build the two-group optimizer. `slow_modules` are top-level param-tree
+    keys trained at cfg.lr * cfg.trunk_lr_scale; stage-1 passes ('backbone',),
+    stage-2 passes ('backbone', 'encoder')."""
+    labels = jax.tree_util.tree_map_with_path(
+        lambda path, _: _group_of(tuple(p.key for p in path), slow_modules),
+        params)
+
+    def make_group(scale: float) -> optax.GradientTransformation:
+        # Only learning_rate is injected (re-settable without recompilation);
+        # the rest are Python statics baked into the compiled update.
+        if cfg.optimizer == "sgd":
+            def make_sgd(learning_rate):
+                parts = []
+                if cfg.weight_decay:
+                    parts.append(optax.add_decayed_weights(cfg.weight_decay))
+                if cfg.momentum:
+                    parts.append(optax.trace(decay=cfg.momentum,
+                                             nesterov=cfg.nesterov))
+                parts.append(optax.scale(-1.0 * scale))
+                parts.append(optax.scale(learning_rate))
+                return optax.chain(*parts)
+
+            return optax.inject_hyperparams(make_sgd)(learning_rate=cfg.lr)
+        if cfg.optimizer == "adam":
+            def make_adam(learning_rate):
+                parts = []
+                if cfg.weight_decay:
+                    parts.append(optax.add_decayed_weights(cfg.weight_decay))
+                parts.append(optax.scale_by_adam())
+                parts.append(optax.scale(-1.0 * scale))
+                parts.append(optax.scale(learning_rate))
+                return optax.chain(*parts)
+
+            return optax.inject_hyperparams(make_adam)(learning_rate=cfg.lr)
+        raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+
+    return optax.multi_transform(
+        {"slow": make_group(cfg.trunk_lr_scale), "fast": make_group(1.0)},
+        labels)
+
+
+# optax >= 0.2.4 uses InjectStatefulHyperparamsState; keep both for compat.
+_INJECT_STATES = tuple(
+    getattr(optax, n) for n in
+    ("InjectHyperparamsState", "InjectStatefulHyperparamsState")
+    if hasattr(optax, n)) or tuple(
+    getattr(optax.schedules, n, type(None)) for n in
+    ("InjectStatefulHyperparamsState",))
+
+
+def _is_inject(x) -> bool:
+    return isinstance(x, _INJECT_STATES)
+
+
+def _hyperparam_states(opt_state):
+    """Yield every inject_hyperparams state inside a multi_transform state."""
+    for s in jax.tree_util.tree_leaves(opt_state, is_leaf=_is_inject):
+        if _is_inject(s):
+            yield s
+
+
+def current_learning_rate(opt_state) -> float:
+    for s in _hyperparam_states(opt_state):
+        return float(s.hyperparams["learning_rate"])
+    raise ValueError("no inject_hyperparams state found")
+
+
+def set_learning_rate(opt_state, lr: float):
+    """Return a new opt_state with the base lr replaced in every group (group
+    scale factors are baked into the update, so one base lr drives both)."""
+
+    def update(s):
+        if _is_inject(s):
+            hp = dict(s.hyperparams)
+            hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+            return s._replace(hyperparams=hp)
+        return s
+
+    return jax.tree_util.tree_map(update, opt_state, is_leaf=_is_inject)
+
+
+@dataclasses.dataclass
+class StepSchedule:
+    """StepLR: lr = base * gamma^(epoch // step_size)
+    (`train_singlenet_phase_1fc.py:490-495`)."""
+
+    base_lr: float
+    step_size: int
+    gamma: float = 0.1
+
+    def __call__(self, epoch: int, _val_metric: float = 0.0) -> float:
+        return self.base_lr * (self.gamma ** (epoch // self.step_size))
+
+
+@dataclasses.dataclass
+class PlateauSchedule:
+    """ReduceLROnPlateau on validation loss (`train_singlenet_phase_1fc.py:702-706`):
+    scale lr by `factor` after `patience` epochs without improvement."""
+
+    base_lr: float
+    factor: float = 0.1
+    patience: int = 2
+    threshold: float = 1e-4
+    best: float = float("inf")
+    bad_epochs: int = 0
+    scale: float = 1.0
+
+    def __call__(self, epoch: int, val_metric: float) -> float:
+        if val_metric < self.best * (1.0 - self.threshold):
+            self.best = val_metric
+            self.bad_epochs = 0
+        else:
+            self.bad_epochs += 1
+            if self.bad_epochs > self.patience:
+                self.scale *= self.factor
+                self.bad_epochs = 0
+        return self.base_lr * self.scale
+
+
+def make_schedule(cfg: TrainConfig):
+    if cfg.schedule == "step":
+        return StepSchedule(cfg.lr, cfg.step_size, cfg.gamma)
+    if cfg.schedule == "plateau":
+        return PlateauSchedule(cfg.lr, cfg.plateau_factor, cfg.plateau_patience)
+    if cfg.schedule == "constant":
+        return lambda epoch, val: cfg.lr
+    raise ValueError(f"unknown schedule {cfg.schedule!r}")

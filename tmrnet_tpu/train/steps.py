@@ -1,0 +1,82 @@
+"""Jitted train/eval steps.
+
+One fused XLA program per step: forward (bf16-capable), last-frame
+class-weighted CE (reference scores only each clip's final frame,
+`train_singlenet_phase_1fc.py:551-566`), backward, two-group optimizer update,
+BN running-stat update. The TrainState is donated, so parameters and optimizer
+state update in place in HBM.
+
+Stage-2 steps additionally take the (B, window, hidden) memory gathered from
+the HBM feature bank (see tmrnet_tpu.memory.lfb) — the gather itself can be
+composed into the same jit by the caller.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tmrnet_tpu.train.losses import weighted_cross_entropy
+from tmrnet_tpu.train.state import TrainState
+
+
+def _make_steps(has_memory: bool, class_weights, loss_reduction: str = "sum"):
+    w = None if class_weights is None else jnp.asarray(class_weights)
+
+    def forward_train(state: TrainState, params, inputs, labels, rng):
+        variables = {"params": params, "batch_stats": state.batch_stats}
+        out, updates = state.apply_fn(
+            variables, *inputs, train=True, rngs={"dropout": rng},
+            mutable=["batch_stats"])
+        logits = out[:, -1, :] if out.ndim == 3 else out
+        loss = weighted_cross_entropy(logits, labels, w, loss_reduction)
+        return loss, (updates["batch_stats"], logits)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, *args):
+        *inputs, labels, rng = args
+        grad_fn = jax.value_and_grad(forward_train, argnums=1, has_aux=True)
+        (loss, (new_bs, logits)), grads = grad_fn(
+            state, state.params, tuple(inputs), labels, rng)
+        state = state.apply_gradients(grads, new_bs)
+        preds = jnp.argmax(logits, axis=-1)
+        metrics = {
+            "loss": loss,
+            "correct": (preds == labels).sum(),
+            "count": jnp.asarray(labels.shape[0], jnp.int32),
+        }
+        return state, metrics
+
+    @jax.jit
+    def eval_step(state: TrainState, *args):
+        *inputs, labels = args
+        out = state.apply_fn(state.variables, *inputs, train=False)
+        logits = out[:, -1, :] if out.ndim == 3 else out
+        loss = weighted_cross_entropy(logits, labels, w, loss_reduction)
+        preds = jnp.argmax(logits, axis=-1)
+        return {
+            "loss": loss,
+            "correct": (preds == labels).sum(),
+            "count": jnp.asarray(labels.shape[0], jnp.int32),
+            "preds": preds,
+            "probs": jax.nn.softmax(logits.astype(jnp.float32), axis=-1),
+        }
+
+    return train_step, eval_step
+
+
+def make_stage1_steps(class_weights=None, loss_reduction: str = "sum"
+                      ) -> Tuple[Callable, Callable]:
+    """Steps for MemoryBankModel: train_step(state, clips, labels, rng),
+    eval_step(state, clips, labels). labels are per-clip last-frame labels."""
+    return _make_steps(False, class_weights, loss_reduction)
+
+
+def make_stage2_steps(class_weights=None, loss_reduction: str = "sum"
+                      ) -> Tuple[Callable, Callable]:
+    """Steps for TMRNet: train_step(state, clips, memory, labels, rng),
+    eval_step(state, clips, memory, labels)."""
+    return _make_steps(True, class_weights, loss_reduction)
