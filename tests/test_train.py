@@ -153,7 +153,7 @@ def test_stage2_train_step_runs_and_learns():
     labels = jnp.array([0, 1, 2, 3, 0, 1])
     variables = model.init(rng, clips, memory)
     tx = make_optimizer(
-        TrainConfig(optimizer="sgd", lr=0.05), variables["params"],
+        TrainConfig(optimizer="sgd", lr=0.003), variables["params"],
         slow_modules=("backbone", "encoder"))
     state = create_train_state(model, variables, tx)
     train_step, eval_step = make_stage2_steps()
