@@ -1,0 +1,9 @@
+from tmrnet_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    batch_sharding,
+    replicated_sharding,
+    param_shardings,
+    shard_batch,
+    shard_state,
+    initialize_multihost,
+)

@@ -1,0 +1,129 @@
+"""SPMD parallelism: device mesh + sharding rules.
+
+Replaces the reference's single-process torch DataParallel (replicate module,
+scatter batch, gather outputs every step — `train_singlenet_phase_1fc.py:477-479`)
+with compiled SPMD: a ('data', 'model') Mesh, batch sharded over the data axis,
+parameters either replicated or tensor-sharded over the model axis. XLA inserts
+the gradient all-reduces (riding ICI in a slice); multi-host setups add DCN via
+jax.distributed.initialize. The jitted train step is unchanged — sharding is
+carried entirely by the input/parameter placements.
+
+Tensor-parallel rules (model axis) shard the memory head's big GEMMs:
+the LSTM input projection (4H, In) over In, the NLBlock projections and
+fc_h_c over their output features, fc_c over its input — each boundary is a
+single compiler-inserted collective.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tmrnet_tpu.config import MeshConfig
+
+# path-regex -> PartitionSpec over ('data', 'model'); first match wins.
+# Paths are '/'-joined param-tree keys, e.g. 'nl_block/query/kernel'.
+DEFAULT_TP_RULES: Tuple[Tuple[str, P], ...] = (
+    (r".*lstm/weight_ih$", P(None, "model")),      # (4H, In): shard In
+    (r".*nl_block/(query|key|value|out)/kernel$", P(None, "model")),
+    (r".*fc_h_c/kernel$", P(None, "model")),
+    (r".*fc_c/kernel$", P("model", None)),
+    (r".*time_conv/conv_k\d+/kernel$", P(None, None, "model")),  # (k, in, out)
+)
+
+
+def initialize_multihost(coordinator: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> None:
+    """Multi-host (DCN) init; single-host callers skip this entirely."""
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def make_mesh(cfg: MeshConfig = MeshConfig(),
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    mp = max(1, cfg.model_parallel)
+    dp = cfg.data_parallel
+    if dp == -1:
+        dp = len(devices) // mp
+    if dp * mp > len(devices):
+        raise ValueError(
+            f"mesh {dp}x{mp} needs {dp * mp} devices, have {len(devices)}")
+    grid = np.asarray(devices[: dp * mp]).reshape(dp, mp)
+    return Mesh(grid, (cfg.data_axis, cfg.model_axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, data_axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P(data_axis))
+
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(p, "key", p)) for p in path)
+
+
+def param_shardings(mesh: Mesh, params: Any,
+                    rules: Sequence[Tuple[str, P]] = DEFAULT_TP_RULES,
+                    use_tp: bool = True) -> Any:
+    """A NamedSharding pytree for params: TP rules where they match (if the
+    model axis has >1 devices), replicated otherwise."""
+    model_axis_size = mesh.shape.get("model", 1)
+
+    def assign(path, leaf):
+        if use_tp and model_axis_size > 1:
+            s = _path_str(path)
+            for pattern, spec in rules:
+                if re.match(pattern, s):
+                    # only shard if the dimension divides evenly
+                    ok = all(
+                        ax is None or leaf.shape[i] % mesh.shape[ax] == 0
+                        for i, ax in enumerate(spec))
+                    if ok and len(spec) <= leaf.ndim:
+                        return NamedSharding(mesh, spec)
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(assign, params)
+
+
+def shard_batch(mesh: Mesh, *arrays, data_axis: str = "data"):
+    """device_put host arrays with the batch dim sharded over data."""
+    sh = batch_sharding(mesh, data_axis)
+    out = tuple(jax.device_put(a, sh) for a in arrays)
+    return out[0] if len(out) == 1 else out
+
+
+def shard_state(mesh: Mesh, state, use_tp: bool = True):
+    """Place a TrainState: params per TP rules, everything else replicated
+    except optimizer slots, which follow their parameter's sharding."""
+    psh = param_shardings(mesh, state.params, use_tp=use_tp)
+    rep = replicated_sharding(mesh)
+
+    params = jax.device_put(state.params, psh)
+
+    def place_opt(leaf):
+        return jax.device_put(leaf, rep)
+
+    # momentum/adam slots mirror param shapes; find matching shardings by shape
+    flat_psh = {np.shape(v): s for v, s in zip(
+        jax.tree_util.tree_leaves(state.params),
+        jax.tree_util.tree_leaves(psh, is_leaf=lambda x: isinstance(x, NamedSharding)))}
+
+    def place_opt_leaf(leaf):
+        sh = flat_psh.get(np.shape(leaf), rep)
+        return jax.device_put(leaf, sh)
+
+    opt_state = jax.tree_util.tree_map(place_opt_leaf, state.opt_state)
+    batch_stats = jax.device_put(state.batch_stats, rep)
+    return state.replace(params=params, opt_state=opt_state,
+                         batch_stats=batch_stats,
+                         step=jax.device_put(state.step, rep))
