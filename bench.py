@@ -1,0 +1,86 @@
+"""Benchmark: Cholec80-style test inference throughput on one TPU chip.
+
+Measures frames/sec/chip for the full TMRNet forward path — ResNet-50 over
+every frame, LSTM over each 10-frame clip, device-side LFB window gather,
+TimeConv + NLBlock memory head — in bfloat16 at 224x224, the shape of the
+reference's test drivers (`eval/python/test_..._2fc_copy.py`). Prints one
+JSON line; vs_baseline is against the 5000 frames/sec/chip north star.
+
+Usage: python bench.py [--batch-clips N] [--iters N] [--seconds S]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+BASELINE_FPS = 5000.0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch-clips", type=int, default=64,
+                    help="clips per device batch (x10 frames each)")
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument("--window", type=int, default=30)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from tmrnet_tpu.config import ModelConfig
+    from tmrnet_tpu.memory.lfb import gather_memory_windows
+    from tmrnet_tpu.models.tmrnet import build_model
+
+    seq = 10
+    b = args.batch_clips
+    cfg = ModelConfig(backbone="resnet50", head="tmr", num_classes=7,
+                      hidden_dim=512, lfb_window=args.window,
+                      compute_dtype="bfloat16")
+    model = build_model(cfg)
+
+    rng = jax.random.PRNGKey(0)
+    clips = jax.random.normal(rng, (b, seq, 224, 224, 3), jnp.bfloat16)
+    bank = jax.random.normal(jax.random.PRNGKey(1), (4096, 512), jnp.bfloat16)
+    rows = jnp.arange(100, 100 + b, dtype=jnp.int32)
+    firsts = jnp.zeros((b,), jnp.int32)
+    memory0 = gather_memory_windows(bank, rows, firsts, args.window)
+    variables = model.init(jax.random.PRNGKey(2), clips, memory0)
+
+    @jax.jit
+    def infer(variables, bank, clips, rows, firsts):
+        memory = gather_memory_windows(bank, rows, firsts, args.window)
+        logits = model.apply(variables, clips, memory, train=False)
+        return jnp.argmax(logits, axis=-1)
+
+    # warmup / compile. NOTE: sync via an actual device->host fetch
+    # (np.asarray); on tunneled platforms block_until_ready can return before
+    # the execution stream drains, inflating throughput ~100x.
+    out = infer(variables, bank, clips, rows, firsts)
+    np.asarray(out)
+    for _ in range(args.warmup):
+        out = infer(variables, bank, clips, rows, firsts)
+    np.asarray(out)
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = infer(variables, bank, clips, rows, firsts)
+    np.asarray(out)  # single-stream FIFO: fetching the last result drains all
+    dt = time.perf_counter() - t0
+
+    frames = args.iters * b * seq
+    fps = frames / dt
+    print(json.dumps({
+        "metric": "cholec80_test_inference_frames_per_sec_per_chip",
+        "value": round(fps, 1),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
