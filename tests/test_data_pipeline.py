@@ -1,0 +1,159 @@
+"""Tests for cutmargin, clip-deterministic transforms, pipeline, stats."""
+
+import numpy as np
+import pytest
+
+from tmrnet_tpu.data.cutmargin import cut_black_margin, margin_bbox, resize_square
+from tmrnet_tpu.data.manifests import Manifest, VideoRecord
+from tmrnet_tpu.data.pipeline import ClipDataset, ClipLoader, array_frame_loader
+from tmrnet_tpu.data.stats import channel_stats
+from tmrnet_tpu.data.transforms import (
+    EvalTransform,
+    TrainTransform,
+    center_crop,
+    clip_rng,
+    color_jitter,
+    normalize,
+    random_crop,
+    random_horizontal_flip,
+)
+
+
+def test_cutmargin_finds_content_box():
+    img = np.zeros((200, 300, 3), np.uint8)
+    img[40:160, 60:240] = 200  # bright content block
+    out = cut_black_margin(img)
+    assert out.shape[0] <= 130 and out.shape[1] <= 190  # margins removed
+    assert out.mean() > 100  # mostly content
+
+
+def test_cutmargin_all_black_returns_input():
+    img = np.zeros((100, 100, 3), np.uint8)
+    out = cut_black_margin(img)
+    assert out.shape == img.shape
+
+
+def test_resize_square():
+    img = np.random.RandomState(0).randint(0, 255, (123, 456, 3), dtype=np.uint8)
+    assert resize_square(img, 250).shape == (250, 250, 3)
+
+
+def test_clip_transforms_same_aug_across_frames():
+    rng = np.random.RandomState(0)
+    # frames identical except a marker; crop/flip must be identical per frame
+    clip = np.tile(rng.randint(0, 255, (1, 250, 250, 3), dtype=np.uint8), (10, 1, 1, 1))
+    tf = TrainTransform(use_flip=True)
+    out = tf(clip, epoch=0, clip_id=5)
+    assert out.shape == (10, 224, 224, 3)
+    for i in range(1, 10):
+        np.testing.assert_array_equal(out[0], out[i])
+
+
+def test_clip_transforms_deterministic_and_vary_by_clip():
+    clip = np.random.RandomState(1).randint(0, 255, (4, 250, 250, 3), dtype=np.uint8)
+    tf = TrainTransform(use_flip=True)
+    a = tf(clip, epoch=3, clip_id=7)
+    b = tf(clip, epoch=3, clip_id=7)
+    np.testing.assert_array_equal(a, b)  # reproducible
+    c = tf(clip, epoch=3, clip_id=8)
+    assert not np.array_equal(a, c)  # different clip -> different aug
+    d = tf(clip, epoch=4, clip_id=7)
+    assert not np.array_equal(a, d)  # different epoch -> different aug
+
+
+def test_eval_transform_modes():
+    clip = np.random.RandomState(2).randint(0, 255, (2, 250, 250, 3), dtype=np.uint8)
+    for ct in (0, 1, 2):
+        out = EvalTransform(crop_type=ct)(clip)
+        assert out.shape == (2, 224, 224, 3)
+    with pytest.raises(ValueError):
+        EvalTransform(crop_type=5)(clip)
+
+
+def test_normalize_matches_torchvision_formula():
+    clip = (np.ones((1, 4, 4, 3)) * 128).astype(np.uint8)
+    mean, std = (0.4, 0.25, 0.25), (0.2, 0.2, 0.2)
+    out = normalize(clip, mean, std)
+    want = (128 / 255.0 - np.asarray(mean)) / np.asarray(std)
+    np.testing.assert_allclose(out[0, 0, 0], want, rtol=1e-6)
+
+
+def test_color_jitter_identity_at_zero():
+    clip = np.random.RandomState(3).randint(0, 255, (2, 8, 8, 3), dtype=np.uint8)
+    out = color_jitter(clip, clip_rng(0, 0), 0.0, 0.0, 0.0, 0.0)
+    np.testing.assert_allclose(out.astype(np.int32), clip.astype(np.int32), atol=1)
+
+
+def _toy_setup(n_videos=2, frames_per_video=20, seq=4, hw=32):
+    rng = np.random.RandomState(0)
+    store = {}
+    videos = []
+    for v in range(n_videos):
+        paths = [f"v{v}/f{j}" for j in range(frames_per_video)]
+        for p in paths:
+            store[p] = rng.randint(0, 255, (hw, hw, 3), dtype=np.uint8)
+        labels = (np.arange(frames_per_video) // 5) % 7
+        videos.append(VideoRecord(f"v{v}", paths, labels.astype(np.int64)))
+    m = Manifest(videos)
+    ds = ClipDataset(m, seq_len=seq, transform=None,
+                     frame_loader=array_frame_loader(store))
+    return ds, store
+
+
+def test_clip_dataset_indexing_and_labels():
+    ds, store = _toy_setup()
+    assert ds.num_clips == 2 * (20 - 3)
+    clip, label = ds.get_clip(0)
+    assert clip.shape == (4, 32, 32, 3)
+    # label is the LAST frame's label: frames 0..3 -> label of frame 3 = 0
+    assert label == 0
+    clip, label = ds.get_clip(2)  # frames 2..5 -> label of frame 5 = 1
+    assert label == 1
+    # second video's first clip maps to video 1, frame 0
+    assert ds.clip_location(17) == (1, 0)
+    np.testing.assert_array_equal(ds.first_rows[:17], 0)
+    np.testing.assert_array_equal(ds.first_rows[17:], 17)
+
+
+def test_clip_dataset_error_policy():
+    ds, store = _toy_setup()
+    bad = ClipDataset(ds.manifest, 4, frame_loader=lambda p: (_ for _ in ()).throw(IOError()),
+                      error_policy="zeros")
+    clip, label = bad.get_clip(0)
+    assert clip.sum() == 0
+    strict = ClipDataset(ds.manifest, 4, frame_loader=bad.frame_loader,
+                         error_policy="raise")
+    with pytest.raises(IOError):
+        strict.get_clip(0)
+
+
+def test_clip_loader_batches_and_padding():
+    ds, _ = _toy_setup()  # 34 clips
+    loader = ClipLoader(ds, batch_clips=8, shuffle=False, num_workers=2)
+    batches = list(loader.epoch(0))
+    assert len(batches) == 5  # ceil(34/8)
+    clips, labels, rows, pad = batches[-1]
+    assert clips.shape == (8, 4, 32, 32, 3)
+    assert pad == 8 * 5 - 34
+    # padded rows repeat the last real row
+    assert (rows[-pad:] == rows[8 - pad - 1]).all()
+    # all real rows covered exactly once
+    seen = np.concatenate([b[2][: 8 - b[3]] for b in batches])
+    np.testing.assert_array_equal(np.sort(seen), np.arange(34))
+
+
+def test_clip_loader_shuffle_deterministic_per_epoch():
+    ds, _ = _toy_setup()
+    loader = ClipLoader(ds, batch_clips=8, shuffle=True, num_workers=2, seed=1)
+    r1 = np.concatenate([b[2] for b in loader.epoch(0)])
+    r2 = np.concatenate([b[2] for b in loader.epoch(0)])
+    r3 = np.concatenate([b[2] for b in loader.epoch(1)])
+    np.testing.assert_array_equal(r1, r2)
+    assert not np.array_equal(r1, r3)
+
+
+def test_channel_stats():
+    frames = [np.full((4, 4, 3), v, np.uint8) for v in (0, 255)]
+    mean, std = channel_stats(frames)
+    np.testing.assert_allclose(mean, 0.5, atol=1e-6)
+    np.testing.assert_allclose(std, 0.5, atol=1e-6)

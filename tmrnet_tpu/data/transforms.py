@@ -1,0 +1,204 @@
+"""Clip-deterministic augmentations as pure functions of an integer seed.
+
+The reference implements same-augmentation-per-clip with stateful counters that
+reseed Python's global `random` every call (`code/dataset.py:7-82`, working
+copies at `train_singlenet_phase_1fc.py:103-179`) — mutable state that is
+silently replicated across DataLoader workers (SURVEY.md section 5, race
+notes). Here every transform is a pure function of (clip ndarray, clip_seed):
+the per-clip seed derives from (epoch, clip_id), so augmentation is identical
+across a clip's frames, independent of worker layout, and exactly reproducible.
+
+Clips are uint8/float32 arrays shaped (T, H, W, 3). All ops are vectorized
+numpy/cv2 host code (the TPU consumes the final normalized bf16 batch).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+
+    _HAS_CV2 = True
+except ImportError:  # pragma: no cover
+    _HAS_CV2 = False
+
+
+def clip_rng(epoch: int, clip_id: int, base_seed: int = 0) -> np.random.Generator:
+    """Deterministic per-(epoch, clip) generator — the stateless replacement
+    for the reference's `random.seed(count // sequence_length)` counters."""
+    return np.random.Generator(
+        np.random.Philox(key=np.uint64(base_seed),
+                         counter=[np.uint64(epoch), np.uint64(clip_id), 0, 0]))
+
+
+# ---------------------------------------------------------------------------
+# Geometric
+# ---------------------------------------------------------------------------
+
+
+def random_crop(clip: np.ndarray, size: int, rng: np.random.Generator
+                ) -> np.ndarray:
+    t, h, w = clip.shape[:3]
+    if h == size and w == size:
+        return clip
+    y = int(rng.integers(0, h - size + 1))
+    x = int(rng.integers(0, w - size + 1))
+    return clip[:, y:y + size, x:x + size]
+
+
+def center_crop(clip: np.ndarray, size: int) -> np.ndarray:
+    h, w = clip.shape[1:3]
+    y, x = (h - size) // 2, (w - size) // 2
+    return clip[:, y:y + size, x:x + size]
+
+
+def random_horizontal_flip(clip: np.ndarray, rng: np.random.Generator,
+                           prob: float = 0.5) -> np.ndarray:
+    if rng.random() < prob:
+        return clip[:, :, ::-1]
+    return clip
+
+
+def random_rotation(clip: np.ndarray, degrees: float,
+                    rng: np.random.Generator) -> np.ndarray:
+    """Rotate every frame of the clip by one shared angle in [-degrees, degrees]
+    (integer degrees like the reference's random.randint)."""
+    angle = int(rng.integers(-int(degrees), int(degrees) + 1))
+    if angle == 0:
+        return clip
+    if not _HAS_CV2:  # pragma: no cover
+        return clip
+    h, w = clip.shape[1:3]
+    m = cv2.getRotationMatrix2D((w / 2, h / 2), angle, 1.0)
+    out = np.empty_like(clip)
+    for i in range(clip.shape[0]):
+        out[i] = cv2.warpAffine(clip[i], m, (w, h), flags=cv2.INTER_LINEAR,
+                                borderValue=0)
+    return out
+
+
+def resize_clip(clip: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
+    if clip.shape[1:3] == tuple(size):
+        return clip
+    if _HAS_CV2:
+        out = np.empty((clip.shape[0], size[0], size[1], clip.shape[3]),
+                       dtype=clip.dtype)
+        for i in range(clip.shape[0]):
+            out[i] = cv2.resize(clip[i], (size[1], size[0]),
+                                interpolation=cv2.INTER_LINEAR)
+        return out
+    raise RuntimeError("resize requires cv2")
+
+
+# ---------------------------------------------------------------------------
+# Photometric (torchvision-compatible formulas)
+# ---------------------------------------------------------------------------
+
+
+def _blend(a: np.ndarray, b: np.ndarray, factor: float) -> np.ndarray:
+    return np.clip(factor * a + (1.0 - factor) * b, 0, 255)
+
+
+def _grayscale(clip_f: np.ndarray) -> np.ndarray:
+    # itu-r 601-2 luma, like PIL convert('L')
+    g = (clip_f[..., 0] * 0.299 + clip_f[..., 1] * 0.587
+         + clip_f[..., 2] * 0.114)
+    return g[..., None]
+
+
+def color_jitter(clip: np.ndarray, rng: np.random.Generator,
+                 brightness: float = 0.1, contrast: float = 0.1,
+                 saturation: float = 0.1, hue: float = 0.1) -> np.ndarray:
+    """One shared jitter per clip, applying brightness -> contrast ->
+    saturation -> hue in the reference's order
+    (`train_singlenet_phase_1fc.py:172-177`)."""
+    bf = rng.uniform(1 - brightness, 1 + brightness)
+    cf = rng.uniform(1 - contrast, 1 + contrast)
+    sf = rng.uniform(1 - saturation, 1 + saturation)
+    hf = rng.uniform(-hue, hue)
+
+    x = clip.astype(np.float32)
+    x = np.clip(x * bf, 0, 255)                       # brightness
+    mean_gray = _grayscale(x).mean(axis=(1, 2, 3), keepdims=True)
+    x = _blend(x, mean_gray, cf)                      # contrast
+    x = _blend(x, _grayscale(x), sf)                  # saturation
+    if abs(hf) > 1e-6 and _HAS_CV2:                   # hue (HSV shift)
+        u8 = x.astype(np.uint8)
+        for i in range(u8.shape[0]):
+            hsv = cv2.cvtColor(u8[i], cv2.COLOR_RGB2HSV)
+            # cv2 hue range is [0,180); torch hue factor is in turns
+            hsv[..., 0] = (hsv[..., 0].astype(np.int32)
+                           + int(round(hf * 180))) % 180
+            u8[i] = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
+        x = u8.astype(np.float32)
+    return x.astype(clip.dtype if clip.dtype != np.uint8 else np.uint8)
+
+
+def normalize(clip: np.ndarray, mean: Sequence[float],
+              std: Sequence[float]) -> np.ndarray:
+    """uint8 [0,255] -> float32 normalized (ToTensor + Normalize)."""
+    x = clip.astype(np.float32) / 255.0
+    return (x - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Pipelines (the train/test transform stacks of the reference,
+# `train_memorybank.py:72-130`)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class TrainTransform:
+    """Resize(250) -> RandomCrop(224) [-> ColorJitter -> Flip -> Rotation]
+    -> Normalize; one shared random draw per clip."""
+
+    crop_size: int = 224
+    resize: int = 250
+    use_flip: bool = True
+    rotate_degrees: float = 5.0
+    jitter: float = 0.1
+    mean: Sequence[float] = (0.41757566, 0.26098573, 0.25888634)
+    std: Sequence[float] = (0.21938758, 0.1983, 0.19342837)
+    base_seed: int = 0
+
+    def __call__(self, clip: np.ndarray, epoch: int, clip_id: int) -> np.ndarray:
+        rng = clip_rng(epoch, clip_id, self.base_seed)
+        clip = resize_clip(clip, (self.resize, self.resize))
+        clip = random_crop(clip, self.crop_size, rng)
+        if self.use_flip:
+            clip = color_jitter(clip, rng, self.jitter, self.jitter,
+                                self.jitter, self.jitter)
+            clip = random_horizontal_flip(clip, rng)
+            clip = random_rotation(clip, self.rotate_degrees, rng)
+        return normalize(clip, self.mean, self.std)
+
+
+@dataclasses.dataclass
+class EvalTransform:
+    """crop_type 0: random crop / 1: center crop / 2: resize only
+    (`train_memorybank.py:101-127`)."""
+
+    crop_size: int = 224
+    resize: int = 250
+    crop_type: int = 1
+    mean: Sequence[float] = (0.41757566, 0.26098573, 0.25888634)
+    std: Sequence[float] = (0.21938758, 0.1983, 0.19342837)
+    base_seed: int = 0
+
+    def __call__(self, clip: np.ndarray, epoch: int = 0, clip_id: int = 0
+                 ) -> np.ndarray:
+        clip = resize_clip(clip, (self.resize, self.resize))
+        if self.crop_type == 0:
+            clip = random_crop(clip, self.crop_size,
+                               clip_rng(epoch, clip_id, self.base_seed))
+        elif self.crop_type == 1:
+            clip = center_crop(clip, self.crop_size)
+        elif self.crop_type == 2:
+            clip = resize_clip(clip, (self.crop_size, self.crop_size))
+        else:
+            raise ValueError(f"unsupported crop_type {self.crop_type}")
+        return normalize(clip, self.mean, self.std)
