@@ -1,0 +1,130 @@
+"""End-to-end slice: synthetic dataset -> stage-1 training -> LFB build ->
+stage-2 TMRNet training -> checkpoint/resume. CPU-runnable tiny config
+(BASELINE.json config 1-3 shapes at micro scale)."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+from tmrnet_tpu.config import (
+    DataConfig,
+    ExperimentConfig,
+    MemoryConfig,
+    ModelConfig,
+    TrainConfig,
+)
+from tmrnet_tpu.data.manifests import Manifest, VideoRecord
+from tmrnet_tpu.data.pipeline import ClipDataset, array_frame_loader
+from tmrnet_tpu.train.loop import build_lfb, train_stage1, train_stage2
+
+
+SEQ = 4
+HW = 24
+
+
+def _synthetic(n_videos=3, frames=18, n_classes=4, seed=0):
+    """Frames whose mean brightness encodes the label -> learnable."""
+    rng = np.random.RandomState(seed)
+    store, videos = {}, []
+    for v in range(n_videos):
+        paths = [f"v{v}/f{j}" for j in range(frames)]
+        labels = ((np.arange(frames) // 5) + v) % n_classes
+        for p, lab in zip(paths, labels):
+            base = np.full((HW, HW, 3), 40 + 50 * lab, np.uint8)
+            noise = rng.randint(0, 25, base.shape).astype(np.uint8)
+            store[p] = np.clip(base + noise, 0, 255).astype(np.uint8)
+        videos.append(VideoRecord(f"v{v}", paths, labels.astype(np.int64)))
+    return Manifest(videos), store
+
+
+def _cfg(tmp_path, head="stage1", epochs=2):
+    return ExperimentConfig(
+        data=DataConfig(batch_clips=8, num_workers=2, prefetch=1),
+        model=ModelConfig(backbone="tiny", stage_sizes=(1, 1), width=8,
+                          hidden_dim=16, num_classes=4, head=head,
+                          lfb_window=4, compute_dtype="float32"),
+        train=TrainConfig(epochs=epochs, optimizer="sgd", lr=0.02,
+                          schedule="constant", seed=0,
+                          checkpoint_dir=str(tmp_path / f"ckpt_{head}"),
+                          log_every=1000),
+        memory=MemoryConfig(window=4, cache_path=str(tmp_path / "lfb.npz")),
+    )
+
+
+def test_full_two_stage_workflow(tmp_path):
+    manifest, store = _synthetic()
+    loader = array_frame_loader(store)
+    train_ds = ClipDataset(manifest, SEQ, frame_loader=loader)
+    val_ds = ClipDataset(manifest, SEQ, frame_loader=loader)
+
+    # ---- stage 1
+    cfg1 = _cfg(tmp_path, "stage1", epochs=2)
+    state1, hist1 = train_stage1(cfg1, train_ds, val_ds)
+    assert len(hist1) == 2
+    assert hist1[-1].train_acc > 0.4  # learnable synthetic task
+    assert os.path.exists(cfg1.train.checkpoint_dir)
+
+    # ---- LFB build from stage-1 weights (encoder/backbone subtrees shared)
+    cfg2 = _cfg(tmp_path, "tmr", epochs=1)
+    extractor_vars = {
+        "params": {"backbone": state1.params["backbone"],
+                   "encoder": state1.params["encoder"]},
+        "batch_stats": {"backbone": state1.batch_stats["backbone"]},
+    }
+    bank = build_lfb(cfg2, extractor_vars, train_ds)
+    assert bank.num_rows == train_ds.num_clips
+    assert bank.feature_dim == 16
+    # cache was written and reloads identically
+    bank2 = build_lfb(cfg2, extractor_vars, train_ds)
+    np.testing.assert_allclose(np.asarray(bank2.features),
+                               np.asarray(bank.features))
+    # bank rows are non-trivial
+    assert float(np.abs(np.asarray(bank.features)).sum()) > 0
+
+    # ---- stage 2 with stage-1 init transplant
+    import jax
+    import jax.numpy as jnp
+
+    from tmrnet_tpu.models.tmrnet import build_model
+    from tmrnet_tpu.models.torch_import import merge_variables
+
+    model2 = build_model(cfg2.model)
+    clips0, _ = train_ds.get_clip(0)
+    init2 = model2.init(jax.random.PRNGKey(0),
+                        jnp.asarray(clips0[None], jnp.float32),
+                        jnp.zeros((1, 4, 16)))
+    init2 = {
+        "params": merge_variables(init2["params"], extractor_vars["params"]),
+        "batch_stats": merge_variables(init2["batch_stats"],
+                                       extractor_vars["batch_stats"]),
+    }
+    state2, hist2 = train_stage2(cfg2, train_ds, bank, val_ds,
+                                 init_variables=init2)
+    assert len(hist2) == 1
+    assert np.isfinite(hist2[-1].val_loss)
+
+    # ---- resume: second call continues from the checkpoint (epoch 1 == done)
+    cfg2b = dataclasses.replace(
+        cfg2, train=dataclasses.replace(cfg2.train, epochs=2))
+    state2b, hist2b = train_stage2(cfg2b, train_ds, bank, val_ds,
+                                   init_variables=init2)
+    assert len(hist2b) == 1  # only epoch 1 ran (epoch 0 resumed from disk)
+    assert int(state2b.step) > int(state2.step)
+
+
+def test_nl_only_variant_trains(tmp_path):
+    manifest, store = _synthetic(n_videos=2)
+    ds = ClipDataset(manifest, SEQ, frame_loader=array_frame_loader(store))
+    cfg = _cfg(tmp_path, "nl_only", epochs=1)
+    import jax
+
+    from tmrnet_tpu.memory.lfb import FeatureBank
+
+    bank = FeatureBank.create(SEQ, manifest.video_lengths, 16)
+    state, hist = train_stage2(cfg, ds, bank)
+    assert len(hist) == 1
+    # nl_only has no time_conv params
+    assert "time_conv" not in state.params
+    assert "nl_block" in state.params

@@ -1,0 +1,272 @@
+"""Trainer orchestration: the epoch loops for both stages + LFB build.
+
+Replaces the reference's five copy-pasted 700-1000-line drivers (SURVEY.md 2.5)
+with three functions over shared machinery:
+
+  train_stage1  -- memory-bank model (reference train_singlenet_phase_1fc.py)
+  build_lfb     -- frozen-extractor bank build (reference LFB build,
+                   `train_non-local_mutiConv_resnet.py:679-768`) streamed
+                   on-device, with .npz cache honoring the --load_LFB workflow
+  train_stage2  -- TMRNet head training (reference
+                   train_non-local_mutiConv_resnet.py / _resnest.py /
+                   train_only_non-local_pretrained.py, selected by config)
+
+Shared semantics kept from the reference: class-balanced weighted CE on each
+clip's last frame, two-group lr (trunk at lr/10), per-epoch shuffled clip
+starts, full validation pass per epoch, best checkpoint by val accuracy with
+train-accuracy tiebreak, StepLR / ReduceLROnPlateau scheduling.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tmrnet_tpu.config import ExperimentConfig
+from tmrnet_tpu.data.pipeline import ClipDataset, ClipLoader
+from tmrnet_tpu.memory.lfb import (
+    FeatureBank,
+    gather_memory_windows,
+    load_bank,
+    save_bank,
+    update_bank,
+)
+from tmrnet_tpu.models.tmrnet import build_model
+from tmrnet_tpu.train.losses import balanced_class_weights
+from tmrnet_tpu.train.optim import make_optimizer, make_schedule, set_learning_rate
+from tmrnet_tpu.train.state import TrainState, create_train_state
+from tmrnet_tpu.train.steps import make_stage1_steps, make_stage2_steps
+from tmrnet_tpu.utils.checkpoint import BestTracker, CheckpointManager
+from tmrnet_tpu.utils.logging import MetricLogger, Timer
+
+
+@dataclasses.dataclass
+class EpochStats:
+    epoch: int
+    train_loss: float
+    train_acc: float
+    val_loss: float
+    val_acc: float
+    lr: float
+    seconds: float
+
+
+def _maybe_shard(mesh, state, *arrays):
+    if mesh is None:
+        return state, arrays
+    from tmrnet_tpu.parallel.mesh import shard_batch, shard_state
+
+    if state is not None:
+        state = shard_state(mesh, state)
+    return state, tuple(shard_batch(mesh, a) for a in arrays)
+
+
+def _init_state(cfg: ExperimentConfig, model, sample_inputs,
+                init_variables=None, slow_modules=("backbone",),
+                rng_seed: int = 0) -> TrainState:
+    if init_variables is None:
+        init_variables = model.init(jax.random.PRNGKey(rng_seed), *sample_inputs)
+    tx = make_optimizer(cfg.train, init_variables["params"], slow_modules)
+    return create_train_state(model, init_variables, tx)
+
+
+def _memory_for(bank: FeatureBank, rows: np.ndarray, first_rows: np.ndarray,
+                window: int) -> jax.Array:
+    return gather_memory_windows(bank.features, jnp.asarray(rows, jnp.int32),
+                                 jnp.asarray(first_rows, jnp.int32), window)
+
+
+def _run_epoch_train(train_step, state, loader, epoch, rng, use_memory,
+                     bank=None, window=0, first_rows_all=None, mesh=None,
+                     log: Optional[MetricLogger] = None, log_every: int = 50):
+    loss_sum, correct, count = 0.0, 0, 0
+    timer = Timer()
+    for i, (clips, labels, rows, pad) in enumerate(loader.epoch(epoch)):
+        step_rng = jax.random.fold_in(rng, epoch * 100003 + i)
+        if use_memory:
+            memory = _memory_for(bank, rows, first_rows_all[rows], window)
+            state, m = train_step(state, jnp.asarray(clips), memory,
+                                  jnp.asarray(labels), step_rng)
+        else:
+            state, m = train_step(state, jnp.asarray(clips),
+                                  jnp.asarray(labels), step_rng)
+        b = len(rows) - pad
+        loss_sum += float(m["loss"])
+        correct += int(m["correct"])
+        count += len(rows)
+        timer.add_frames(clips.shape[0] * clips.shape[1])
+        if log is not None and (i + 1) % log_every == 0:
+            log.log(int(state.step), {"loss": float(m["loss"]) / len(rows),
+                                      "fps": timer.fps}, prefix="train/")
+    return state, loss_sum / max(count, 1), correct / max(count, 1)
+
+
+def _run_epoch_eval(eval_step, state, loader, use_memory, bank=None, window=0,
+                    first_rows_all=None):
+    loss_sum, correct, count = 0.0, 0, 0
+    all_preds, all_labels, all_rows = [], [], []
+    for clips, labels, rows, pad in loader.epoch(0):
+        if use_memory:
+            memory = _memory_for(bank, rows, first_rows_all[rows], window)
+            m = eval_step(state, jnp.asarray(clips), memory, jnp.asarray(labels))
+        else:
+            m = eval_step(state, jnp.asarray(clips), jnp.asarray(labels))
+        b = len(rows) - pad
+        losses = np.asarray(m["losses"])[:b]
+        preds = np.asarray(m["preds"])[:b]
+        loss_sum += float(losses.sum())
+        correct += int((preds == labels[:b]).sum())
+        count += b
+        all_preds.append(preds)
+        all_labels.append(labels[:b])
+        all_rows.append(rows[:b])
+    preds = np.concatenate(all_preds) if all_preds else np.zeros(0, np.int64)
+    labels = np.concatenate(all_labels) if all_labels else np.zeros(0, np.int64)
+    rows = np.concatenate(all_rows) if all_rows else np.zeros(0, np.int64)
+    return (loss_sum / max(count, 1), correct / max(count, 1),
+            preds, labels, rows)
+
+
+def _fit(cfg: ExperimentConfig, model, train_ds: ClipDataset,
+         val_ds: Optional[ClipDataset], use_memory: bool,
+         bank: Optional[FeatureBank], slow_modules,
+         init_variables=None, mesh=None,
+         log: Optional[MetricLogger] = None,
+         val_bank: Optional[FeatureBank] = None
+         ) -> Tuple[TrainState, List[EpochStats]]:
+    t = cfg.train
+    window = cfg.memory.window
+    sample_clips, _ = train_ds.get_clip(0)
+    sample_clips = jnp.asarray(sample_clips[None]).astype(jnp.float32)
+    sample_inputs = (sample_clips,)
+    if use_memory:
+        sample_inputs = (sample_clips,
+                         jnp.zeros((1, window, cfg.model.hidden_dim)))
+    state = _init_state(cfg, model, sample_inputs, init_variables,
+                        slow_modules, t.seed)
+
+    ckpt = CheckpointManager(t.checkpoint_dir, keep=t.keep_checkpoints)
+    start_epoch = 0
+    if t.resume and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        start_epoch = int(ckpt.metadata(ckpt.latest_step())
+                          .get("metrics", {}).get("epoch", -1)) + 1
+
+    class_weights = (balanced_class_weights(train_ds.manifest.flat_labels(),
+                                            cfg.model.num_classes)
+                     if t.class_weighting else None)
+    make_steps = make_stage2_steps if use_memory else make_stage1_steps
+    train_step, eval_step = make_steps(class_weights, "sum")
+
+    train_loader = ClipLoader(train_ds, cfg.data.batch_clips, shuffle=True,
+                              num_workers=cfg.data.num_workers,
+                              prefetch=cfg.data.prefetch, seed=t.seed,
+                              drop_remainder=True)
+    val_loader = (ClipLoader(val_ds, cfg.data.batch_clips, shuffle=False,
+                             num_workers=cfg.data.num_workers,
+                             prefetch=cfg.data.prefetch)
+                  if val_ds is not None else None)
+
+    if mesh is not None:
+        state, _ = _maybe_shard(mesh, state)
+
+    schedule = make_schedule(t)
+    tracker = BestTracker()
+    rng = jax.random.PRNGKey(t.seed)
+    first_rows_all = train_ds.first_rows if use_memory else None
+    val_first_rows = val_ds.first_rows if (use_memory and val_ds) else None
+    history: List[EpochStats] = []
+
+    for epoch in range(start_epoch, t.epochs):
+        t0 = time.time()
+        state, tr_loss, tr_acc = _run_epoch_train(
+            train_step, state, train_loader, epoch, rng, use_memory, bank,
+            window, first_rows_all, mesh, log, t.log_every)
+        if val_loader is not None:
+            va_loss, va_acc, *_ = _run_epoch_eval(
+                eval_step, state, val_loader, use_memory,
+                val_bank if val_bank is not None else bank, window,
+                val_first_rows)
+        else:
+            va_loss, va_acc = tr_loss, tr_acc
+        lr = schedule(epoch + 1, va_loss) if callable(schedule) else t.lr
+        state = state.replace(opt_state=set_learning_rate(state.opt_state, lr))
+        secs = time.time() - t0
+        stats = EpochStats(epoch, tr_loss, tr_acc, va_loss, va_acc, lr, secs)
+        history.append(stats)
+        if log is not None:
+            log.log(epoch, {"train_loss": tr_loss, "train_acc": tr_acc,
+                            "val_loss": va_loss, "val_acc": va_acc,
+                            "lr": lr, "seconds": secs}, prefix="epoch/")
+        is_best = tracker.update(epoch, va_acc, tr_acc)
+        ckpt.save(state, step=int(state.step),
+                  metrics={"epoch": epoch, "val_acc": va_acc,
+                           "train_acc": tr_acc, "val_loss": va_loss},
+                  is_best=is_best)
+    return state, history
+
+
+def train_stage1(cfg: ExperimentConfig, train_ds: ClipDataset,
+                 val_ds: Optional[ClipDataset] = None, init_variables=None,
+                 mesh=None, log: Optional[MetricLogger] = None):
+    """Stage-1 memory-bank model training."""
+    model = build_model(dataclasses.replace(cfg.model, head="stage1"))
+    return _fit(cfg, model, train_ds, val_ds, use_memory=False, bank=None,
+                slow_modules=("backbone",), init_variables=init_variables,
+                mesh=mesh, log=log)
+
+
+def build_lfb(cfg: ExperimentConfig, extractor_variables,
+              ds: ClipDataset, cache_path: Optional[str] = None,
+              force: bool = False) -> FeatureBank:
+    """Run the frozen extractor over every clip (eval transforms) and fill the
+    HBM bank; load from the .npz cache when present (--load_LFB semantics)."""
+    path = cache_path or cfg.memory.cache_path
+    if path and os.path.exists(path) and cfg.memory.load_cached and not force:
+        return load_bank(path)
+
+    model = build_model(dataclasses.replace(cfg.model, head="lfb"))
+
+    @jax.jit
+    def extract(variables, clips):
+        return model.apply(variables, clips, train=False)
+
+    lengths = ds.manifest.video_lengths
+    bank = FeatureBank.create(ds.seq_len, lengths, cfg.model.hidden_dim)
+    feats = bank.features
+    loader = ClipLoader(ds, cfg.data.batch_clips, shuffle=False,
+                        num_workers=cfg.data.num_workers,
+                        prefetch=cfg.data.prefetch)
+    for clips, _labels, rows, pad in loader.epoch(0):
+        values = extract(extractor_variables, jnp.asarray(clips))
+        b = len(rows) - pad
+        feats = update_bank(feats, jnp.asarray(rows[:b], jnp.int32),
+                            values[:b])
+    bank = FeatureBank(features=feats, first_rows=bank.first_rows)
+    if path:
+        save_bank(path, bank)
+    return bank
+
+
+def train_stage2(cfg: ExperimentConfig, train_ds: ClipDataset,
+                 bank: FeatureBank, val_ds: Optional[ClipDataset] = None,
+                 val_bank: Optional[FeatureBank] = None, init_variables=None,
+                 mesh=None, log: Optional[MetricLogger] = None):
+    """TMRNet (or only-non-local) head training over a built LFB.
+
+    NOTE: like the reference, train and val use their own banks; pass val_bank
+    when val_ds is given (defaults to `bank` if the datasets share rows)."""
+    if val_ds is not None and val_bank is None:
+        val_bank = bank
+    head = cfg.model.head if cfg.model.head in ("tmr", "nl_only") else "tmr"
+    model = build_model(dataclasses.replace(cfg.model, head=head))
+    return _fit(cfg, model, train_ds, val_ds, use_memory=True, bank=bank,
+                slow_modules=("backbone", "encoder"),
+                init_variables=init_variables, mesh=mesh, log=log,
+                val_bank=val_bank)

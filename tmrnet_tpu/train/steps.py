@@ -59,6 +59,8 @@ def _make_steps(has_memory: bool, class_weights, loss_reduction: str = "sum"):
         preds = jnp.argmax(logits, axis=-1)
         return {
             "loss": loss,
+            # per-sample losses let the host mask batch padding exactly
+            "losses": weighted_cross_entropy(logits, labels, w, "none"),
             "correct": (preds == labels).sum(),
             "count": jnp.asarray(labels.shape[0], jnp.int32),
             "preds": preds,

@@ -1,0 +1,125 @@
+"""Checkpointing with orbax: save/restore/resume + best-model tracking.
+
+The reference only saves (deep-copied best weights + per-epoch latest .pth with
+metrics encoded in the filename, `train_singlenet_phase_1fc.py:708-735`) and
+has no resume path. Here checkpoints carry params, batch_stats, optimizer
+state and step, metrics live in a JSON sidecar (not the filename), `best` is a
+tracked pointer with the reference's selection rule (val acc, tie-broken by
+train acc), and training resumes from the latest checkpoint.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, keep: int = 3):
+        self.dir = os.path.abspath(directory)
+        self.keep = keep
+        os.makedirs(self.dir, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+
+    # -- paths ------------------------------------------------------------
+    def _step_dir(self, step: int) -> str:
+        return os.path.join(self.dir, f"step_{step:08d}")
+
+    def _meta_path(self, step: int) -> str:
+        return self._step_dir(step) + ".json"
+
+    @property
+    def best_dir(self) -> str:
+        return os.path.join(self.dir, "best")
+
+    # -- save/restore -------------------------------------------------------
+    @staticmethod
+    def _savable(state) -> Dict[str, Any]:
+        return {"params": state.params, "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state, "step": state.step}
+
+    def save(self, state, step: int, metrics: Optional[Dict] = None,
+             is_best: bool = False) -> str:
+        path = self._step_dir(step)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        self._ckptr.save(path, self._savable(state))
+        self._ckptr.wait_until_finished()
+        with open(self._meta_path(step), "w") as f:
+            json.dump({"step": step, "metrics": metrics or {}}, f)
+        if is_best:
+            if os.path.exists(self.best_dir):
+                shutil.rmtree(self.best_dir)
+            shutil.copytree(path, self.best_dir)
+            with open(self.best_dir + ".json", "w") as f:
+                json.dump({"step": step, "metrics": metrics or {}}, f)
+        self._gc()
+        return path
+
+    def _gc(self) -> None:
+        steps = self.all_steps()
+        for s in steps[: max(0, len(steps) - self.keep)]:
+            shutil.rmtree(self._step_dir(s), ignore_errors=True)
+            try:
+                os.remove(self._meta_path(s))
+            except OSError:
+                pass
+
+    def all_steps(self):
+        out = []
+        for name in os.listdir(self.dir):
+            if name.startswith("step_") and not name.endswith(".json"):
+                try:
+                    out.append(int(name.split("_")[1]))
+                except ValueError:
+                    pass
+        return sorted(out)
+
+    def latest_step(self) -> Optional[int]:
+        steps = self.all_steps()
+        return steps[-1] if steps else None
+
+    def restore(self, state, step: Optional[int] = None):
+        """Restore into a template TrainState (structure must match)."""
+        if step is None:
+            step = self.latest_step()
+            if step is None:
+                raise FileNotFoundError(f"no checkpoints in {self.dir}")
+        target = self._savable(state)
+        restored = self._ckptr.restore(self._step_dir(step), target)
+        return state.replace(**restored)
+
+    def restore_best(self, state):
+        if not os.path.exists(self.best_dir):
+            raise FileNotFoundError(f"no best checkpoint in {self.dir}")
+        target = self._savable(state)
+        restored = self._ckptr.restore(self.best_dir, target)
+        return state.replace(**restored)
+
+    def metadata(self, step: int) -> Dict:
+        with open(self._meta_path(step)) as f:
+            return json.load(f)
+
+
+class BestTracker:
+    """Reference selection rule: keep the epoch with the highest val accuracy,
+    ties broken by train accuracy (`train_singlenet_phase_1fc.py:708-717`)."""
+
+    def __init__(self):
+        self.best_val = -1.0
+        self.best_train = -1.0
+        self.best_epoch = -1
+
+    def update(self, epoch: int, val_acc: float, train_acc: float) -> bool:
+        better = (val_acc > self.best_val
+                  or (val_acc == self.best_val and train_acc > self.best_train))
+        if better:
+            self.best_val, self.best_train, self.best_epoch = (
+                val_acc, train_acc, epoch)
+        return better

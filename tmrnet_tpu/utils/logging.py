@@ -1,0 +1,79 @@
+"""Observability: structured metric logging + timers.
+
+Covers the reference's tracking spread (printed epoch summaries, Comet ML
+metric streaming, TensorBoard scalars — SURVEY.md 2.7/5) with one logger:
+stdout lines, a JSONL metrics file, and optional TensorBoard scalars when the
+package is available. No API keys in source (the reference committed one —
+SURVEY.md 2.9-9).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+
+class MetricLogger:
+    def __init__(self, log_dir: Optional[str] = None, use_tensorboard: bool = True,
+                 quiet: bool = False):
+        self.log_dir = log_dir
+        self.quiet = quiet
+        self._jsonl = None
+        self._tb = None
+        if log_dir:
+            os.makedirs(log_dir, exist_ok=True)
+            self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+            if use_tensorboard:
+                try:
+                    from torch.utils.tensorboard import SummaryWriter
+
+                    self._tb = SummaryWriter(log_dir)
+                except Exception:
+                    self._tb = None
+
+    def log(self, step: int, metrics: Dict[str, float], prefix: str = "") -> None:
+        flat = {f"{prefix}{k}": float(v) for k, v in metrics.items()}
+        if not self.quiet:
+            body = " ".join(f"{k}={v:.6g}" for k, v in flat.items())
+            print(f"[step {step}] {body}", flush=True)
+        if self._jsonl:
+            self._jsonl.write(json.dumps({"step": step, **flat}) + "\n")
+            self._jsonl.flush()
+        if self._tb:
+            for k, v in flat.items():
+                self._tb.add_scalar(k, v, step)
+
+    def close(self) -> None:
+        if self._jsonl:
+            self._jsonl.close()
+        if self._tb:
+            self._tb.close()
+
+
+class Timer:
+    """Wall-clock section timer with frames/sec accounting (the rebuild's
+    replacement for the reference's ad-hoc time.time() deltas)."""
+
+    def __init__(self):
+        self.t0 = time.perf_counter()
+        self.frames = 0
+
+    def add_frames(self, n: int) -> None:
+        self.frames += n
+
+    @property
+    def elapsed(self) -> float:
+        return time.perf_counter() - self.t0
+
+    @property
+    def fps(self) -> float:
+        return self.frames / max(self.elapsed, 1e-9)
+
+
+def trace_annotation(name: str):
+    """jax.profiler annotation context (no-op if profiler unavailable)."""
+    import jax
+
+    return jax.profiler.TraceAnnotation(name)
