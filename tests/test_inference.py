@@ -1,0 +1,137 @@
+"""Inference engine tests: clip-batched vs full-video equivalence, export
+round-trip, full serve path (infer -> export -> relaxed scoring)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tmrnet_tpu.config import (
+    DataConfig,
+    EvalConfig,
+    ExperimentConfig,
+    MemoryConfig,
+    ModelConfig,
+    TrainConfig,
+)
+from tmrnet_tpu.data.manifests import Manifest, VideoRecord
+from tmrnet_tpu.data.pipeline import ClipDataset, array_frame_loader
+from tmrnet_tpu.eval.export import export_predictions, load_exported
+from tmrnet_tpu.eval.infer import ClipInference, VideoInference
+from tmrnet_tpu.eval.metrics import evaluate_protocol
+from tmrnet_tpu.memory.lfb import FeatureBank
+from tmrnet_tpu.models.tmrnet import build_model
+from tmrnet_tpu.train.loop import build_lfb
+
+SEQ, HW = 4, 24
+
+
+def _cfg(tmp_path, head="tmr"):
+    return ExperimentConfig(
+        data=DataConfig(batch_clips=8, num_workers=2, prefetch=1,
+                        sequence_length=SEQ),
+        model=ModelConfig(backbone="tiny", stage_sizes=(1, 1), width=8,
+                          hidden_dim=16, num_classes=4, head=head,
+                          lfb_window=4, compute_dtype="float32"),
+        memory=MemoryConfig(window=4, cache_path=str(tmp_path / "lfb.npz"),
+                            load_cached=False),
+        eval=EvalConfig(batch_clips=8),
+    )
+
+
+def _synthetic(n_videos=2, frames=16, n_classes=4, seed=0):
+    rng = np.random.RandomState(seed)
+    store, videos = {}, []
+    for v in range(n_videos):
+        paths = [f"v{v}/f{j}" for j in range(frames)]
+        labels = ((np.arange(frames) // 4) + v) % n_classes
+        for p, lab in zip(paths, labels):
+            store[p] = rng.randint(0, 255, (HW, HW, 3)).astype(np.uint8)
+        videos.append(VideoRecord(f"v{v}", paths, labels.astype(np.int64)))
+    return Manifest(videos), store
+
+
+def _init_models(cfg, key=0):
+    model = build_model(cfg.model)
+    clips = jnp.zeros((1, SEQ, HW, HW, 3))
+    mem = jnp.zeros((1, cfg.memory.window, cfg.model.hidden_dim))
+    variables = model.init(jax.random.PRNGKey(key), clips, mem)
+    # extractor shares trunk/lstm structure: reuse the encoder subtrees
+    extractor = {"params": {"backbone": variables["params"]["backbone"],
+                            "encoder": variables["params"]["encoder"]},
+                 "batch_stats": {"backbone": variables["batch_stats"]["backbone"]}}
+    return variables, extractor
+
+
+def test_clip_vs_video_inference_equivalence(tmp_path):
+    cfg = _cfg(tmp_path)
+    manifest, store = _synthetic()
+    ds = ClipDataset(manifest, SEQ, frame_loader=array_frame_loader(store))
+    variables, extractor = _init_models(cfg)
+
+    # clip path: build bank from extractor, batched clip inference
+    bank = build_lfb(cfg, extractor, ds, cache_path=None)
+    clip_engine = ClipInference(cfg, variables, bank)
+    res = clip_engine.run(ds)
+    assert res.preds.shape == (ds.num_clips,)
+
+    # video path: per-video full pass (backbone once per frame)
+    video_engine = VideoInference(cfg, variables, extractor, pad_frames=64)
+    preds2 = []
+    for video in manifest.videos:
+        frames = np.stack([store[p] for p in video.frame_paths]).astype(np.float32)
+        p, _ = video_engine.run_video(frames)
+        preds2.append(p)
+    preds2 = np.concatenate(preds2)
+    np.testing.assert_array_equal(res.preds, preds2)
+
+
+def test_video_inference_prob_parity(tmp_path):
+    cfg = _cfg(tmp_path)
+    manifest, store = _synthetic(n_videos=1)
+    ds = ClipDataset(manifest, SEQ, frame_loader=array_frame_loader(store))
+    variables, extractor = _init_models(cfg, key=3)
+    bank = build_lfb(cfg, extractor, ds, cache_path=None)
+    res = ClipInference(cfg, variables, bank).run(ds)
+    engine = VideoInference(cfg, variables, extractor, pad_frames=64)
+    frames = np.stack([store[p] for p in manifest.videos[0].frame_paths])
+    _, probs = engine.run_video(frames.astype(np.float32))
+    np.testing.assert_allclose(probs, res.scores, atol=1e-4, rtol=1e-3)
+
+
+def test_export_and_score_roundtrip(tmp_path):
+    manifest, store = _synthetic(n_videos=3, frames=20)
+    seq = SEQ
+    num_clips = sum(max(0, n + 1 - seq) for n in manifest.video_lengths)
+    # perfect predictions: clip row -> last-frame label
+    preds = []
+    for v in manifest.videos:
+        for s in range(len(v) + 1 - seq):
+            preds.append(v.labels[s + seq - 1])
+    preds = np.asarray(preds)
+    assert len(preds) == num_clips
+
+    stats = export_predictions(manifest, preds, seq,
+                               pred_dir=str(tmp_path / "phase"),
+                               gt_dir=str(tmp_path / "gt-phase"))
+    assert stats["num_videos"] == 3
+    # first seq-1 frames are 0-padded; all others correct
+    gts, rp = load_exported(str(tmp_path / "phase"), str(tmp_path / "gt-phase"),
+                            [v.video_id for v in manifest.videos])
+    rep = evaluate_protocol(gts, rp, protocol="cholec80", fps=1,
+                            quirk_compat=False)
+    # padding errors sit at video start within the relaxed boundary of the
+    # first phase run but 0 vs label diff is only forgiven if diff==-1; with
+    # labels starting at phase v (video index), accuracy is high but not 100
+    assert rep.mean_accuracy > 80.0
+    assert stats["frame_accuracy"] > 0.8
+
+
+def test_export_count_invariant_enforced(tmp_path):
+    manifest, _ = _synthetic(n_videos=2, frames=16)
+    with pytest.raises(ValueError):
+        export_predictions(manifest, np.zeros(5, np.int64), SEQ,
+                           pred_dir=str(tmp_path / "p"))

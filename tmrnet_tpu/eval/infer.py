@@ -1,0 +1,209 @@
+"""Inference engines.
+
+Two paths, both jitted end-to-end:
+
+* `ClipInference` -- batched per-clip forward with device-side memory gather,
+  mirroring the reference test drivers
+  (`eval/python/test_singlenet_phase_non-local_pretrained_2fc_copy.py:273-457`).
+
+* `VideoInference` -- the TPU-first full-video path. The reference recomputes
+  the ResNet trunk on every frame of every 10-frame clip, i.e. 10x per frame
+  (consecutive clips overlap in 9 frames). Here each video runs the backbone
+  ONCE per frame, assembles all sliding LSTM windows from the cached
+  per-frame features, and runs the memory head batched over all clips:
+  ~10x less backbone FLOPs than the reference protocol at identical outputs.
+  The LFB build (frozen stage-1 extractor) fuses into the same pass.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tmrnet_tpu.config import ExperimentConfig
+from tmrnet_tpu.data.pipeline import ClipDataset, ClipLoader
+from tmrnet_tpu.memory.lfb import FeatureBank, gather_memory_windows
+from tmrnet_tpu.models.lstm import LSTM
+from tmrnet_tpu.models.tmrnet import build_model
+
+
+@dataclasses.dataclass
+class InferenceResult:
+    """Per-clip predictions grouped by video (clip row order)."""
+
+    preds: np.ndarray          # (num_clips,) argmax phase ids
+    scores: np.ndarray         # (num_clips, num_classes) softmax
+    rows: np.ndarray           # (num_clips,) bank rows
+    accuracy: float            # clip-level accuracy vs last-frame labels
+
+
+class ClipInference:
+    """Batched clip-at-a-time inference with HBM bank gather."""
+
+    def __init__(self, cfg: ExperimentConfig, variables, bank: FeatureBank):
+        self.cfg = cfg
+        self.bank = bank
+        model = build_model(cfg.model)
+        window = cfg.memory.window
+
+        @jax.jit
+        def infer(variables, features, clips, rows, firsts):
+            memory = gather_memory_windows(features, rows, firsts, window)
+            logits = model.apply(variables, clips, memory, train=False)
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            return jnp.argmax(probs, axis=-1), probs
+
+        self._infer = infer
+        self.variables = variables
+
+    def run(self, ds: ClipDataset) -> InferenceResult:
+        loader = ClipLoader(ds, self.cfg.eval.batch_clips, shuffle=False,
+                            num_workers=self.cfg.data.num_workers,
+                            prefetch=self.cfg.data.prefetch)
+        first_rows = ds.first_rows
+        preds_all, scores_all, rows_all, labels_all = [], [], [], []
+        for clips, labels, rows, pad in loader.epoch(0):
+            b = len(rows) - pad
+            preds, probs = self._infer(
+                self.variables, self.bank.features, jnp.asarray(clips),
+                jnp.asarray(rows, jnp.int32),
+                jnp.asarray(first_rows[rows], jnp.int32))
+            preds_all.append(np.asarray(preds)[:b])
+            scores_all.append(np.asarray(probs)[:b])
+            rows_all.append(rows[:b])
+            labels_all.append(labels[:b])
+        preds = np.concatenate(preds_all)
+        labels = np.concatenate(labels_all)
+        return InferenceResult(
+            preds=preds,
+            scores=np.concatenate(scores_all),
+            rows=np.concatenate(rows_all),
+            accuracy=float((preds == labels).mean()) if preds.size else 0.0,
+        )
+
+
+class VideoInference:
+    """Full-video inference: backbone once per frame, sliding LSTM windows,
+    fused LFB build, batched memory head.
+
+    extractor_variables: frozen stage-1 extractor weights (bank features).
+    variables:           TMR model weights (own trunk+LSTM+head).
+    Videos are padded to `pad_frames` buckets so XLA compiles one program per
+    bucket instead of one per video length.
+    """
+
+    def __init__(self, cfg: ExperimentConfig, variables, extractor_variables,
+                 pad_frames: int = 2048):
+        self.cfg = cfg
+        self.seq = cfg.data.sequence_length
+        self.window = cfg.memory.window
+        self.pad_frames = pad_frames
+        self.variables = variables
+        self.extractor_variables = extractor_variables
+
+        mcfg = cfg.model
+        self.model = build_model(mcfg)
+        from tmrnet_tpu.models.tmrnet import build_backbone
+
+        self.backbone = build_backbone(mcfg)
+        self.hidden = mcfg.hidden_dim
+        cdt = jnp.dtype(mcfg.compute_dtype)
+        self.lstm = LSTM(self.hidden, compute_dtype=cdt)
+        self._compiled = {}
+
+    def _window_features(self, feats: jax.Array) -> jax.Array:
+        """(N, F) per-frame features -> (N-seq+1, seq, F) sliding windows via
+        gather (static shapes)."""
+        n = feats.shape[0]
+        starts = jnp.arange(n - self.seq + 1)[:, None]
+        idx = starts + jnp.arange(self.seq)[None, :]
+        return jnp.take(feats, idx, axis=0)
+
+    def _clip_embeddings(self, variables, frames: jax.Array,
+                         prefix: str) -> jax.Array:
+        """Backbone once per frame + batched LSTM over sliding windows ->
+        last-step embedding per clip position (the LFB feature / St)."""
+        params = variables["params"]
+        bvars = {"params": params["backbone"]}
+        if "batch_stats" in variables and "backbone" in variables["batch_stats"]:
+            bvars["batch_stats"] = variables["batch_stats"]["backbone"]
+        feats = self.backbone.apply(bvars, frames, train=False)     # (N, F)
+        windows = self._window_features(feats)                       # (C, T, F)
+        ys, _ = self.lstm.apply({"params": params["encoder"]["lstm"]}, windows)
+        return ys[:, -1, :]                                          # (C, H)
+
+    def _head(self, variables, st: jax.Array, bank_feats: jax.Array,
+              num_clips: jax.Array) -> jax.Array:
+        """TimeConv + NLBlock + classifier over all clip positions, reading
+        the per-video bank with start-clamped windows."""
+        c = st.shape[0]
+        rows = jnp.arange(c, dtype=jnp.int32)
+        firsts = jnp.zeros((c,), jnp.int32)
+        memory = gather_memory_windows(bank_feats, rows, firsts, self.window)
+
+        params = variables["params"]
+        mcfg = self.cfg.model
+        cdt = jnp.dtype(mcfg.compute_dtype)
+        from tmrnet_tpu.models.blocks import NLBlock, TimeConv
+
+        lt = memory
+        if mcfg.head == "tmr":
+            lt = TimeConv(self.hidden, cdt).apply(
+                {"params": params["time_conv"]}, memory)
+        y1 = NLBlock(self.hidden, mcfg.dropout_nl, cdt,
+                     use_pallas=mcfg.use_pallas).apply(
+            {"params": params["nl_block"]}, st, lt, deterministic=True)
+        y = jnp.concatenate([st, y1], axis=-1)
+
+        def dense(p, x):
+            return x @ p["kernel"].astype(cdt) + p["bias"].astype(cdt)
+
+        y = dense(params["fc_h_c"], y)
+        y = jax.nn.relu(y)
+        return dense(params["fc_c"], y)
+
+    def _build_fn(self, padded: int):
+        if padded in self._compiled:
+            return self._compiled[padded]
+
+        @jax.jit
+        def run(variables, extractor_variables, frames):
+            # 1) frozen extractor -> LFB rows for this video
+            bank_feats = self._clip_embeddings(extractor_variables, frames,
+                                               "lfb")
+            # 2) TMR encoder -> St per clip position
+            st = self._clip_embeddings(variables, frames, "tmr")
+            # 3) memory head batched over all clip positions
+            logits = self._head(variables, st, bank_feats,
+                                frames.shape[0] - self.seq + 1)
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            return jnp.argmax(probs, axis=-1), probs
+
+        self._compiled[padded] = run
+        return run
+
+    def run_video(self, frames: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """frames: (N, H, W, 3) normalized float -> (preds, probs) for the
+        video's N - seq + 1 clip positions."""
+        n = frames.shape[0]
+        num_clips = n - self.seq + 1
+        if num_clips <= 0:
+            return np.zeros(0, np.int64), np.zeros((0,), np.float32)
+        # bucket-pad to limit recompilation
+        bucket = self.pad_frames
+        padded = min(bucket, 1 << (n - 1).bit_length()) if n <= bucket else n
+        pad = padded - n
+        if pad:
+            frames = np.concatenate(
+                [frames, np.repeat(frames[-1:], pad, axis=0)])
+        cdt = jnp.dtype(self.cfg.model.compute_dtype)
+        run = self._build_fn(padded)
+        preds, probs = run(self.variables, self.extractor_variables,
+                           jnp.asarray(frames, cdt))
+        return (np.asarray(preds)[:num_clips],
+                np.asarray(probs)[:num_clips])
