@@ -1,0 +1,114 @@
+"""CLI tests: config plumbing, overrides, and the manifest/export/evaluate
+subcommands end-to-end on synthetic files (heavy train paths are covered by
+test_e2e_training)."""
+
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from tmrnet_tpu.cli import apply_override, build_parser, load_config, main
+from tmrnet_tpu.config import CHOLEC80_PHASES, ExperimentConfig
+
+
+def test_apply_override_types():
+    cfg = ExperimentConfig()
+    cfg = apply_override(cfg, "data.batch_clips=64")
+    assert cfg.data.batch_clips == 64
+    cfg = apply_override(cfg, "train.lr=0.001")
+    assert cfg.train.lr == 0.001
+    cfg = apply_override(cfg, "model.backbone=resnest50")
+    assert cfg.model.backbone == "resnest50"
+    cfg = apply_override(cfg, "train.resume=false")
+    assert cfg.train.resume is False
+    cfg = apply_override(cfg, "model.stage_sizes=1,1")
+    assert cfg.model.stage_sizes == (1, 1)
+    cfg = apply_override(cfg, "name=exp42")
+    assert cfg.name == "exp42"
+
+
+def test_load_config_roundtrip(tmp_path):
+    cfg = ExperimentConfig().replace(name="roundtrip")
+    p = tmp_path / "cfg.json"
+    p.write_text(cfg.to_json())
+    args = build_parser().parse_args(
+        ["train-bank", "--config", str(p), "--set", "train.epochs=3"])
+    loaded = load_config(args)
+    assert loaded.name == "roundtrip"
+    assert loaded.train.epochs == 3
+
+
+def test_preset_selection():
+    args = build_parser().parse_args(["train-tmr", "--preset", "tmr-resnest50",
+                                      "--lfb", "x.npz"])
+    cfg = load_config(args)
+    assert cfg.model.backbone == "resnest50"
+    assert cfg.train.lr == 5e-7
+
+
+def _write_frames_tree(tmp_path, n_videos=2, seconds=30):
+    import cv2
+
+    frames_dir = tmp_path / "frames"
+    ann_dir = tmp_path / "ann"
+    ann_dir.mkdir()
+    rng = np.random.RandomState(0)
+    for v in range(1, n_videos + 1):
+        vdir = frames_dir / f"video{v:02d}"
+        vdir.mkdir(parents=True)
+        with open(ann_dir / f"video{v:02d}-phase.txt", "w") as f:
+            f.write("Frame\tPhase\n")
+            for k in range(seconds * 25):
+                f.write(f"{k}\t{CHOLEC80_PHASES[(k // 250) % 7]}\n")
+        for k in range(0, seconds * 25, 25):
+            img = rng.randint(0, 255, (64, 64, 3), dtype=np.uint8)
+            cv2.imwrite(str(vdir / f"frame{k}.png"), img)
+    return frames_dir, ann_dir
+
+
+def test_manifest_export_evaluate_pipeline(tmp_path, capsys):
+    frames_dir, ann_dir = _write_frames_tree(tmp_path)
+    manifest_path = tmp_path / "test_paths.pkl"
+    assert main(["manifest", "--frames", str(frames_dir),
+                 "--annotations", str(ann_dir),
+                 "--out", str(manifest_path)]) == 0
+    assert manifest_path.exists()
+
+    # fabricate perfect clip predictions and export
+    from tmrnet_tpu.data.manifests import load_pickle_manifest
+
+    m, _ = load_pickle_manifest(str(manifest_path))
+    seq = 10
+    preds = np.concatenate([
+        v.labels[seq - 1:] for v in m.videos])
+    preds_path = tmp_path / "preds.npz"
+    np.savez(preds_path, preds=preds, scores=np.zeros((len(preds), 7)),
+             rows=np.arange(len(preds)))
+
+    pred_dir, gt_dir = tmp_path / "phase", tmp_path / "gt-phase"
+    assert main(["export", "--manifest", str(manifest_path),
+                 "--preds", str(preds_path),
+                 "--pred-dir", str(pred_dir), "--gt-dir", str(gt_dir)]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["num_videos"] == 2
+
+    json_out = tmp_path / "report.json"
+    assert main(["evaluate", "--pred-dir", str(pred_dir),
+                 "--gt-dir", str(gt_dir), "--fps", "1",
+                 "--json-out", str(json_out)]) == 0
+    rep = json.loads(json_out.read_text())
+    # only the first seq-1 padded frames of each video can be wrong
+    assert rep["mean_accuracy"] > 90.0
+
+
+def test_stats_command(tmp_path, capsys):
+    frames_dir, ann_dir = _write_frames_tree(tmp_path, n_videos=1, seconds=5)
+    manifest_path = tmp_path / "m.pkl"
+    main(["manifest", "--frames", str(frames_dir), "--annotations",
+          str(ann_dir), "--out", str(manifest_path)])
+    capsys.readouterr()
+    assert main(["stats", "--manifest", str(manifest_path)]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(out["mean"]) == 3 and 0.3 < out["mean"][0] < 0.7

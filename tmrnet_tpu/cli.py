@@ -1,0 +1,448 @@
+"""One CLI for the whole workflow, replacing the reference's five argparse
+drivers (SURVEY.md section 5, config notes):
+
+  prepare    videos -> 1-fps cutmargin frames on disk
+  manifest   frames+annotations -> pickle/CSV manifest (get_paths_labels.py)
+  stats      channel mean/std over a manifest (meanStd.py)
+  train-bank stage-1 memory-bank training  (train_singlenet_phase_1fc.py)
+  build-lfb  frozen-extractor feature bank (--load_LFB workflow)
+  train-tmr  stage-2 TMRNet / only-non-local training
+  test       batched test inference -> predictions .npz + accuracy
+  export     predictions -> video<N>-phase.txt trees (export_phase_copy.py)
+  evaluate   relaxed-boundary protocol scoring (MATLAB Main.m, in Python)
+
+Config: --preset <name> selects a BASELINE config; --config <json> loads a
+full ExperimentConfig; --set a.b=c applies dotted overrides.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+from typing import Any, List, Optional
+
+import numpy as np
+
+from tmrnet_tpu.config import (
+    CHOLEC80_PHASES,
+    M2CAI_PHASES,
+    ExperimentConfig,
+    get_preset,
+)
+
+
+def _coerce(value: str, current: Any) -> Any:
+    if isinstance(current, bool):
+        return value.lower() in ("1", "true", "yes")
+    if isinstance(current, int):
+        return int(value)
+    if isinstance(current, float):
+        return float(value)
+    if isinstance(current, tuple):
+        parts = [p for p in value.split(",") if p]
+        elem = current[0] if current else value
+        return tuple(_coerce(p, elem) for p in parts)
+    return value
+
+
+def apply_override(cfg: ExperimentConfig, dotted: str) -> ExperimentConfig:
+    """--set data.batch_clips=64 style dotted overrides."""
+    key, _, value = dotted.partition("=")
+    parts = key.strip().split(".")
+    if len(parts) == 1:
+        return dataclasses.replace(cfg, **{parts[0]: _coerce(value, getattr(cfg, parts[0]))})
+
+    def rec(node, path):
+        if len(path) == 1:
+            return dataclasses.replace(
+                node, **{path[0]: _coerce(value, getattr(node, path[0]))})
+        child = getattr(node, path[0])
+        return dataclasses.replace(node, **{path[0]: rec(child, path[1:])})
+
+    return rec(cfg, parts)
+
+
+def load_config(args) -> ExperimentConfig:
+    if getattr(args, "config", None):
+        with open(args.config) as f:
+            cfg = ExperimentConfig.from_json(f.read())
+    elif getattr(args, "preset", None):
+        cfg = get_preset(args.preset)
+    else:
+        cfg = ExperimentConfig()
+    for o in getattr(args, "set", None) or []:
+        cfg = apply_override(cfg, o)
+    return cfg
+
+
+def _add_config_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--preset", choices=["memorybank", "tmr-nl-only",
+                                        "tmr-resnet50", "tmr-resnest50",
+                                        "inference-e2e"])
+    p.add_argument("--config", help="path to ExperimentConfig json")
+    p.add_argument("--set", action="append", metavar="KEY=VALUE",
+                   help="dotted config override, repeatable")
+
+
+def _phase_names(protocol: str):
+    return CHOLEC80_PHASES if protocol == "cholec80" else M2CAI_PHASES
+
+
+def _load_manifest(path: str, split: str = "train"):
+    from tmrnet_tpu.data.manifests import load_csv_manifest, load_pickle_manifest
+
+    if path.endswith(".csv"):
+        return load_csv_manifest(path)
+    primary, secondary = load_pickle_manifest(path)
+    if split == "val" and secondary is not None:
+        return secondary
+    return primary
+
+
+def _dataset(cfg, manifest, train: bool):
+    from tmrnet_tpu.data.pipeline import ClipDataset
+    from tmrnet_tpu.data.transforms import EvalTransform, TrainTransform
+
+    d = cfg.data
+    if train:
+        tf = TrainTransform(d.crop_size, d.resize, d.use_flip,
+                            d.rotate_degrees, d.color_jitter, d.mean, d.std)
+    else:
+        tf = EvalTransform(d.crop_size, d.resize, d.test_crop_type,
+                           d.mean, d.std)
+    return ClipDataset(manifest, d.sequence_length, transform=tf)
+
+
+def _restore_variables(cfg, head: str, ckpt_dir: Optional[str],
+                       torch_ckpt: Optional[str], sample_hw: int = 224):
+    """Load model variables from an orbax dir (best/) or a torch .pth."""
+    import jax
+    import jax.numpy as jnp
+
+    from tmrnet_tpu.models.tmrnet import build_model
+
+    mcfg = dataclasses.replace(cfg.model, head=head)
+    model = build_model(mcfg)
+    clips = jnp.zeros((1, cfg.data.sequence_length, sample_hw, sample_hw, 3))
+    args = (clips,)
+    if head in ("tmr", "nl_only"):
+        args = (clips, jnp.zeros((1, cfg.memory.window, mcfg.hidden_dim)))
+    variables = model.init(jax.random.PRNGKey(0), *args)
+    if torch_ckpt:
+        from tmrnet_tpu.models.torch_import import (
+            convert_reference_checkpoint,
+            load_torch_state_dict,
+            merge_variables,
+        )
+
+        sd = load_torch_state_dict(torch_ckpt)
+        conv = convert_reference_checkpoint(sd, head, cfg.model.stage_sizes)
+        variables = {c: merge_variables(variables[c], conv.get(c, {}))
+                     for c in variables}
+    elif ckpt_dir:
+        from tmrnet_tpu.train.optim import make_optimizer
+        from tmrnet_tpu.train.state import create_train_state
+        from tmrnet_tpu.utils.checkpoint import CheckpointManager
+
+        tx = make_optimizer(cfg.train, variables["params"])
+        state = create_train_state(model, variables, tx)
+        mgr = CheckpointManager(ckpt_dir)
+        state = (mgr.restore_best(state) if os.path.exists(mgr.best_dir)
+                 else mgr.restore(state))
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+    return model, variables
+
+
+# ---------------------------------------------------------------------------
+# subcommands
+# ---------------------------------------------------------------------------
+
+
+def cmd_prepare(args) -> int:
+    from tmrnet_tpu.data.video import extract_frames
+
+    videos = sorted(
+        f for f in os.listdir(args.videos)
+        if f.endswith((".mp4", ".avi", ".mkv")))
+    for v in videos:
+        name = os.path.splitext(v)[0]
+        out = os.path.join(args.out, name)
+        written = extract_frames(os.path.join(args.videos, v), out,
+                                 stride=args.stride, size=args.size,
+                                 cut_margin=not args.no_cutmargin)
+        print(f"{name}: {len(written)} frames -> {out}")
+    return 0
+
+
+def cmd_manifest(args) -> int:
+    from tmrnet_tpu.data.manifests import (
+        build_manifest_from_frames,
+        save_csv_manifest,
+        save_pickle_manifest,
+        split_manifest,
+    )
+
+    phases = _phase_names(args.protocol)
+    m = build_manifest_from_frames(args.frames, args.annotations, phases,
+                                   sample_stride=args.stride)
+    print(f"{len(m.videos)} videos, {m.num_frames} frames")
+    if args.out.endswith(".csv"):
+        save_csv_manifest(args.out, m)
+    elif args.train_videos:
+        a, b = split_manifest(m, (0, args.train_videos),
+                              (args.train_videos, len(m.videos)))
+        save_pickle_manifest(args.out, a, b)
+    else:
+        save_pickle_manifest(args.out, m)
+    print(f"wrote {args.out}")
+    return 0
+
+
+def cmd_stats(args) -> int:
+    from tmrnet_tpu.data.pipeline import load_frame
+    from tmrnet_tpu.data.stats import channel_stats
+
+    m = _load_manifest(args.manifest)
+    paths = m.flat_paths()[:: max(1, args.subsample)]
+    mean, std = channel_stats(load_frame(p) for p in paths)
+    print(json.dumps({"mean": mean.tolist(), "std": std.tolist(),
+                      "frames": len(paths)}))
+    return 0
+
+
+def cmd_train_bank(args) -> int:
+    from tmrnet_tpu.train.loop import train_stage1
+    from tmrnet_tpu.utils.logging import MetricLogger
+
+    cfg = load_config(args)
+    train_m = _load_manifest(args.train_manifest or cfg.data.manifest_path)
+    val_m = (_load_manifest(args.val_manifest, "val")
+             if args.val_manifest else
+             _load_manifest(args.train_manifest or cfg.data.manifest_path, "val"))
+    log = MetricLogger(args.log_dir)
+    init = None
+    if args.torch_init:
+        _, variables = _restore_variables(cfg, "stage1", None, args.torch_init,
+                                          cfg.data.crop_size)
+        init = variables
+    state, hist = train_stage1(cfg, _dataset(cfg, train_m, True),
+                               _dataset(cfg, val_m, False),
+                               init_variables=init, log=log)
+    best = max(hist, key=lambda h: h.val_acc)
+    print(f"best epoch {best.epoch}: val_acc={best.val_acc:.4f}")
+    return 0
+
+
+def cmd_build_lfb(args) -> int:
+    from tmrnet_tpu.train.loop import build_lfb
+
+    cfg = load_config(args)
+    m = _load_manifest(args.manifest)
+    _, variables = _restore_variables(cfg, "lfb", args.ckpt, args.torch_ckpt,
+                                      cfg.data.crop_size)
+    extractor = {"params": {k: variables["params"][k]
+                            for k in ("backbone", "encoder")},
+                 "batch_stats": variables.get("batch_stats", {})}
+    bank = build_lfb(cfg, extractor, _dataset(cfg, m, False),
+                     cache_path=args.out, force=True)
+    print(f"bank: {bank.num_rows} rows x {bank.feature_dim} -> {args.out}")
+    return 0
+
+
+def cmd_train_tmr(args) -> int:
+    from tmrnet_tpu.memory.lfb import load_bank
+    from tmrnet_tpu.train.loop import train_stage2
+    from tmrnet_tpu.utils.logging import MetricLogger
+
+    cfg = load_config(args)
+    train_m = _load_manifest(args.train_manifest or cfg.data.manifest_path)
+    bank = load_bank(args.lfb)
+    val_m = (_load_manifest(args.val_manifest, "val") if args.val_manifest
+             else None)
+    val_bank = load_bank(args.val_lfb) if args.val_lfb else None
+    init = None
+    if args.torch_init or args.stage1_ckpt:
+        _, variables = _restore_variables(
+            cfg, cfg.model.head, args.stage1_ckpt, args.torch_init,
+            cfg.data.crop_size)
+        init = variables
+    log = MetricLogger(args.log_dir)
+    state, hist = train_stage2(
+        cfg, _dataset(cfg, train_m, True), bank,
+        _dataset(cfg, val_m, False) if val_m else None, val_bank,
+        init_variables=init, log=log)
+    best = max(hist, key=lambda h: h.val_acc)
+    print(f"best epoch {best.epoch}: val_acc={best.val_acc:.4f}")
+    return 0
+
+
+def cmd_test(args) -> int:
+    from tmrnet_tpu.eval.infer import ClipInference
+    from tmrnet_tpu.memory.lfb import load_bank
+    from tmrnet_tpu.train.loop import build_lfb
+
+    cfg = load_config(args)
+    m = _load_manifest(args.manifest)
+    ds = _dataset(cfg, m, False)
+    _, variables = _restore_variables(cfg, cfg.model.head, args.ckpt,
+                                      args.torch_ckpt, cfg.data.crop_size)
+    if args.lfb and os.path.exists(args.lfb):
+        bank = load_bank(args.lfb)
+    else:
+        extractor_vars = variables
+        if args.extractor_torch_ckpt or args.extractor_ckpt:
+            _, extractor_vars = _restore_variables(
+                cfg, "lfb", args.extractor_ckpt, args.extractor_torch_ckpt,
+                cfg.data.crop_size)
+        extractor = {"params": {k: extractor_vars["params"][k]
+                                for k in ("backbone", "encoder")},
+                     "batch_stats": extractor_vars.get("batch_stats", {})}
+        bank = build_lfb(cfg, extractor, ds, cache_path=args.lfb,
+                         force=not args.load_lfb)
+    res = ClipInference(cfg, variables, bank).run(ds)
+    np.savez(args.out, preds=res.preds, scores=res.scores, rows=res.rows)
+    print(json.dumps({"clip_accuracy": res.accuracy,
+                      "num_clips": int(res.preds.size), "out": args.out}))
+    return 0
+
+
+def cmd_export(args) -> int:
+    from tmrnet_tpu.eval.export import export_predictions
+
+    cfg = load_config(args)
+    m = _load_manifest(args.manifest)
+    preds = np.load(args.preds)["preds"]
+    stats = export_predictions(m, preds, cfg.data.sequence_length,
+                               pred_dir=args.pred_dir, gt_dir=args.gt_dir,
+                               fps=cfg.eval.export_fps)
+    print(json.dumps(stats))
+    return 0
+
+
+def cmd_evaluate(args) -> int:
+    from tmrnet_tpu.eval.export import load_exported
+    from tmrnet_tpu.eval.metrics import evaluate_protocol
+
+    video_ids = args.videos or sorted(
+        f[: -len("-phase.txt")] for f in os.listdir(args.gt_dir)
+        if f.endswith("-phase.txt"))
+    gts, preds = load_exported(args.pred_dir, args.gt_dir, video_ids)
+    rep = evaluate_protocol(gts, preds, protocol=args.protocol,
+                            fps=args.fps,
+                            quirk_compat=not args.no_quirk)
+    print(rep.format_table())
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump({
+                "mean_accuracy": rep.mean_accuracy,
+                "std_accuracy": rep.std_accuracy,
+                "mean_jaccard": rep.mean_jaccard,
+                "std_jaccard": rep.std_jaccard,
+                "mean_precision": rep.mean_precision,
+                "mean_recall": rep.mean_recall,
+                "jaccard_per_phase": rep.jaccard_per_phase.tolist(),
+            }, f, indent=2)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="tmrnet-tpu", description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("prepare", help="videos -> 1fps cutmargin frames")
+    sp.add_argument("--videos", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--stride", type=int, default=25)
+    sp.add_argument("--size", type=int, default=250)
+    sp.add_argument("--no-cutmargin", action="store_true")
+    sp.set_defaults(fn=cmd_prepare)
+
+    sp = sub.add_parser("manifest", help="frames dir -> manifest pickle/CSV")
+    sp.add_argument("--frames", required=True)
+    sp.add_argument("--annotations", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--protocol", default="cholec80",
+                    choices=["cholec80", "m2cai"])
+    sp.add_argument("--stride", type=int, default=25)
+    sp.add_argument("--train-videos", type=int, default=0,
+                    help="first N videos to the train split (0 = single split)")
+    sp.set_defaults(fn=cmd_manifest)
+
+    sp = sub.add_parser("stats", help="channel mean/std (meanStd tool)")
+    sp.add_argument("--manifest", required=True)
+    sp.add_argument("--subsample", type=int, default=1)
+    sp.set_defaults(fn=cmd_stats)
+
+    sp = sub.add_parser("train-bank", help="stage-1 memory-bank training")
+    _add_config_args(sp)
+    sp.add_argument("--train-manifest")
+    sp.add_argument("--val-manifest")
+    sp.add_argument("--torch-init", help="reference .pth to initialize from")
+    sp.add_argument("--log-dir", default="./runs/train-bank")
+    sp.set_defaults(fn=cmd_train_bank)
+
+    sp = sub.add_parser("build-lfb", help="build the feature bank")
+    _add_config_args(sp)
+    sp.add_argument("--manifest", required=True)
+    sp.add_argument("--ckpt", help="stage-1 orbax checkpoint dir")
+    sp.add_argument("--torch-ckpt", help="stage-1 reference .pth")
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_build_lfb)
+
+    sp = sub.add_parser("train-tmr", help="stage-2 TMRNet training")
+    _add_config_args(sp)
+    sp.add_argument("--train-manifest")
+    sp.add_argument("--val-manifest")
+    sp.add_argument("--lfb", required=True)
+    sp.add_argument("--val-lfb")
+    sp.add_argument("--stage1-ckpt")
+    sp.add_argument("--torch-init")
+    sp.add_argument("--log-dir", default="./runs/train-tmr")
+    sp.set_defaults(fn=cmd_train_tmr)
+
+    sp = sub.add_parser("test", help="test-set inference -> predictions npz")
+    _add_config_args(sp)
+    sp.add_argument("--manifest", required=True)
+    sp.add_argument("--ckpt")
+    sp.add_argument("--torch-ckpt")
+    sp.add_argument("--extractor-ckpt")
+    sp.add_argument("--extractor-torch-ckpt")
+    sp.add_argument("--lfb", help="test-set bank cache path")
+    sp.add_argument("--load-lfb", action="store_true")
+    sp.add_argument("--out", default="./predictions.npz")
+    sp.set_defaults(fn=cmd_test)
+
+    sp = sub.add_parser("export", help="predictions npz -> phase txt trees")
+    _add_config_args(sp)
+    sp.add_argument("--manifest", required=True)
+    sp.add_argument("--preds", required=True)
+    sp.add_argument("--pred-dir", default="./eval/phase")
+    sp.add_argument("--gt-dir", default="./eval/gt-phase")
+    sp.set_defaults(fn=cmd_export)
+
+    sp = sub.add_parser("evaluate", help="relaxed-boundary protocol scoring")
+    sp.add_argument("--pred-dir", required=True)
+    sp.add_argument("--gt-dir", required=True)
+    sp.add_argument("--protocol", default="cholec80",
+                    choices=["cholec80", "m2cai"])
+    sp.add_argument("--fps", type=int, default=None)
+    sp.add_argument("--videos", nargs="*")
+    sp.add_argument("--no-quirk", action="store_true",
+                    help="use intended (non-MATLAB-quirk) early relaxation")
+    sp.add_argument("--json-out")
+    sp.set_defaults(fn=cmd_evaluate)
+
+    return p
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
