@@ -1,0 +1,2 @@
+from tmrnet_tpu.ops.nl_attention import nl_attention  # noqa: F401
+from tmrnet_tpu.ops.time_conv import time_conv_fused  # noqa: F401
