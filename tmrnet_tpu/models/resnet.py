@@ -24,16 +24,22 @@ class Bottleneck(nn.Module):
     expansion: int = 4
     compute_dtype: Dtype = jnp.float32
     norm: Callable = nn.BatchNorm
+    # folded=True: BatchNorms pre-folded into conv weights (inference mode,
+    # see models/fold_bn.py) — convs carry bias, no norm ops in the graph.
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         conv = lambda feats, k, s, pad, name: nn.Conv(
             feats, (k, k), strides=(s, s), padding=[(pad, pad)] * 2,
-            use_bias=False, dtype=self.compute_dtype, param_dtype=jnp.float32,
-            name=name)
-        bn = lambda name: self.norm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.compute_dtype, param_dtype=jnp.float32, name=name)
+            use_bias=self.folded, dtype=self.compute_dtype,
+            param_dtype=jnp.float32, name=name)
+        if self.folded:
+            bn = lambda name: (lambda y: y)
+        else:
+            bn = lambda name: self.norm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.compute_dtype, param_dtype=jnp.float32, name=name)
 
         out_feats = self.planes * self.expansion
         residual = x
@@ -57,6 +63,8 @@ class ResNet(nn.Module):
     norm: Callable = nn.BatchNorm
     # When set, wraps each stage in jax.checkpoint to trade FLOPs for HBM.
     remat: bool = False
+    # BN weights pre-folded into convs (inference; see models/fold_bn.py).
+    folded: bool = False
 
     @property
     def num_features(self) -> int:
@@ -68,10 +76,12 @@ class ResNet(nn.Module):
         cdt = self.compute_dtype
         x = x.astype(cdt)
         x = nn.Conv(self.width, (7, 7), strides=(2, 2), padding=[(3, 3)] * 2,
-                    use_bias=False, dtype=cdt, param_dtype=jnp.float32,
+                    use_bias=self.folded, dtype=cdt, param_dtype=jnp.float32,
                     name="conv1")(x)
-        x = self.norm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                      dtype=cdt, param_dtype=jnp.float32, name="bn1")(x)
+        if not self.folded:
+            x = self.norm(use_running_average=not train, momentum=0.9,
+                          epsilon=1e-5, dtype=cdt, param_dtype=jnp.float32,
+                          name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
 
@@ -83,7 +93,8 @@ class ResNet(nn.Module):
             for i in range(n_blocks):
                 strides = 2 if l > 0 and i == 0 else 1
                 x = block_cls(planes=planes, strides=strides, compute_dtype=cdt,
-                              norm=self.norm, name=f"layer{l + 1}_{i}")(x, train)
+                              norm=self.norm, folded=self.folded,
+                              name=f"layer{l + 1}_{i}")(x, train)
         # Global average pool == torchvision AdaptiveAvgPool2d((1,1)).
         return jnp.mean(x, axis=(1, 2))
 

@@ -28,7 +28,10 @@ def _kernel(x_ref, w3_ref, b3_ref, w5_ref, b5_ref, w7_ref, b7_ref, out_ref):
     padded = jnp.pad(x, ((0, 0), (_MAX_PAD, _MAX_PAD), (0, 0)))
 
     def shifted(ofs):
-        return jax.lax.dynamic_slice_in_dim(padded, _MAX_PAD + ofs, w, axis=1)
+        # ofs is a Python int -> static slice (dynamic_slice has no Mosaic
+        # lowering on TPU)
+        s = _MAX_PAD + ofs
+        return padded[:, s:s + w, :]
 
     def conv_branch(w_ref, b_ref, k):
         acc = jnp.zeros((bt * w, c), jnp.float32)
