@@ -1,0 +1,120 @@
+"""ResNeSt parity: torch-built SplAtConv2d oracle vs the JAX SplitAttention,
+and state-dict conversion shape checks for the full trunk."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tmrnet_tpu.models.resnest import ResNeSt, SplitAttention
+from tmrnet_tpu.models.torch_import import (
+    assert_shapes_match,
+    convert_resnest_trunk,
+)
+
+torch = pytest.importorskip("torch")
+nn = torch.nn
+
+
+class TorchSplAt(nn.Module):
+    """Minimal radix-2, cardinality-1 SplAtConv2d oracle (published arch)."""
+
+    def __init__(self, in_ch, channels, radix=2, reduction=4):
+        super().__init__()
+        self.radix, self.channels = radix, channels
+        inter = max(in_ch * radix // reduction, 32)
+        self.conv = nn.Conv2d(in_ch, channels * radix, 3, padding=1,
+                              groups=radix, bias=False)
+        self.bn0 = nn.BatchNorm2d(channels * radix)
+        self.fc1 = nn.Conv2d(channels, inter, 1)
+        self.bn1 = nn.BatchNorm2d(inter)
+        self.fc2 = nn.Conv2d(inter, channels * radix, 1)
+
+    def forward(self, x):
+        b = x.shape[0]
+        y = torch.relu(self.bn0(self.conv(x)))          # (B, C*r, H, W)
+        split = y.view(b, self.radix, self.channels, *y.shape[2:])
+        gap = split.sum(dim=1).mean(dim=(2, 3), keepdim=True)  # (B, C, 1, 1)
+        a = self.fc2(torch.relu(self.bn1(self.fc1(gap))))      # (B, C*r, 1, 1)
+        a = a.view(b, 1, self.radix, self.channels)            # card=1
+        a = torch.softmax(a, dim=2).view(b, self.radix, self.channels, 1, 1)
+        return (split * a).sum(dim=1)
+
+
+def test_splat_conversion_parity():
+    in_ch, channels = 16, 16
+    tm = TorchSplAt(in_ch, channels).eval()
+    rng = np.random.RandomState(0)
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, nn.BatchNorm2d):
+                m.running_mean.copy_(torch.from_numpy(
+                    rng.randn(*m.running_mean.shape).astype(np.float32) * 0.1))
+                m.running_var.copy_(torch.from_numpy(
+                    (1 + 0.2 * rng.rand(*m.running_var.shape)).astype(np.float32)))
+    x = rng.randn(2, in_ch, 8, 8).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()
+
+    # convert via the trunk converter's splat mapping (reuse its key layout)
+    from tmrnet_tpu.models.torch_import import _np, bn_params, conv2d_kernel
+
+    sd = {f"conv2.{k}": v for k, v in tm.state_dict().items()}
+    splat = {"conv": {"kernel": conv2d_kernel(sd["conv2.conv.weight"])}}
+    splat["bn0"], s_bn0 = bn_params(sd, "conv2.bn0")
+    splat["fc1"] = {"kernel": _np(sd["conv2.fc1.weight"])[..., 0, 0].T,
+                    "bias": _np(sd["conv2.fc1.bias"])}
+    splat["bn1"], s_bn1 = bn_params(sd, "conv2.bn1")
+    splat["fc2"] = {"kernel": _np(sd["conv2.fc2.weight"])[..., 0, 0].T,
+                    "bias": _np(sd["conv2.fc2.bias"])}
+
+    jm = SplitAttention(channels=channels, radix=2)
+    got = jm.apply({"params": splat, "batch_stats": {"bn0": s_bn0, "bn1": s_bn1}},
+                   jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_resnest_trunk_conversion_shapes():
+    # synthetic state dict with resnest-pkg naming for a tiny variant
+    model = ResNeSt(stage_sizes=(1, 1), width=8, stem_width=8)
+    x = jnp.ones((1, 64, 64, 3))
+    init = model.init(jax.random.PRNGKey(0), x)
+
+    def bn_sd(prefix, c, sd):
+        sd[f"{prefix}.weight"] = np.ones(c, np.float32)
+        sd[f"{prefix}.bias"] = np.zeros(c, np.float32)
+        sd[f"{prefix}.running_mean"] = np.zeros(c, np.float32)
+        sd[f"{prefix}.running_var"] = np.ones(c, np.float32)
+
+    sd = {}
+    sw = 8
+    sd["conv1.0.weight"] = np.zeros((sw, 3, 3, 3), np.float32)
+    bn_sd("conv1.1", sw, sd)
+    sd["conv1.3.weight"] = np.zeros((sw, sw, 3, 3), np.float32)
+    bn_sd("conv1.4", sw, sd)
+    sd["conv1.6.weight"] = np.zeros((2 * sw, sw, 3, 3), np.float32)
+    bn_sd("bn1", 2 * sw, sd)
+    specs = [("layer1.0", 2 * sw, 8, 1), ("layer2.0", 32, 16, 2)]
+    for name, in_ch, planes, stride in specs:
+        sd[f"{name}.conv1.weight"] = np.zeros((planes, in_ch, 1, 1), np.float32)
+        bn_sd(f"{name}.bn1", planes, sd)
+        sd[f"{name}.conv2.conv.weight"] = np.zeros(
+            (planes * 2, planes // 2, 3, 3), np.float32)  # groups=radix=2
+        bn_sd(f"{name}.conv2.bn0", planes * 2, sd)
+        inter = max(planes * 2 // 4, 32)
+        sd[f"{name}.conv2.fc1.weight"] = np.zeros((inter, planes, 1, 1), np.float32)
+        sd[f"{name}.conv2.fc1.bias"] = np.zeros(inter, np.float32)
+        bn_sd(f"{name}.conv2.bn1", inter, sd)
+        sd[f"{name}.conv2.fc2.weight"] = np.zeros((planes * 2, inter, 1, 1), np.float32)
+        sd[f"{name}.conv2.fc2.bias"] = np.zeros(planes * 2, np.float32)
+        sd[f"{name}.conv3.weight"] = np.zeros((planes * 4, planes, 1, 1), np.float32)
+        bn_sd(f"{name}.bn3", planes * 4, sd)
+        sd[f"{name}.downsample.1.weight"] = np.zeros(
+            (planes * 4, in_ch, 1, 1), np.float32)
+        bn_sd(f"{name}.downsample.2", planes * 4, sd)
+
+    params, stats = convert_resnest_trunk(sd, stage_sizes=(1, 1), prefix="")
+    assert_shapes_match(init["params"], params)
+    assert_shapes_match(init["batch_stats"], stats)

@@ -79,9 +79,9 @@ def load_config(args) -> ExperimentConfig:
 
 
 def _add_config_args(p: argparse.ArgumentParser) -> None:
-    p.add_argument("--preset", choices=["memorybank", "tmr-nl-only",
-                                        "tmr-resnet50", "tmr-resnest50",
-                                        "inference-e2e"])
+    from tmrnet_tpu.config import PRESETS
+
+    p.add_argument("--preset", choices=sorted(PRESETS))
     p.add_argument("--config", help="path to ExperimentConfig json")
     p.add_argument("--set", action="append", metavar="KEY=VALUE",
                    help="dotted config override, repeatable")

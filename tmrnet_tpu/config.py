@@ -287,12 +287,28 @@ def _preset_inference() -> ExperimentConfig:
     )
 
 
+def _preset_m2cai() -> ExperimentConfig:
+    """M2CAI16 workflow challenge: 8 phases (incl. TrocarPlacement), 27/14
+    video split, 25-fps scoring (`Main_m2cai.m`, `Evaluate_m2cai.m`)."""
+    base = _preset_tmr_resnet()
+    return ExperimentConfig(
+        name="tmr-resnet50-m2cai",
+        data=dataclasses.replace(base.data, num_classes=8,
+                                 phase_names=M2CAI_PHASES),
+        model=dataclasses.replace(base.model, num_classes=8),
+        memory=base.memory,
+        train=base.train,
+        eval=EvalConfig(protocol="m2cai", test_videos=(1, 14)),
+    )
+
+
 PRESETS = {
     "memorybank": _preset_memorybank,
     "tmr-nl-only": _preset_nl_only,
     "tmr-resnet50": _preset_tmr_resnet,
     "tmr-resnest50": _preset_tmr_resnest,
     "inference-e2e": _preset_inference,
+    "tmr-resnet50-m2cai": _preset_m2cai,
 }
 
 

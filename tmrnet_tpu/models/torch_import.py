@@ -174,6 +174,59 @@ def convert_reference_checkpoint(
     return {"params": params, "batch_stats": stats}
 
 
+def convert_resnest_trunk(
+    sd: Mapping[str, Any],
+    stage_sizes: Sequence[int] = (3, 4, 6, 3),
+    prefix: str = "share.",
+) -> Tuple[Tree, Tree]:
+    """resnest-package-style ResNeSt-50 trunk -> (params, batch_stats) matching
+    tmrnet_tpu.models.resnest.ResNeSt module names.
+
+    torch naming (resnest pkg): deep stem is conv1.{0,3}(conv)/{1,4}(bn) +
+    final bn1; blocks are layer{l}.{i} with conv1/bn1, conv2 = SplAtConv2d
+    (conv, bn0, fc1, bn1, fc2), conv3/bn3, and an avg_down shortcut
+    downsample.{1}(conv)/{2}(bn) (downsample.0 is the parameterless avgpool).
+    """
+    params: Tree = {}
+    stats: Tree = {}
+    # deep stem: torch conv1 is Sequential(conv,bn,relu,conv,bn,relu,conv)
+    params["stem_conv1"] = {"kernel": conv2d_kernel(sd[f"{prefix}conv1.0.weight"])}
+    params["stem_bn1"], stats["stem_bn1"] = bn_params(sd, f"{prefix}conv1.1")
+    params["stem_conv2"] = {"kernel": conv2d_kernel(sd[f"{prefix}conv1.3.weight"])}
+    params["stem_bn2"], stats["stem_bn2"] = bn_params(sd, f"{prefix}conv1.4")
+    params["stem_conv3"] = {"kernel": conv2d_kernel(sd[f"{prefix}conv1.6.weight"])}
+    params["stem_bn3"], stats["stem_bn3"] = bn_params(sd, f"{prefix}bn1")
+    for l, n_blocks in enumerate(stage_sizes, start=1):
+        for i in range(n_blocks):
+            t = f"{prefix}layer{l}.{i}"
+            bp: Tree = {}
+            bs: Tree = {}
+            bp["conv1"] = {"kernel": conv2d_kernel(sd[f"{t}.conv1.weight"])}
+            bp["bn1"], bs["bn1"] = bn_params(sd, f"{t}.bn1")
+            splat: Tree = {}
+            splat_s: Tree = {}
+            splat["conv"] = {"kernel": conv2d_kernel(sd[f"{t}.conv2.conv.weight"])}
+            splat["bn0"], splat_s["bn0"] = bn_params(sd, f"{t}.conv2.bn0")
+            # fc1/fc2 are 1x1 convs in torch; Dense here: (out,in,1,1)->(in,out)
+            splat["fc1"] = {"kernel": _np(sd[f"{t}.conv2.fc1.weight"])[..., 0, 0].T,
+                            "bias": _np(sd[f"{t}.conv2.fc1.bias"])}
+            splat["bn1"], splat_s["bn1"] = bn_params(sd, f"{t}.conv2.bn1")
+            splat["fc2"] = {"kernel": _np(sd[f"{t}.conv2.fc2.weight"])[..., 0, 0].T,
+                            "bias": _np(sd[f"{t}.conv2.fc2.bias"])}
+            bp["splat"] = splat
+            bs["splat"] = splat_s
+            bp["conv3"] = {"kernel": conv2d_kernel(sd[f"{t}.conv3.weight"])}
+            bp["bn3"], bs["bn3"] = bn_params(sd, f"{t}.bn3")
+            if f"{t}.downsample.1.weight" in sd:
+                bp["downsample_conv"] = {
+                    "kernel": conv2d_kernel(sd[f"{t}.downsample.1.weight"])}
+                bp["downsample_bn"], bs["downsample_bn"] = bn_params(
+                    sd, f"{t}.downsample.2")
+            params[f"layer{l}_{i}"] = bp
+            stats[f"layer{l}_{i}"] = bs
+    return params, stats
+
+
 def convert_imagenet_resnet(sd: Mapping[str, Any],
                             stage_sizes: Sequence[int] = (3, 4, 6, 3)
                             ) -> Dict[str, Tree]:
