@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--window", type=int, default=30)
+    ap.add_argument("--no-fold-bn", action="store_true",
+                    help="keep BatchNorm ops instead of folding into convs")
+    ap.add_argument("--use-pallas", action="store_true",
+                    help="route NLBlock attention through the Pallas kernel")
     args = ap.parse_args()
 
     import jax
@@ -34,13 +38,14 @@ def main():
 
     from tmrnet_tpu.config import ModelConfig
     from tmrnet_tpu.memory.lfb import gather_memory_windows
+    from tmrnet_tpu.models.fold_bn import fold_variables
     from tmrnet_tpu.models.tmrnet import build_model
 
     seq = 10
     b = args.batch_clips
     cfg = ModelConfig(backbone="resnet50", head="tmr", num_classes=7,
                       hidden_dim=512, lfb_window=args.window,
-                      compute_dtype="bfloat16")
+                      compute_dtype="bfloat16", use_pallas=args.use_pallas)
     model = build_model(cfg)
 
     rng = jax.random.PRNGKey(0)
@@ -50,6 +55,13 @@ def main():
     firsts = jnp.zeros((b,), jnp.int32)
     memory0 = gather_memory_windows(bank, rows, firsts, args.window)
     variables = model.init(jax.random.PRNGKey(2), clips, memory0)
+    if not args.no_fold_bn:
+        variables = fold_variables(variables)
+        cfg = ModelConfig(backbone="resnet50", head="tmr", num_classes=7,
+                          hidden_dim=512, lfb_window=args.window,
+                          compute_dtype="bfloat16", folded=True,
+                          use_pallas=args.use_pallas)
+        model = build_model(cfg)
 
     @jax.jit
     def infer(variables, bank, clips, rows, firsts):

@@ -107,6 +107,8 @@ class ModelConfig:
     param_dtype: str = "float32"
     # Use Pallas fused kernels for NLBlock/TimeConv where available.
     use_pallas: bool = False
+    # Inference-only: BatchNorm pre-folded into conv weights (models/fold_bn).
+    folded: bool = False
 
 
 @dataclass(frozen=True)

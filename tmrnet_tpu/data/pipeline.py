@@ -152,6 +152,52 @@ class ClipLoader:
                     futs.put(pool.submit(make_batch, b))
 
 
+@dataclasses.dataclass
+class VideoClipDataset:
+    """ClipDataset-compatible view over raw video files (the fork's
+    video-direct path, reference HystDataset `test-resnet.py:139-203`):
+    decodes seq_len-frame clips on demand through a VideoClipReader and pairs
+    them with per-video sampled-frame labels."""
+
+    reader: "object"  # tmrnet_tpu.data.video.VideoClipReader
+    labels: Sequence[np.ndarray]  # per-video labels at sampled-frame rate
+    transform: Optional[Callable] = None
+
+    def __post_init__(self):
+        nf = self.reader.num_frames
+        if len(self.labels) != len(nf):
+            raise ValueError("labels must have one array per video")
+        for lab, n in zip(self.labels, nf):
+            if len(lab) < n:
+                raise ValueError("label array shorter than sampled frames")
+        cpv = np.maximum(np.asarray(nf) + 1 - self.reader.seq_len, 0)
+        self._first_rows = np.repeat(
+            np.concatenate([[0], np.cumsum(cpv)[:-1]]).astype(np.int64), cpv)
+
+    @property
+    def seq_len(self) -> int:
+        return self.reader.seq_len
+
+    @property
+    def num_clips(self) -> int:
+        return self.reader.num_clips
+
+    @property
+    def first_rows(self) -> np.ndarray:
+        return self._first_rows
+
+    def clip_location(self, row: int) -> Tuple[int, int]:
+        return self.reader.locate(row)
+
+    def get_clip(self, row: int, epoch: int = 0) -> Tuple[np.ndarray, int]:
+        vid, start = self.reader.locate(row)
+        clip = self.reader.read_clip(row)
+        if self.transform is not None:
+            clip = self.transform(clip, epoch, row)
+        label = int(self.labels[vid][start + self.reader.seq_len - 1])
+        return clip, label
+
+
 def array_frame_loader(frames_by_path):
     """In-memory loader for tests: dict path -> uint8 array."""
 

@@ -81,6 +81,40 @@ def random_rotation(clip: np.ndarray, degrees: float,
     return out
 
 
+def random_resized_crop(clip: np.ndarray, size: int, rng: np.random.Generator,
+                        scale: Tuple[float, float] = (0.2, 1.0),
+                        ratio: Tuple[float, float] = (3 / 4, 4 / 3)
+                        ) -> np.ndarray:
+    """torchvision/monai-style RandomResizedCrop shared across the clip (the
+    fork's video-path train transform, reference `test-resnet.py:206-270`)."""
+    t, h, w = clip.shape[:3]
+    area = h * w
+    for _ in range(10):
+        target = area * rng.uniform(*scale)
+        log_r = rng.uniform(np.log(ratio[0]), np.log(ratio[1]))
+        ar = float(np.exp(log_r))
+        cw = int(round(np.sqrt(target * ar)))
+        ch = int(round(np.sqrt(target / ar)))
+        if 0 < cw <= w and 0 < ch <= h:
+            y = int(rng.integers(0, h - ch + 1))
+            x = int(rng.integers(0, w - cw + 1))
+            crop = clip[:, y:y + ch, x:x + cw]
+            return resize_clip(crop, (size, size))
+    return resize_clip(center_crop(clip, min(h, w)), (size, size))
+
+
+def pad_or_crop(clip: np.ndarray, size: int) -> np.ndarray:
+    """Center pad-or-crop to (size, size) (monai ResizeWithPadOrCrop in the
+    fork's eval transforms)."""
+    t, h, w = clip.shape[:3]
+    out = np.zeros((t, size, size, clip.shape[3]), clip.dtype)
+    sy, dy = (max(0, (h - size) // 2), max(0, (size - h) // 2))
+    sx, dx = (max(0, (w - size) // 2), max(0, (size - w) // 2))
+    ch, cw = min(h, size), min(w, size)
+    out[:, dy:dy + ch, dx:dx + cw] = clip[:, sy:sy + ch, sx:sx + cw]
+    return out
+
+
 def resize_clip(clip: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
     if clip.shape[1:3] == tuple(size):
         return clip
@@ -175,6 +209,33 @@ class TrainTransform:
             clip = random_horizontal_flip(clip, rng)
             clip = random_rotation(clip, self.rotate_degrees, rng)
         return normalize(clip, self.mean, self.std)
+
+
+@dataclasses.dataclass
+class VideoTrainTransform:
+    """The fork's video-direct train stack (reference `test-resnet.py:206-236`):
+    clip-shared RandomResizedCrop(224, scale=(0.2,1)) + intensity scale to
+    [0,1] (no mean/std)."""
+
+    crop_size: int = 224
+    scale: Tuple[float, float] = (0.2, 1.0)
+    base_seed: int = 0
+
+    def __call__(self, clip: np.ndarray, epoch: int, clip_id: int) -> np.ndarray:
+        rng = clip_rng(epoch, clip_id, self.base_seed)
+        clip = random_resized_crop(clip, self.crop_size, rng, self.scale)
+        return clip.astype(np.float32) / 255.0
+
+
+@dataclasses.dataclass
+class VideoEvalTransform:
+    """Fork video-direct eval stack: center pad-or-crop + [0,1] scaling."""
+
+    crop_size: int = 224
+
+    def __call__(self, clip: np.ndarray, epoch: int = 0, clip_id: int = 0
+                 ) -> np.ndarray:
+        return pad_or_crop(clip, self.crop_size).astype(np.float32) / 255.0
 
 
 @dataclasses.dataclass

@@ -126,16 +126,20 @@ class TMRNet(nn.Module):
 
 def build_backbone(cfg: ModelConfig):
     cdt = jnp.dtype(cfg.compute_dtype)
+    folded = getattr(cfg, "folded", False)
     if cfg.backbone == "resnet50":
         return ResNet(stage_sizes=tuple(cfg.stage_sizes), width=cfg.width,
-                      compute_dtype=cdt, remat=False)
+                      compute_dtype=cdt, remat=False, folded=folded)
     if cfg.backbone == "resnest50":
         from tmrnet_tpu.models.resnest import ResNeSt
 
+        if folded:
+            raise NotImplementedError("BN folding: ResNet backbones only")
         return ResNeSt(stage_sizes=tuple(cfg.stage_sizes), width=cfg.width,
                        compute_dtype=cdt)
     if cfg.backbone == "tiny":
-        return tiny_resnet(cdt)
+        return ResNet(stage_sizes=(1, 1), width=8, compute_dtype=cdt,
+                      folded=folded)
     raise ValueError(f"unknown backbone {cfg.backbone!r}")
 
 
