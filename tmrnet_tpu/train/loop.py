@@ -89,6 +89,10 @@ def _run_epoch_train(train_step, state, loader, epoch, rng, use_memory,
     timer = Timer()
     for i, (clips, labels, rows, pad) in enumerate(loader.epoch(epoch)):
         step_rng = jax.random.fold_in(rng, epoch * 100003 + i)
+        if mesh is not None:
+            from tmrnet_tpu.parallel.mesh import shard_batch
+
+            clips, labels = shard_batch(mesh, clips, labels)
         if use_memory:
             memory = _memory_for(bank, rows, first_rows_all[rows], window)
             state, m = train_step(state, jnp.asarray(clips), memory,
