@@ -98,6 +98,8 @@ def main():
     ap.add_argument("--use-pallas", action="store_true",
                     help="route NLBlock attention through the Pallas kernel")
     ap.add_argument("--mode", choices=["clip", "video"], default="clip")
+    ap.add_argument("--profile", metavar="DIR",
+                    help="capture a jax.profiler trace of the timed loop")
     ap.add_argument("--video-frames", type=int, default=1024)
     args = ap.parse_args()
 
@@ -149,11 +151,18 @@ def main():
         out = infer(variables, bank, clips, rows, firsts)
     np.asarray(out)
 
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        out = infer(variables, bank, clips, rows, firsts)
-    np.asarray(out)  # single-stream FIFO: fetching the last result drains all
-    dt = time.perf_counter() - t0
+    import contextlib
+
+    import jax.profiler
+
+    prof = (jax.profiler.trace(args.profile) if args.profile
+            else contextlib.nullcontext())
+    with prof:
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = infer(variables, bank, clips, rows, firsts)
+        np.asarray(out)  # single-stream FIFO: last fetch drains the queue
+        dt = time.perf_counter() - t0
 
     frames = args.iters * b * seq
     fps = frames / dt

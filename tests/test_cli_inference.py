@@ -1,0 +1,88 @@
+"""CLI integration: the full serve chain (test -> export -> evaluate) through
+the command-line interface on a tiny config with real files on disk."""
+
+import json
+
+import numpy as np
+import pytest
+
+from tmrnet_tpu.cli import main
+from tmrnet_tpu.config import (
+    DataConfig,
+    EvalConfig,
+    ExperimentConfig,
+    MemoryConfig,
+    ModelConfig,
+    TrainConfig,
+)
+from tests.test_cli import _write_frames_tree
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg_json(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cfg")
+    cfg = ExperimentConfig(
+        data=DataConfig(batch_clips=8, num_workers=2, prefetch=1,
+                        sequence_length=4, resize=48, crop_size=48),
+        model=ModelConfig(backbone="tiny", stage_sizes=(1, 1), width=8,
+                          hidden_dim=16, num_classes=7, head="tmr",
+                          lfb_window=4, compute_dtype="float32"),
+        memory=MemoryConfig(window=4, load_cached=False),
+        train=TrainConfig(epochs=1, checkpoint_dir=str(tmp / "ckpt")),
+        eval=EvalConfig(batch_clips=8),
+    )
+    p = tmp / "cfg.json"
+    p.write_text(cfg.to_json())
+    return str(p)
+
+
+def test_cli_test_export_evaluate_chain(tmp_path, tiny_cfg_json, capsys):
+    frames_dir, ann_dir = _write_frames_tree(tmp_path, n_videos=2, seconds=20)
+    manifest = tmp_path / "test_paths.pkl"
+    assert main(["manifest", "--frames", str(frames_dir),
+                 "--annotations", str(ann_dir), "--out", str(manifest)]) == 0
+    capsys.readouterr()
+
+    preds_path = tmp_path / "preds.npz"
+    lfb_path = tmp_path / "lfb_test.npz"
+    assert main(["test", "--config", tiny_cfg_json,
+                 "--manifest", str(manifest),
+                 "--lfb", str(lfb_path), "--out", str(preds_path)]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["num_clips"] == 2 * (20 - 3)
+    assert len(out["precision_per_class"]) == 7
+    assert preds_path.exists() and lfb_path.exists()
+
+    data = np.load(preds_path)
+    assert data["preds"].shape == (34,)
+    assert data["scores"].shape == (34, 7)
+
+    pred_dir, gt_dir = tmp_path / "phase", tmp_path / "gt-phase"
+    assert main(["export", "--config", tiny_cfg_json,
+                 "--manifest", str(manifest), "--preds", str(preds_path),
+                 "--pred-dir", str(pred_dir), "--gt-dir", str(gt_dir)]) == 0
+    capsys.readouterr()
+
+    json_out = tmp_path / "report.json"
+    assert main(["evaluate", "--pred-dir", str(pred_dir),
+                 "--gt-dir", str(gt_dir), "--fps", "1",
+                 "--json-out", str(json_out)]) == 0
+    rep = json.loads(json_out.read_text())
+    assert 0.0 <= rep["mean_accuracy"] <= 100.0
+    assert len(rep["jaccard_per_phase"]) == 7
+
+
+def test_cli_build_lfb_command(tmp_path, tiny_cfg_json, capsys):
+    frames_dir, ann_dir = _write_frames_tree(tmp_path, n_videos=1, seconds=10)
+    manifest = tmp_path / "m.pkl"
+    main(["manifest", "--frames", str(frames_dir), "--annotations",
+          str(ann_dir), "--out", str(manifest)])
+    out_path = tmp_path / "bank.npz"
+    assert main(["build-lfb", "--config", tiny_cfg_json,
+                 "--manifest", str(manifest), "--out", str(out_path)]) == 0
+    assert out_path.exists()
+    from tmrnet_tpu.memory.lfb import load_bank
+
+    bank = load_bank(str(out_path))
+    assert bank.num_rows == 10 - 3
+    assert bank.feature_dim == 16

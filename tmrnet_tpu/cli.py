@@ -304,8 +304,23 @@ def cmd_test(args) -> int:
                          force=not args.load_lfb)
     res = ClipInference(cfg, variables, bank).run(ds)
     np.savez(args.out, preds=res.preds, scores=res.scores, rows=res.rows)
-    print(json.dumps({"clip_accuracy": res.accuracy,
-                      "num_clips": int(res.preds.size), "out": args.out}))
+    # per-class precision/recall like the reference's sklearn report
+    # (`train_singlenet_phase_1fc.py:655-658`)
+    from tmrnet_tpu.eval.metrics import classification_metrics
+
+    labels = []
+    for v in m.videos:
+        n_clip = max(0, len(v) + 1 - cfg.data.sequence_length)
+        labels.append(v.labels[cfg.data.sequence_length - 1:][:n_clip])
+    labels = np.concatenate(labels) if labels else np.zeros(0, np.int64)
+    cm = classification_metrics(labels, res.preds, cfg.model.num_classes)
+    print(json.dumps({
+        "clip_accuracy": res.accuracy,
+        "num_clips": int(res.preds.size),
+        "precision_per_class": np.round(cm["precision"], 4).tolist(),
+        "recall_per_class": np.round(cm["recall"], 4).tolist(),
+        "out": args.out,
+    }))
     return 0
 
 
