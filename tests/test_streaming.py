@@ -1,0 +1,93 @@
+"""Streaming inference: frame-by-frame outputs must equal the offline
+full-video engine for every completed clip position."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tmrnet_tpu.config import (
+    DataConfig,
+    ExperimentConfig,
+    MemoryConfig,
+    ModelConfig,
+)
+from tmrnet_tpu.eval.infer import VideoInference
+from tmrnet_tpu.eval.stream import StreamingInference
+
+SEQ, HW, HID, WIN = 4, 24, 16, 5
+
+
+def _cfg():
+    return ExperimentConfig(
+        data=DataConfig(sequence_length=SEQ),
+        model=ModelConfig(backbone="tiny", stage_sizes=(1, 1), width=8,
+                          hidden_dim=HID, num_classes=7, head="tmr",
+                          lfb_window=WIN, compute_dtype="float32"),
+        memory=MemoryConfig(window=WIN),
+    )
+
+
+def _variables(cfg, key=0):
+    from tmrnet_tpu.models.tmrnet import build_model
+
+    model = build_model(cfg.model)
+    clips = jnp.zeros((1, SEQ, HW, HW, 3))
+    mem = jnp.zeros((1, WIN, HID))
+    v = model.init(jax.random.PRNGKey(key), clips, mem)
+    extractor = {"params": {"backbone": v["params"]["backbone"],
+                            "encoder": v["params"]["encoder"]},
+                 "batch_stats": {"backbone": v["batch_stats"]["backbone"]}}
+    return v, extractor
+
+
+def test_streaming_matches_offline_video_engine():
+    cfg = _cfg()
+    variables, extractor = _variables(cfg)
+    n = 16
+    frames = np.random.RandomState(0).rand(n, HW, HW, 3).astype(np.float32)
+
+    offline = VideoInference(cfg, variables, extractor, pad_frames=n)
+    off_preds, off_probs = offline.run_video(frames)
+
+    stream = StreamingInference(cfg, variables, extractor)
+    state = stream.init_state(1)
+    got_preds, got_probs, valids = [], [], []
+    for t in range(n):
+        state, p, pr, valid = stream.step(state, frames[t][None])
+        got_preds.append(int(p[0]))
+        got_probs.append(np.asarray(pr[0]))
+        valids.append(bool(valid[0]))
+
+    # warmup frames (first seq-1) are invalid
+    assert valids[: SEQ - 1] == [False] * (SEQ - 1)
+    assert all(valids[SEQ - 1:])
+    np.testing.assert_array_equal(np.asarray(got_preds[SEQ - 1:]), off_preds)
+    np.testing.assert_allclose(np.stack(got_probs[SEQ - 1:]), off_probs,
+                               atol=1e-4, rtol=1e-3)
+
+
+def test_streaming_multiple_independent_streams():
+    cfg = _cfg()
+    variables, extractor = _variables(cfg, key=5)
+    n = 10
+    rng = np.random.RandomState(1)
+    va = rng.rand(n, HW, HW, 3).astype(np.float32)
+    vb = rng.rand(n, HW, HW, 3).astype(np.float32)
+
+    stream = StreamingInference(cfg, variables, extractor)
+    # batched: both streams together
+    state = stream.init_state(2)
+    batched = []
+    for t in range(n):
+        state, p, _, _ = stream.step(state, np.stack([va[t], vb[t]]))
+        batched.append(np.asarray(p))
+    batched = np.stack(batched)  # (n, 2)
+
+    # separate: each stream alone must match its batched outputs
+    for i, vid in enumerate([va, vb]):
+        st = stream.init_state(1)
+        for t in range(n):
+            st, p, _, _ = stream.step(st, vid[t][None])
+            assert int(p[0]) == batched[t, i]

@@ -1,0 +1,154 @@
+"""Real-time streaming inference.
+
+The deployment shape of surgical phase recognition is online: one new frame
+per second per operating room, phase prediction needed immediately. The
+reference has no serving path (its test drivers are offline batch jobs). This
+engine processes a batch of independent video streams one frame at a time
+with a jitted update step and device-resident carry:
+
+  per stream: a 10-frame ring of backbone features (extractor + TMR trunks),
+  a `window`-slot ring of LFB features (the streaming bank), and a frame
+  counter. Each step runs both backbones on the new frames only (the same
+  once-per-frame dedup as VideoInference), re-runs the two 10-step LSTMs over
+  their rings (tiny), gathers the memory window most-recent-first with
+  clamped warmup, and applies the TimeConv+NLBlock head.
+
+Outputs match VideoInference/ClipInference exactly from the first full clip
+(frame index seq_len-1) onward; earlier frames report valid=False, matching
+the reference's 0-padded warmup positions (`export_phase_copy.py:56-60`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tmrnet_tpu.config import ExperimentConfig
+from tmrnet_tpu.models.lstm import LSTM
+from tmrnet_tpu.models.tmrnet import build_backbone
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class StreamState:
+    """Device-resident carry for B parallel streams."""
+
+    ext_ring: jax.Array   # (B, seq, F) extractor backbone features
+    tmr_ring: jax.Array   # (B, seq, F) TMR-trunk backbone features
+    bank_ring: jax.Array  # (B, window, H) most recent LFB features
+    count: jax.Array      # (B,) frames seen
+
+    def tree_flatten(self):
+        return (self.ext_ring, self.tmr_ring, self.bank_ring, self.count), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+class StreamingInference:
+    def __init__(self, cfg: ExperimentConfig, variables, extractor_variables):
+        self.cfg = cfg
+        self.seq = cfg.data.sequence_length
+        self.window = cfg.memory.window
+        mcfg = cfg.model
+        self.hidden = mcfg.hidden_dim
+        self.cdt = jnp.dtype(mcfg.compute_dtype)
+        self.backbone = build_backbone(mcfg)
+        self.feature_dim = getattr(self.backbone, "num_features", 2048)
+        self.lstm = LSTM(self.hidden, compute_dtype=self.cdt)
+        self.variables = variables
+        self.extractor_variables = extractor_variables
+        self._step = jax.jit(self._step_impl, donate_argnums=(0,))
+
+    def init_state(self, num_streams: int) -> StreamState:
+        b = num_streams
+        return StreamState(
+            ext_ring=jnp.zeros((b, self.seq, self.feature_dim), self.cdt),
+            tmr_ring=jnp.zeros((b, self.seq, self.feature_dim), self.cdt),
+            bank_ring=jnp.zeros((b, self.window, self.hidden), self.cdt),
+            count=jnp.zeros((b,), jnp.int32),
+        )
+
+    # -- internals ----------------------------------------------------------
+
+    def _trunk(self, variables, frames):
+        bvars = {"params": variables["params"]["backbone"]}
+        if "batch_stats" in variables and "backbone" in variables["batch_stats"]:
+            bvars["batch_stats"] = variables["batch_stats"]["backbone"]
+        return self.backbone.apply(bvars, frames, train=False)
+
+    def _clip_embed(self, variables, ring):
+        ys, _ = self.lstm.apply(
+            {"params": variables["params"]["encoder"]["lstm"]}, ring)
+        return ys[:, -1, :]
+
+    def _head(self, st, memory):
+        params = self.variables["params"]
+        mcfg = self.cfg.model
+        from tmrnet_tpu.models.blocks import NLBlock, TimeConv
+
+        lt = memory
+        if mcfg.head == "tmr":
+            lt = TimeConv(self.hidden, self.cdt).apply(
+                {"params": params["time_conv"]}, memory)
+        y1 = NLBlock(self.hidden, mcfg.dropout_nl, self.cdt,
+                     use_pallas=mcfg.use_pallas).apply(
+            {"params": params["nl_block"]}, st, lt, deterministic=True)
+        y = jnp.concatenate([st, y1], axis=-1)
+        dense = lambda p, x: x @ p["kernel"].astype(self.cdt) + \
+            p["bias"].astype(self.cdt)
+        y = jax.nn.relu(dense(params["fc_h_c"], y))
+        return dense(params["fc_c"], y)
+
+    def _step_impl(self, state: StreamState, frames: jax.Array):
+        fe = self._trunk(self.extractor_variables, frames)   # (B, F)
+        ft = self._trunk(self.variables, frames)
+        ext_ring = jnp.concatenate([state.ext_ring[:, 1:], fe[:, None]], axis=1)
+        tmr_ring = jnp.concatenate([state.tmr_ring[:, 1:], ft[:, None]], axis=1)
+
+        st_e = self._clip_embed(self.extractor_variables, ext_ring)  # LFB feat
+        st_t = self._clip_embed(self.variables, tmr_ring)            # St
+
+        count = state.count + 1
+        clips_seen = count - self.seq + 1  # clip positions completed (1-based)
+
+        # memory = previous clips' features, most recent first; before any
+        # previous clip exists the slots repeat the earliest available (the
+        # clamped-window semantics of memory_window_rows).
+        bank = state.bank_ring  # most-recent-first, BEFORE this clip's write
+        valid_prev = jnp.maximum(clips_seen - 1, 0)  # previous clips available
+        k = jnp.arange(self.window)[None, :]
+        # slot k reads bank[k] if k < valid_prev else the oldest valid entry
+        oldest = jnp.maximum(valid_prev - 1, 0)
+        idx = jnp.minimum(k, oldest[:, None])
+        memory = jnp.take_along_axis(bank, idx[:, :, None], axis=1)
+        # streams with no previous clip read their own (current) feature,
+        # matching first_row == own row in the offline gather
+        memory = jnp.where((valid_prev > 0)[:, None, None], memory,
+                           st_e[:, None, :])
+
+        logits = self._head(st_t, memory)
+
+        # push this clip's LFB feature once the clip is complete
+        has_clip = clips_seen >= 1
+        new_bank = jnp.concatenate([st_e[:, None], bank[:, :-1]], axis=1)
+        bank_ring = jnp.where(has_clip[:, None, None], new_bank, bank)
+
+        new_state = StreamState(ext_ring=ext_ring, tmr_ring=tmr_ring,
+                                bank_ring=bank_ring, count=count)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        return new_state, jnp.argmax(probs, axis=-1), probs, has_clip
+
+    # -- public -------------------------------------------------------------
+
+    def step(self, state: StreamState, frames: np.ndarray
+             ) -> Tuple[StreamState, np.ndarray, np.ndarray, np.ndarray]:
+        """frames: (B, H, W, 3) normalized float, one new frame per stream.
+        Returns (state, preds (B,), probs (B, C), valid (B,)); valid is False
+        until the stream has seen seq_len frames."""
+        return self._step(state, jnp.asarray(frames, self.cdt))
