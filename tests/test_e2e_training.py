@@ -128,3 +128,24 @@ def test_nl_only_variant_trains(tmp_path):
     # nl_only has no time_conv params
     assert "time_conv" not in state.params
     assert "nl_block" in state.params
+
+
+def test_mid_epoch_minibatch_validation(tmp_path):
+    import dataclasses as dc
+
+    manifest, store = _synthetic(n_videos=2)
+    ds = ClipDataset(manifest, SEQ, frame_loader=array_frame_loader(store))
+    cfg = _cfg(tmp_path, "stage1", epochs=1)
+    cfg = dc.replace(cfg, train=dc.replace(cfg.train, val_minibatch_every=1))
+
+    from tmrnet_tpu.utils.logging import MetricLogger
+
+    log_dir = str(tmp_path / "logs")
+    log = MetricLogger(log_dir, use_tensorboard=False, quiet=True)
+    state, hist = train_stage1(cfg, ds, ds, log=log)
+    log.close()
+    import json
+
+    lines = [json.loads(l) for l in open(log_dir + "/metrics.jsonl")]
+    assert any("val_minibatch/loss" in l for l in lines)
+    assert any("val/precision_0" in l for l in lines)

@@ -137,6 +137,10 @@ class TrainConfig:
     label_smoothing: float = 0.0
     seed: int = 0
     log_every: int = 50
+    # Mid-epoch validation on one held-out minibatch every N train steps
+    # (0 = off), like the reference's valMinibatch scalars
+    # (`train_only_non-local_pretrained.py:418-457,746-757`).
+    val_minibatch_every: int = 0
     checkpoint_dir: str = "./checkpoints"
     keep_checkpoints: int = 3
     resume: bool = True  # resume from latest checkpoint if present

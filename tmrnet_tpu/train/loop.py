@@ -84,7 +84,9 @@ def _memory_for(bank: FeatureBank, rows: np.ndarray, first_rows: np.ndarray,
 
 def _run_epoch_train(train_step, state, loader, epoch, rng, use_memory,
                      bank=None, window=0, first_rows_all=None, mesh=None,
-                     log: Optional[MetricLogger] = None, log_every: int = 50):
+                     log: Optional[MetricLogger] = None, log_every: int = 50,
+                     minibatch_val: Optional[Callable] = None,
+                     minibatch_val_every: int = 0):
     loss_sum, correct, count = 0.0, 0, 0
     timer = Timer()
     for i, (clips, labels, rows, pad) in enumerate(loader.epoch(epoch)):
@@ -108,6 +110,11 @@ def _run_epoch_train(train_step, state, loader, epoch, rng, use_memory,
         if log is not None and (i + 1) % log_every == 0:
             log.log(int(state.step), {"loss": float(m["loss"]) / len(rows),
                                       "fps": timer.fps}, prefix="train/")
+        if (minibatch_val is not None and minibatch_val_every
+                and (i + 1) % minibatch_val_every == 0):
+            vm = minibatch_val(state)
+            if log is not None:
+                log.log(int(state.step), vm, prefix="val_minibatch/")
     return state, loss_sum / max(count, 1), correct / max(count, 1)
 
 
@@ -187,16 +194,44 @@ def _fit(cfg: ExperimentConfig, model, train_ds: ClipDataset,
     val_first_rows = val_ds.first_rows if (use_memory and val_ds) else None
     history: List[EpochStats] = []
 
+    minibatch_val = None
+    if t.val_minibatch_every and val_ds is not None:
+        vb_clips, vb_labels, vb_rows, vb_pad = next(iter(val_loader.epoch(0)))
+        the_bank = val_bank if val_bank is not None else bank
+
+        def minibatch_val(st):
+            if use_memory:
+                mem = _memory_for(the_bank, vb_rows,
+                                  val_first_rows[vb_rows], window)
+                m = eval_step(st, jnp.asarray(vb_clips), mem,
+                              jnp.asarray(vb_labels))
+            else:
+                m = eval_step(st, jnp.asarray(vb_clips), jnp.asarray(vb_labels))
+            b = len(vb_rows) - vb_pad
+            preds = np.asarray(m["preds"])[:b]
+            return {"loss": float(np.asarray(m["losses"])[:b].sum()) / max(b, 1),
+                    "acc": float((preds == vb_labels[:b]).mean())}
+
     for epoch in range(start_epoch, t.epochs):
         t0 = time.time()
         state, tr_loss, tr_acc = _run_epoch_train(
             train_step, state, train_loader, epoch, rng, use_memory, bank,
-            window, first_rows_all, mesh, log, t.log_every)
+            window, first_rows_all, mesh, log, t.log_every,
+            minibatch_val, t.val_minibatch_every)
         if val_loader is not None:
-            va_loss, va_acc, *_ = _run_epoch_eval(
+            va_loss, va_acc, va_preds, va_labels, _ = _run_epoch_eval(
                 eval_step, state, val_loader, use_memory,
                 val_bank if val_bank is not None else bank, window,
                 val_first_rows)
+            if log is not None and va_preds.size:
+                from tmrnet_tpu.eval.metrics import classification_metrics
+
+                cmm = classification_metrics(va_labels, va_preds,
+                                             int(cfg.model.num_classes))
+                for c in range(int(cfg.model.num_classes)):
+                    log.log(epoch, {f"precision_{c}": cmm["precision"][c],
+                                    f"recall_{c}": cmm["recall"][c]},
+                            prefix="val/")
         else:
             va_loss, va_acc = tr_loss, tr_acc
         lr = schedule(epoch + 1, va_loss) if callable(schedule) else t.lr
