@@ -43,11 +43,17 @@ class InferenceResult:
 
 
 class ClipInference:
-    """Batched clip-at-a-time inference with HBM bank gather."""
+    """Batched clip-at-a-time inference with HBM bank gather.
 
-    def __init__(self, cfg: ExperimentConfig, variables, bank: FeatureBank):
+    With a mesh, parameters and the bank are replicated and batches stream in
+    pre-sharded over the data axis (SPMD inference over ICI); the host feed is
+    double-buffered either way (data/device_feed.py).
+    """
+
+    def __init__(self, cfg: ExperimentConfig, variables, bank: FeatureBank,
+                 mesh=None):
         self.cfg = cfg
-        self.bank = bank
+        self.mesh = mesh
         model = build_model(cfg.model)
         window = cfg.memory.window
 
@@ -59,20 +65,35 @@ class ClipInference:
             return jnp.argmax(probs, axis=-1), probs
 
         self._infer = infer
+        if mesh is not None:
+            from tmrnet_tpu.parallel.mesh import replicated_sharding
+
+            rep = replicated_sharding(mesh)
+            variables = jax.device_put(variables, rep)
+            bank = FeatureBank(jax.device_put(bank.features, rep),
+                               jax.device_put(bank.first_rows, rep))
         self.variables = variables
+        self.bank = bank
 
     def run(self, ds: ClipDataset) -> InferenceResult:
+        from tmrnet_tpu.data.device_feed import device_prefetch
+
         loader = ClipLoader(ds, self.cfg.eval.batch_clips, shuffle=False,
                             num_workers=self.cfg.data.num_workers,
                             prefetch=self.cfg.data.prefetch)
         first_rows = ds.first_rows
+
+        def host_batches():
+            for clips, labels, rows, pad in loader.epoch(0):
+                yield (clips.astype(np.float32), rows.astype(np.int32),
+                       first_rows[rows].astype(np.int32), labels, rows, pad)
+
         preds_all, scores_all, rows_all, labels_all = [], [], [], []
-        for clips, labels, rows, pad in loader.epoch(0):
+        for clips_d, rows_d, firsts_d, labels, rows, pad in device_prefetch(
+                host_batches(), mesh=self.mesh, array_indices=(0, 1, 2)):
             b = len(rows) - pad
             preds, probs = self._infer(
-                self.variables, self.bank.features, jnp.asarray(clips),
-                jnp.asarray(rows, jnp.int32),
-                jnp.asarray(first_rows[rows], jnp.int32))
+                self.variables, self.bank.features, clips_d, rows_d, firsts_d)
             preds_all.append(np.asarray(preds)[:b])
             scores_all.append(np.asarray(probs)[:b])
             rows_all.append(rows[:b])
