@@ -75,16 +75,17 @@ class ClipDataset:
     def get_clip(self, row: int, epoch: int = 0) -> Tuple[np.ndarray, int]:
         vid_i, start = self.clip_location(row)
         video = self.manifest.videos[vid_i]
-        frames: List[np.ndarray] = []
+        frames: List[Optional[np.ndarray]] = []
         for j in range(start, start + self.seq_len):
             try:
                 frames.append(self.frame_loader(video.frame_paths[j]))
             except Exception:
                 if self.error_policy == "raise":
                     raise
-                shape = frames[-1].shape if frames else (256, 256, 3)
-                frames.append(np.zeros(shape, np.uint8))
-        clip = np.stack(frames)
+                frames.append(None)  # filled with zeros once a shape is known
+        shape = next((f.shape for f in frames if f is not None), (256, 256, 3))
+        clip = np.stack([f if f is not None else np.zeros(shape, np.uint8)
+                         for f in frames])
         if self.transform is not None:
             clip = self.transform(clip, epoch, row)
         label = int(video.labels[start + self.seq_len - 1])
