@@ -73,3 +73,13 @@ def test_preprocess_throughput_sanity():
     t0 = time.perf_counter()
     native.preprocess_batch(frames, cy, cx, 224, flip, mean, std)
     assert time.perf_counter() - t0 < 5.0
+
+
+def test_train_transform_native_matches_numpy():
+    from tmrnet_tpu.data.transforms import TrainTransform
+
+    clip = np.random.RandomState(5).randint(
+        0, 255, (4, 250, 250, 3)).astype(np.uint8)
+    a = TrainTransform(use_flip=True, use_native=False)(clip, 2, 9)
+    b = TrainTransform(use_flip=True, use_native=True)(clip, 2, 9)
+    np.testing.assert_allclose(a, b, atol=1e-5)

@@ -109,7 +109,8 @@ def _dataset(cfg, manifest, train: bool):
     d = cfg.data
     if train:
         tf = TrainTransform(d.crop_size, d.resize, d.use_flip,
-                            d.rotate_degrees, d.color_jitter, d.mean, d.std)
+                            d.rotate_degrees, d.color_jitter, d.mean, d.std,
+                            use_native=d.use_native_preproc)
     else:
         tf = EvalTransform(d.crop_size, d.resize, d.test_crop_type,
                            d.mean, d.std)

@@ -188,7 +188,13 @@ def normalize(clip: np.ndarray, mean: Sequence[float],
 @dataclasses.dataclass
 class TrainTransform:
     """Resize(250) -> RandomCrop(224) [-> ColorJitter -> Flip -> Rotation]
-    -> Normalize; one shared random draw per clip."""
+    -> Normalize; one shared random draw per clip.
+
+    use_native=True routes the crop+flip+normalize tail through the threaded
+    C++ library (native/tmrnet_data.cc) — numerically identical, fused in one
+    pass per frame. Jitter/rotation (cv2-bound) stay on the numpy path and
+    the draw ORDER is preserved so both paths consume the same random stream.
+    """
 
     crop_size: int = 224
     resize: int = 250
@@ -198,8 +204,11 @@ class TrainTransform:
     mean: Sequence[float] = (0.41757566, 0.26098573, 0.25888634)
     std: Sequence[float] = (0.21938758, 0.1983, 0.19342837)
     base_seed: int = 0
+    use_native: bool = False
 
     def __call__(self, clip: np.ndarray, epoch: int, clip_id: int) -> np.ndarray:
+        # Reference transform order: Resize -> RandomCrop -> [ColorJitter ->
+        # Flip -> Rotation] -> ToTensor/Normalize (`train_memorybank.py:72-99`).
         rng = clip_rng(epoch, clip_id, self.base_seed)
         clip = resize_clip(clip, (self.resize, self.resize))
         clip = random_crop(clip, self.crop_size, rng)
@@ -208,6 +217,17 @@ class TrainTransform:
                                 self.jitter, self.jitter)
             clip = random_horizontal_flip(clip, rng)
             clip = random_rotation(clip, self.rotate_degrees, rng)
+        if self.use_native:
+            from tmrnet_tpu.data import native
+
+            if native.available():
+                t, h = clip.shape[0], clip.shape[1]
+                z = np.zeros(t, np.int32)
+                # fused u8->f32 normalize (crop/flip already applied)
+                return native.preprocess_batch(
+                    np.ascontiguousarray(clip), z, z, h, z.astype(np.uint8),
+                    np.asarray(self.mean, np.float32),
+                    np.asarray(self.std, np.float32))
         return normalize(clip, self.mean, self.std)
 
 
