@@ -86,3 +86,36 @@ def test_cli_build_lfb_command(tmp_path, tiny_cfg_json, capsys):
     bank = load_bank(str(out_path))
     assert bank.num_rows == 10 - 3
     assert bank.feature_dim == 16
+
+
+def test_cli_train_bank_smoke(tmp_path, tiny_cfg_json, capsys):
+    """CLI train-bank end-to-end on a tiny synthetic dataset (1 epoch)."""
+    import dataclasses as dc
+
+    from tmrnet_tpu.config import ExperimentConfig
+
+    frames_dir, ann_dir = _write_frames_tree(tmp_path, n_videos=2, seconds=12)
+    manifest = tmp_path / "tv.pkl"
+    main(["manifest", "--frames", str(frames_dir), "--annotations",
+          str(ann_dir), "--out", str(manifest), "--train-videos", "1"])
+    capsys.readouterr()
+
+    cfg = ExperimentConfig.from_json(open(tiny_cfg_json).read())
+    cfg = dc.replace(
+        cfg,
+        model=dc.replace(cfg.model, head="stage1"),
+        train=dc.replace(cfg.train, epochs=1,
+                         checkpoint_dir=str(tmp_path / "ckpt_bank")),
+    )
+    cfg_path = tmp_path / "bank_cfg.json"
+    cfg_path.write_text(cfg.to_json())
+
+    rc = main(["train-bank", "--config", str(cfg_path),
+               "--train-manifest", str(manifest),
+               "--log-dir", str(tmp_path / "runs")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "best epoch" in out
+    import os
+
+    assert os.path.exists(str(tmp_path / "ckpt_bank"))

@@ -166,3 +166,27 @@ def test_stage2_train_step_runs_and_learns():
     em = eval_step(state, clips, memory, labels)
     assert float(em["loss"]) < before
     assert em["preds"].shape == (6,)
+
+
+def test_adam_matches_torch_two_steps():
+    w0 = np.array([[1.0, -2.0], [0.5, 3.0]], dtype=np.float32)
+    g1 = np.array([[0.1, 0.2], [-0.3, 0.4]], dtype=np.float32)
+    g2 = np.array([[0.05, -0.1], [0.2, 0.1]], dtype=np.float32)
+
+    tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    opt = torch.optim.Adam([tw], lr=0.01)
+    for g in (g1, g2):
+        opt.zero_grad()
+        tw.grad = torch.from_numpy(g.copy())
+        opt.step()
+
+    cfg = TrainConfig(optimizer="adam", lr=0.01, weight_decay=0.0)
+    params = {"head": {"w": jnp.asarray(w0)}}
+    tx = make_optimizer(cfg, params)
+    state = tx.init(params)
+    p = params
+    for g in (g1, g2):
+        updates, state = tx.update({"head": {"w": jnp.asarray(g)}}, state, p)
+        p = optax.apply_updates(p, updates)
+    np.testing.assert_allclose(np.asarray(p["head"]["w"]),
+                               tw.detach().numpy(), rtol=1e-4, atol=1e-6)
