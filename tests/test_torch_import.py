@@ -171,3 +171,41 @@ def test_assert_shapes_match_raises():
         assert_shapes_match(init, {"fc": {"kernel": np.zeros((7, 4))}})
     with pytest.raises(KeyError):
         assert_shapes_match(init, {"nope": {"kernel": np.zeros((1,))}})
+
+
+def test_export_import_roundtrip():
+    # our variables -> reference state_dict -> back == identity
+    import jax
+    import jax.numpy as jnp
+
+    from tmrnet_tpu.config import ModelConfig
+    from tmrnet_tpu.models.tmrnet import build_model
+    from tmrnet_tpu.models.torch_import import (
+        convert_reference_checkpoint,
+        export_reference_checkpoint,
+    )
+
+    cfg = ModelConfig(backbone="tiny", stage_sizes=(1, 1), width=8,
+                      hidden_dim=32, num_classes=7, head="tmr",
+                      lfb_window=6, compute_dtype="float32")
+    model = build_model(cfg)
+    variables = model.init(jax.random.PRNGKey(3),
+                           jnp.ones((1, 4, 32, 32, 3)),
+                           jnp.ones((1, 6, 32)))
+    sd = export_reference_checkpoint(variables, head="tmr", stage_sizes=(1, 1))
+    # reference-format names present
+    assert "share.conv1.weight" in sd and "nl_block.linear1.weight" in sd
+    assert sd["share.conv1.weight"].shape[0] == 8  # torch OIHW
+
+    back = convert_reference_checkpoint(sd, head="tmr", stage_sizes=(1, 1))
+    flat_a = jax.tree_util.tree_leaves_with_path(variables["params"])
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(back["params"]))
+    for path, leaf in flat_a:
+        np.testing.assert_allclose(np.asarray(leaf), np.asarray(flat_b[path]),
+                                   atol=1e-6, err_msg=str(path))
+    # batch_stats too
+    sa = jax.tree_util.tree_leaves_with_path(variables["batch_stats"])
+    sb = dict(jax.tree_util.tree_leaves_with_path(back["batch_stats"]))
+    for path, leaf in sa:
+        np.testing.assert_allclose(np.asarray(leaf), np.asarray(sb[path]),
+                                   atol=1e-6, err_msg=str(path))

@@ -238,6 +238,77 @@ def convert_imagenet_resnet(sd: Mapping[str, Any],
             "batch_stats": {"backbone": trunk_stats}}
 
 
+def export_reference_checkpoint(variables: Mapping[str, Any], head: str,
+                                stage_sizes: Sequence[int] = (3, 4, 6, 3)
+                                ) -> Dict[str, Array]:
+    """Inverse of convert_reference_checkpoint: flax variables -> a flat
+    reference-format state_dict (torch tensor layouts, `share.*` names), so
+    models trained here can be consumed by the PyTorch reference tooling.
+    Save with torch.save({k: torch.from_numpy(v) ...}) or numpy .npz."""
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    sd: Dict[str, Array] = {}
+
+    def put_conv(name, p):
+        sd[f"{name}.weight"] = _np(p["kernel"]).transpose(3, 2, 0, 1)
+
+    def put_bn(name, p, s):
+        sd[f"{name}.weight"] = _np(p["scale"])
+        sd[f"{name}.bias"] = _np(p["bias"])
+        sd[f"{name}.running_mean"] = _np(s["mean"])
+        sd[f"{name}.running_var"] = _np(s["var"])
+
+    def put_linear(name, p):
+        sd[f"{name}.weight"] = _np(p["kernel"]).T
+        if "bias" in p:
+            sd[f"{name}.bias"] = _np(p["bias"])
+
+    trunk = params["backbone"]
+    tstats = stats.get("backbone", {})
+    put_conv("share.conv1", trunk["conv1"])
+    put_bn("share.bn1", trunk["bn1"], tstats["bn1"])
+    for l, n_blocks in enumerate(stage_sizes, start=1):
+        for i in range(n_blocks):
+            f = f"layer{l}_{i}"
+            t = f"share.layer{l}.{i}"
+            for c in (1, 2, 3):
+                put_conv(f"{t}.conv{c}", trunk[f][f"conv{c}"])
+                put_bn(f"{t}.bn{c}", trunk[f][f"bn{c}"], tstats[f][f"bn{c}"])
+            if "downsample_conv" in trunk[f]:
+                put_conv(f"{t}.downsample.0", trunk[f]["downsample_conv"])
+                put_bn(f"{t}.downsample.1", trunk[f]["downsample_bn"],
+                       tstats[f]["downsample_bn"])
+
+    lstm = params["encoder"]["lstm"]
+    sd["lstm.weight_ih_l0"] = _np(lstm["weight_ih"])
+    sd["lstm.weight_hh_l0"] = _np(lstm["weight_hh"])
+    sd["lstm.bias_ih_l0"] = _np(lstm["bias_ih"])
+    sd["lstm.bias_hh_l0"] = _np(lstm["bias_hh"])
+
+    if head == "stage1" and "fc" in params:
+        put_linear("fc", params["fc"])
+    if head in ("tmr", "nl_only"):
+        if "nl_block" in params:
+            nb = params["nl_block"]
+            for i, key in enumerate(("query", "key", "value", "out"), start=1):
+                put_linear(f"nl_block.linear{i}", nb[key])
+            sd["nl_block.layer_norm.weight"] = _np(
+                nb["layer_norm"]["scale"]).reshape(1, -1)
+            sd["nl_block.layer_norm.bias"] = _np(
+                nb["layer_norm"]["bias"]).reshape(1, -1)
+        if "time_conv" in params:
+            tc = params["time_conv"]
+            for k, name in ((1, "conv_k3"), (2, "conv_k5"), (3, "conv_k7")):
+                sd[f"time_conv.timeconv{k}.weight"] = _np(
+                    tc[name]["kernel"]).transpose(2, 1, 0)
+                sd[f"time_conv.timeconv{k}.bias"] = _np(tc[name]["bias"])
+        if "fc_h_c" in params:
+            put_linear("fc_h_c", params["fc_h_c"])
+        if "fc_c" in params:
+            put_linear("fc_c", params["fc_c"])
+    return sd
+
+
 def merge_variables(base: Mapping[str, Any], update: Mapping[str, Any]) -> Tree:
     """Deep-merge `update` over `base` (the strict=False analogue): keys in
     update override; everything else keeps the freshly-initialized value."""
