@@ -88,3 +88,39 @@ def test_clip_inference_with_mesh_matches_single_device(tmp_path):
     res2 = ClipInference(cfg, variables, bank, mesh=mesh).run(ds)
     np.testing.assert_array_equal(res1.preds, res2.preds)
     np.testing.assert_allclose(res1.scores, res2.scores, atol=1e-5)
+
+
+def test_video_inference_sequence_sharded_over_mesh():
+    """Sequence parallelism: one video's frames sharded over the data axis;
+    outputs must match the single-device engine exactly."""
+    import jax.numpy as jnp
+
+    from tmrnet_tpu.eval.infer import VideoInference
+    from tmrnet_tpu.models.tmrnet import build_model
+
+    SEQ, HW = 4, 24
+    cfg = ExperimentConfig(
+        data=DataConfig(sequence_length=SEQ),
+        model=ModelConfig(backbone="tiny", stage_sizes=(1, 1), width=8,
+                          hidden_dim=16, num_classes=7, head="tmr",
+                          lfb_window=4, compute_dtype="float32"),
+        memory=MemoryConfig(window=4),
+    )
+    model = build_model(cfg.model)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, SEQ, HW, HW, 3)),
+                           jnp.zeros((1, 4, 16)))
+    extractor = {"params": {"backbone": variables["params"]["backbone"],
+                            "encoder": variables["params"]["encoder"]},
+                 "batch_stats": {"backbone": variables["batch_stats"]["backbone"]}}
+
+    frames = np.random.RandomState(0).rand(16, HW, HW, 3).astype(np.float32)
+    single = VideoInference(cfg, variables, extractor, pad_frames=16)
+    p1, s1 = single.run_video(frames)
+
+    mesh = make_mesh(MeshConfig(data_parallel=-1, model_parallel=1))
+    sharded = VideoInference(cfg, variables, extractor, pad_frames=16,
+                             mesh=mesh)
+    p2, s2 = sharded.run_video(frames)
+    np.testing.assert_array_equal(p1, p2)
+    np.testing.assert_allclose(s1, s2, atol=1e-5)

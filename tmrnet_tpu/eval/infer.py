@@ -119,11 +119,23 @@ class VideoInference:
     """
 
     def __init__(self, cfg: ExperimentConfig, variables, extractor_variables,
-                 pad_frames: int = 2048):
+                 pad_frames: int = 2048, mesh=None):
+        """mesh: optional ('data','model') mesh — the video's FRAME dimension
+        is sharded over the data axis (sequence parallelism for the trunk:
+        each device runs the backbone on its frame shard; the tiny LSTM/head
+        stages run on gathered features, with XLA inserting the all-gather).
+        """
         self.cfg = cfg
         self.seq = cfg.data.sequence_length
         self.window = cfg.memory.window
         self.pad_frames = pad_frames
+        self.mesh = mesh
+        if mesh is not None:
+            from tmrnet_tpu.parallel.mesh import replicated_sharding
+
+            rep = replicated_sharding(mesh)
+            variables = jax.device_put(variables, rep)
+            extractor_variables = jax.device_put(extractor_variables, rep)
         self.variables = variables
         self.extractor_variables = extractor_variables
 
@@ -223,8 +235,12 @@ class VideoInference:
             frames = np.concatenate(
                 [frames, np.repeat(frames[-1:], pad, axis=0)])
         cdt = jnp.dtype(self.cfg.model.compute_dtype)
+        frames = jnp.asarray(frames, cdt)
+        if self.mesh is not None:
+            from tmrnet_tpu.parallel.mesh import shard_batch
+
+            frames = shard_batch(self.mesh, frames)  # frames sharded over data
         run = self._build_fn(padded)
-        preds, probs = run(self.variables, self.extractor_variables,
-                           jnp.asarray(frames, cdt))
+        preds, probs = run(self.variables, self.extractor_variables, frames)
         return (np.asarray(preds)[:num_clips],
                 np.asarray(probs)[:num_clips])
