@@ -135,3 +135,37 @@ def test_export_count_invariant_enforced(tmp_path):
     with pytest.raises(ValueError):
         export_predictions(manifest, np.zeros(5, np.int64), SEQ,
                            pred_dir=str(tmp_path / "p"))
+
+
+def test_multi_crop_eval_transform_shapes():
+    from tmrnet_tpu.data.transforms import EvalTransform, five_crop, ten_crop
+
+    clip = np.random.RandomState(0).randint(
+        0, 255, (3, 250, 250, 3)).astype(np.uint8)
+    f = five_crop(clip, 224)
+    assert f.shape == (5, 3, 224, 224, 3)
+    t = ten_crop(clip, 224)
+    assert t.shape == (10, 3, 224, 224, 3)
+    # flipped crops mirror the unflipped ones
+    np.testing.assert_array_equal(t[5], f[0][:, :, ::-1])
+    out = EvalTransform(crop_type=5)(clip)
+    assert out.shape == (5, 3, 224, 224, 3)
+    assert EvalTransform(crop_type=10).num_crops == 10
+
+
+def test_clip_inference_ten_crop(tmp_path):
+    from tmrnet_tpu.data.transforms import EvalTransform
+
+    cfg = _cfg(tmp_path)
+    manifest, store = _synthetic(n_videos=1, frames=12)
+    tf = EvalTransform(crop_size=16, resize=24, crop_type=10)
+    ds = ClipDataset(manifest, SEQ, transform=tf,
+                     frame_loader=array_frame_loader(store))
+    variables, extractor = _init_models(cfg)
+    ds_plain = ClipDataset(manifest, SEQ,
+                           frame_loader=array_frame_loader(store))
+    bank = build_lfb(cfg, extractor, ds_plain, cache_path=None)
+    res = ClipInference(cfg, variables, bank).run(ds)
+    assert res.preds.shape == (ds.num_clips,)
+    assert res.scores.shape == (ds.num_clips, 4)
+    np.testing.assert_allclose(res.scores.sum(axis=-1), 1.0, atol=1e-5)

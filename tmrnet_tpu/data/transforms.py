@@ -103,6 +103,24 @@ def random_resized_crop(clip: np.ndarray, size: int, rng: np.random.Generator,
     return resize_clip(center_crop(clip, min(h, w)), (size, size))
 
 
+def five_crop(clip: np.ndarray, size: int) -> np.ndarray:
+    """Four corners + center -> (5, T, size, size, C) (torchvision FiveCrop,
+    the reference's test crop_type 5)."""
+    t, h, w = clip.shape[:3]
+    tl = clip[:, :size, :size]
+    tr = clip[:, :size, w - size:]
+    bl = clip[:, h - size:, :size]
+    br = clip[:, h - size:, w - size:]
+    return np.stack([tl, tr, bl, br, center_crop(clip, size)])
+
+
+def ten_crop(clip: np.ndarray, size: int) -> np.ndarray:
+    """FiveCrop + horizontally flipped FiveCrop -> (10, T, size, size, C)
+    (torchvision TenCrop, the reference's test crop_type 10)."""
+    five = five_crop(clip, size)
+    return np.concatenate([five, five[:, :, :, ::-1]], axis=0)
+
+
 def pad_or_crop(clip: np.ndarray, size: int) -> np.ndarray:
     """Center pad-or-crop to (size, size) (monai ResizeWithPadOrCrop in the
     fork's eval transforms)."""
@@ -260,8 +278,11 @@ class VideoEvalTransform:
 
 @dataclasses.dataclass
 class EvalTransform:
-    """crop_type 0: random crop / 1: center crop / 2: resize only
-    (`train_memorybank.py:101-127`)."""
+    """crop_type 0: random crop / 1: center crop / 2: resize only /
+    5: five-crop / 10: ten-crop (`train_memorybank.py:101-127`).
+
+    Types 5/10 return (ncrops, T, size, size, C); inference averages the
+    softmax over crops like the reference's multi-crop evaluation."""
 
     crop_size: int = 224
     resize: int = 250
@@ -269,6 +290,10 @@ class EvalTransform:
     mean: Sequence[float] = (0.41757566, 0.26098573, 0.25888634)
     std: Sequence[float] = (0.21938758, 0.1983, 0.19342837)
     base_seed: int = 0
+
+    @property
+    def num_crops(self) -> int:
+        return {5: 5, 10: 10}.get(self.crop_type, 1)
 
     def __call__(self, clip: np.ndarray, epoch: int = 0, clip_id: int = 0
                  ) -> np.ndarray:
@@ -280,6 +305,12 @@ class EvalTransform:
             clip = center_crop(clip, self.crop_size)
         elif self.crop_type == 2:
             clip = resize_clip(clip, (self.crop_size, self.crop_size))
+        elif self.crop_type == 5:
+            return normalize(five_crop(clip, self.crop_size),
+                             self.mean, self.std)
+        elif self.crop_type == 10:
+            return normalize(ten_crop(clip, self.crop_size),
+                             self.mean, self.std)
         else:
             raise ValueError(f"unsupported crop_type {self.crop_type}")
         return normalize(clip, self.mean, self.std)

@@ -85,17 +85,27 @@ class ClipInference:
 
         def host_batches():
             for clips, labels, rows, pad in loader.epoch(0):
-                yield (clips.astype(np.float32), rows.astype(np.int32),
-                       first_rows[rows].astype(np.int32), labels, rows, pad)
+                ncrops = 1
+                if clips.ndim == 6:  # multi-crop eval: (B, ncrops, T, H, W, C)
+                    ncrops = clips.shape[1]
+                    clips = clips.reshape((-1,) + clips.shape[2:])
+                r = np.repeat(rows, ncrops).astype(np.int32)
+                yield (clips.astype(np.float32), r,
+                       first_rows[rows].repeat(ncrops).astype(np.int32),
+                       labels, rows, pad, ncrops)
 
         preds_all, scores_all, rows_all, labels_all = [], [], [], []
-        for clips_d, rows_d, firsts_d, labels, rows, pad in device_prefetch(
-                host_batches(), mesh=self.mesh, array_indices=(0, 1, 2)):
+        for (clips_d, rows_d, firsts_d, labels, rows, pad,
+             ncrops) in device_prefetch(host_batches(), mesh=self.mesh,
+                                        array_indices=(0, 1, 2)):
             b = len(rows) - pad
-            preds, probs = self._infer(
+            _, probs = self._infer(
                 self.variables, self.bank.features, clips_d, rows_d, firsts_d)
-            preds_all.append(np.asarray(preds)[:b])
-            scores_all.append(np.asarray(probs)[:b])
+            probs = np.asarray(probs)
+            if ncrops > 1:  # average softmax over crops (multi-crop protocol)
+                probs = probs.reshape(len(rows), ncrops, -1).mean(axis=1)
+            preds_all.append(np.argmax(probs[:b], axis=-1))
+            scores_all.append(probs[:b])
             rows_all.append(rows[:b])
             labels_all.append(labels[:b])
         preds = np.concatenate(preds_all)

@@ -45,6 +45,19 @@ class MetricLogger:
             for k, v in flat.items():
                 self._tb.add_scalar(k, v, step)
 
+    def log_images(self, step: int, tag: str, images) -> None:
+        """Log sample frames (e.g. augmented clips) to TensorBoard, covering
+        the reference's Comet log_image debugging (`test-resnet.py:737-746`).
+        images: (N, H, W, 3) float in [0,1] or uint8; no-op without TB."""
+        if self._tb is None:
+            return
+        import numpy as np
+
+        arr = np.asarray(images)
+        if arr.dtype != np.uint8:
+            arr = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
+        self._tb.add_images(tag, arr, step, dataformats="NHWC")
+
     def close(self) -> None:
         if self._jsonl:
             self._jsonl.close()
