@@ -66,8 +66,9 @@ def test_eval_transform_modes():
     for ct in (0, 1, 2):
         out = EvalTransform(crop_type=ct)(clip)
         assert out.shape == (2, 224, 224, 3)
+    assert EvalTransform(crop_type=5)(clip).shape == (5, 2, 224, 224, 3)
     with pytest.raises(ValueError):
-        EvalTransform(crop_type=5)(clip)
+        EvalTransform(crop_type=7)(clip)
 
 
 def test_normalize_matches_torchvision_formula():
