@@ -258,3 +258,26 @@ def test_tmr_dropout_train_vs_eval():
                         rngs={"dropout": jax.random.PRNGKey(2)},
                         mutable=["batch_stats"])
     assert not np.allclose(np.asarray(t1), np.asarray(t2))
+
+
+def test_remat_backbone_forward_and_grad():
+    # remat'd bottlenecks must produce identical outputs and allow grads
+    from tmrnet_tpu.models.resnet import ResNet
+
+    x = jnp.ones((2, 32, 32, 3))
+    plain = ResNet(stage_sizes=(1, 1), width=8, remat=False)
+    v = plain.init(jax.random.PRNGKey(0), x)
+    rematted = ResNet(stage_sizes=(1, 1), width=8, remat=True)
+    out_a = plain.apply(v, x, train=False)
+    out_b = rematted.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-6)
+
+    def loss(params):
+        out, _ = rematted.apply(
+            {"params": params, "batch_stats": v["batch_stats"]}, x,
+            train=True, mutable=["batch_stats"])
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss)(v["params"])
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree_util.tree_leaves(g))

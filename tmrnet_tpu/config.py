@@ -109,6 +109,9 @@ class ModelConfig:
     use_pallas: bool = False
     # Inference-only: BatchNorm pre-folded into conv weights (models/fold_bn).
     folded: bool = False
+    # jax.checkpoint (remat) each bottleneck block: trades FLOPs for HBM so
+    # much larger train batches fit (TrainConfig.remat flows into this).
+    remat: bool = False
 
 
 @dataclass(frozen=True)

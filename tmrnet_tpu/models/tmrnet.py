@@ -127,9 +127,10 @@ class TMRNet(nn.Module):
 def build_backbone(cfg: ModelConfig):
     cdt = jnp.dtype(cfg.compute_dtype)
     folded = getattr(cfg, "folded", False)
+    remat = getattr(cfg, "remat", False)
     if cfg.backbone == "resnet50":
         return ResNet(stage_sizes=tuple(cfg.stage_sizes), width=cfg.width,
-                      compute_dtype=cdt, remat=False, folded=folded)
+                      compute_dtype=cdt, remat=remat, folded=folded)
     if cfg.backbone == "resnest50":
         from tmrnet_tpu.models.resnest import ResNeSt
 
@@ -139,7 +140,7 @@ def build_backbone(cfg: ModelConfig):
                        compute_dtype=cdt)
     if cfg.backbone == "tiny":
         return ResNet(stage_sizes=(1, 1), width=8, compute_dtype=cdt,
-                      folded=folded)
+                      folded=folded, remat=remat)
     raise ValueError(f"unknown backbone {cfg.backbone!r}")
 
 

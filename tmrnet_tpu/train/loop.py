@@ -255,7 +255,8 @@ def train_stage1(cfg: ExperimentConfig, train_ds: ClipDataset,
                  val_ds: Optional[ClipDataset] = None, init_variables=None,
                  mesh=None, log: Optional[MetricLogger] = None):
     """Stage-1 memory-bank model training."""
-    model = build_model(dataclasses.replace(cfg.model, head="stage1"))
+    model = build_model(dataclasses.replace(cfg.model, head="stage1",
+                                            remat=cfg.train.remat))
     return _fit(cfg, model, train_ds, val_ds, use_memory=False, bank=None,
                 slow_modules=("backbone",), init_variables=init_variables,
                 mesh=mesh, log=log)
@@ -304,7 +305,8 @@ def train_stage2(cfg: ExperimentConfig, train_ds: ClipDataset,
     if val_ds is not None and val_bank is None:
         val_bank = bank
     head = cfg.model.head if cfg.model.head in ("tmr", "nl_only") else "tmr"
-    model = build_model(dataclasses.replace(cfg.model, head=head))
+    model = build_model(dataclasses.replace(cfg.model, head=head,
+                                            remat=cfg.train.remat))
     return _fit(cfg, model, train_ds, val_ds, use_memory=True, bank=bank,
                 slow_modules=("backbone", "encoder"),
                 init_variables=init_variables, mesh=mesh, log=log,
