@@ -56,7 +56,7 @@ def _kernel(x_scale_ref, a_ref, b_ref, wscale_ref, o_ref, acc_ref):
 
     @pl.when(k == pl.num_programs(2) - 1)
     def _():
-        scale = x_scale_ref[0] * wscale_ref[:]          # (TN,) per column
+        scale = x_scale_ref[0] * wscale_ref[0, :]       # (TN,) per column
         o_ref[:] = (acc_ref[:].astype(jnp.float32)
                     * scale[None, :]).astype(o_ref.dtype)
 
@@ -74,7 +74,9 @@ def int8_matmul(a_q: jax.Array, b_q: jax.Array, a_scale: jax.Array,
     _, n = b_q.shape
     tm, tn, tk = min(block_m, m), min(block_n, n), min(block_k, k)
     a_scale = jnp.reshape(a_scale, (1,)).astype(jnp.float32)
-    b_scale = jnp.asarray(b_scale, jnp.float32)
+    # 2-D (1, N) so the per-block slice keeps a Mosaic-compatible layout
+    # (1-D f32 operands get XLA lane tiling that Mosaic rejects at N >= 4096)
+    b_scale = jnp.asarray(b_scale, jnp.float32).reshape(1, -1)
     grid = (pl.cdiv(m, tm), pl.cdiv(n, tn), pl.cdiv(k, tk))
     return pl.pallas_call(
         _kernel,
@@ -85,7 +87,7 @@ def int8_matmul(a_q: jax.Array, b_q: jax.Array, a_scale: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tk, tn), lambda i, j, kk: (kk, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tn,), lambda i, j, kk: (j,),
+            pl.BlockSpec((1, tn), lambda i, j, kk: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tm, tn), lambda i, j, kk: (i, j),
