@@ -149,3 +149,18 @@ def test_mid_epoch_minibatch_validation(tmp_path):
     lines = [json.loads(l) for l in open(log_dir + "/metrics.jsonl")]
     assert any("val_minibatch/loss" in l for l in lines)
     assert any("val/precision_0" in l for l in lines)
+
+
+def test_train_stage1_with_mesh(tmp_path):
+    """Trainer loop with an 8-device data-parallel mesh on the virtual CPU
+    platform (batch 8 divides the mesh)."""
+    from tmrnet_tpu.config import MeshConfig
+    from tmrnet_tpu.parallel.mesh import make_mesh
+
+    manifest, store = _synthetic(n_videos=2)
+    ds = ClipDataset(manifest, SEQ, frame_loader=array_frame_loader(store))
+    cfg = _cfg(tmp_path, "stage1", epochs=1)
+    mesh = make_mesh(MeshConfig(data_parallel=-1, model_parallel=1))
+    state, hist = train_stage1(cfg, ds, ds, mesh=mesh)
+    assert len(hist) == 1
+    assert np.isfinite(hist[0].val_loss)
