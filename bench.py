@@ -88,7 +88,7 @@ def bench_video(args):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch-clips", type=int, default=64,
+    ap.add_argument("--batch-clips", type=int, default=96,
                     help="clips per device batch (x10 frames each)")
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--warmup", type=int, default=5)
