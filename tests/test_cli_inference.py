@@ -119,3 +119,43 @@ def test_cli_train_bank_smoke(tmp_path, tiny_cfg_json, capsys):
     import os
 
     assert os.path.exists(str(tmp_path / "ckpt_bank"))
+
+
+def test_cli_two_stage_with_orbax_checkpoints(tmp_path, tiny_cfg_json, capsys):
+    """CLI chain with orbax checkpoints crossing heads: train-bank ->
+    build-lfb --ckpt -> train-tmr --stage1-ckpt (subtree transplant)."""
+    import dataclasses as dc
+
+    from tmrnet_tpu.config import ExperimentConfig
+
+    frames_dir, ann_dir = _write_frames_tree(tmp_path, n_videos=2, seconds=12)
+    manifest = tmp_path / "tv.pkl"
+    main(["manifest", "--frames", str(frames_dir), "--annotations",
+          str(ann_dir), "--out", str(manifest), "--train-videos", "1"])
+
+    base = ExperimentConfig.from_json(open(tiny_cfg_json).read())
+    bank_dir = str(tmp_path / "ckpt_s1")
+    cfg1 = dc.replace(base, model=dc.replace(base.model, head="stage1"),
+                      train=dc.replace(base.train, epochs=1,
+                                       checkpoint_dir=bank_dir))
+    p1 = tmp_path / "c1.json"
+    p1.write_text(cfg1.to_json())
+    assert main(["train-bank", "--config", str(p1),
+                 "--train-manifest", str(manifest),
+                 "--log-dir", str(tmp_path / "r1")]) == 0
+
+    lfb = tmp_path / "bank.npz"
+    assert main(["build-lfb", "--config", str(p1), "--manifest", str(manifest),
+                 "--ckpt", bank_dir, "--out", str(lfb)]) == 0
+
+    cfg2 = dc.replace(base, model=dc.replace(base.model, head="tmr"),
+                      train=dc.replace(base.train, epochs=1,
+                                       checkpoint_dir=str(tmp_path / "ckpt_s2")))
+    p2 = tmp_path / "c2.json"
+    p2.write_text(cfg2.to_json())
+    assert main(["train-tmr", "--config", str(p2),
+                 "--train-manifest", str(manifest), "--lfb", str(lfb),
+                 "--stage1-ckpt", bank_dir,
+                 "--log-dir", str(tmp_path / "r2")]) == 0
+    out = capsys.readouterr().out
+    assert "best epoch" in out

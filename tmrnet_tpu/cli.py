@@ -242,11 +242,15 @@ def cmd_build_lfb(args) -> int:
 
     cfg = load_config(args)
     m = _load_manifest(args.manifest)
-    _, variables = _restore_variables(cfg, "lfb", args.ckpt, args.torch_ckpt,
+    # orbax checkpoints carry the stage-1 structure (restore must match);
+    # torch .pth conversion handles subsets directly with the lfb head
+    head = "stage1" if args.ckpt else "lfb"
+    _, variables = _restore_variables(cfg, head, args.ckpt, args.torch_ckpt,
                                       cfg.data.crop_size)
     extractor = {"params": {k: variables["params"][k]
                             for k in ("backbone", "encoder")},
-                 "batch_stats": variables.get("batch_stats", {})}
+                 "batch_stats": {"backbone":
+                                 variables["batch_stats"]["backbone"]}}
     bank = build_lfb(cfg, extractor, _dataset(cfg, m, False),
                      cache_path=args.out, force=True)
     print(f"bank: {bank.num_rows} rows x {bank.feature_dim} -> {args.out}")
@@ -265,11 +269,25 @@ def cmd_train_tmr(args) -> int:
              else None)
     val_bank = load_bank(args.val_lfb) if args.val_lfb else None
     init = None
-    if args.torch_init or args.stage1_ckpt:
-        _, variables = _restore_variables(
-            cfg, cfg.model.head, args.stage1_ckpt, args.torch_init,
-            cfg.data.crop_size)
-        init = variables
+    if args.torch_init:
+        # reference stage-1/stage-2 .pth: convert whatever subset exists
+        _, init = _restore_variables(cfg, cfg.model.head, None,
+                                     args.torch_init, cfg.data.crop_size)
+    elif args.stage1_ckpt:
+        # orbax stage-1 checkpoint: restore with the stage-1 structure, then
+        # transplant the shared trunk+lstm subtrees into a fresh TMR init
+        # (the strict=False bootstrap of the reference,
+        # `train_non-local_mutiConv_resnet.py:707,774`)
+        from tmrnet_tpu.models.torch_import import merge_variables
+
+        _, s1 = _restore_variables(cfg, "stage1", args.stage1_ckpt, None,
+                                   cfg.data.crop_size)
+        _, init = _restore_variables(cfg, cfg.model.head, None, None,
+                                     cfg.data.crop_size)
+        shared = {"params": {k: s1["params"][k]
+                             for k in ("backbone", "encoder")},
+                  "batch_stats": {"backbone": s1["batch_stats"]["backbone"]}}
+        init = {c: merge_variables(init[c], shared.get(c, {})) for c in init}
     log = MetricLogger(args.log_dir)
     state, hist = train_stage2(
         cfg, _dataset(cfg, train_m, True), bank,
@@ -295,8 +313,9 @@ def cmd_test(args) -> int:
     else:
         extractor_vars = variables
         if args.extractor_torch_ckpt or args.extractor_ckpt:
+            head = "stage1" if args.extractor_ckpt else "lfb"
             _, extractor_vars = _restore_variables(
-                cfg, "lfb", args.extractor_ckpt, args.extractor_torch_ckpt,
+                cfg, head, args.extractor_ckpt, args.extractor_torch_ckpt,
                 cfg.data.crop_size)
         extractor = {"params": {k: extractor_vars["params"][k]
                                 for k in ("backbone", "encoder")},
