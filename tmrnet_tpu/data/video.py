@@ -8,8 +8,8 @@
 frame) via cumulative frame counts, with a zeros fallback on decode errors —
 without the reference's use-before-assign bug (SURVEY.md 2.9-3).
 
-imageio is an optional dependency; every entry point degrades with a clear
-error when it is absent.
+Decode backends: imageio/pyav when installed, otherwise cv2's bundled ffmpeg
+— both C decode paths; every entry point works with either.
 """
 
 from __future__ import annotations
@@ -22,28 +22,68 @@ import numpy as np
 from tmrnet_tpu.data.cutmargin import cut_black_margin, resize_square
 
 
-def _imageio():
-    try:
-        import imageio.v3 as iio
+def _iter_frames_imageio(path: str) -> Iterator[np.ndarray]:
+    import imageio.v3 as iio
 
-        return iio
-    except ImportError as e:  # pragma: no cover
-        raise ImportError("video decode requires imageio[ffmpeg/pyav]") from e
+    for frame in iio.imiter(path, plugin="pyav"):
+        yield np.asarray(frame)
+
+
+def _iter_frames_cv2(path: str) -> Iterator[np.ndarray]:
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise IOError(f"cv2 cannot open {path}")
+    try:
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            yield cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+    finally:
+        cap.release()
+
+
+def _iter_all_frames(path: str) -> Iterator[np.ndarray]:
+    """Decode backend selection: imageio/pyav if installed, else cv2's
+    bundled ffmpeg (both are C decode paths)."""
+    try:
+        import imageio.v3  # noqa: F401
+        from imageio.v3 import imiter
+
+        try:
+            yield from _iter_frames_imageio(path)
+            return
+        except ImportError:
+            pass
+    except ImportError:
+        pass
+    yield from _iter_frames_cv2(path)
 
 
 def probe_num_frames(path: str) -> int:
-    iio = _imageio()
-    meta = iio.improps(path, plugin="pyav")
-    n = getattr(meta, "n_images", None) or getattr(meta, "shape", (0,))[0]
-    return int(n)
+    try:
+        import imageio.v3 as iio
+
+        meta = iio.improps(path, plugin="pyav")
+        n = getattr(meta, "n_images", None) or getattr(meta, "shape", (0,))[0]
+        return int(n)
+    except Exception:
+        import cv2
+
+        cap = cv2.VideoCapture(path)
+        try:
+            return int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        finally:
+            cap.release()
 
 
 def iter_video_frames(path: str, stride: int = 25) -> Iterator[np.ndarray]:
     """Yield every stride-th frame as RGB uint8."""
-    iio = _imageio()
-    for i, frame in enumerate(iio.imiter(path, plugin="pyav")):
+    for i, frame in enumerate(_iter_all_frames(path)):
         if i % stride == 0:
-            yield np.asarray(frame)
+            yield frame
 
 
 def extract_frames(
@@ -99,10 +139,9 @@ class VideoClipReader:
     def read_clip(self, clip_index: int) -> np.ndarray:
         v, start = self.locate(clip_index)
         try:
-            iio = _imageio()
             frames = []
             want = set(range(start, start + self.seq_len))
-            for i, frame in enumerate(iio.imiter(self.paths[v], plugin="pyav")):
+            for i, frame in enumerate(_iter_all_frames(self.paths[v])):
                 k, r = divmod(i, self.stride)
                 if r == 0 and k in want:
                     frames.append(np.asarray(frame))
