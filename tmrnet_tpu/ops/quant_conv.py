@@ -22,29 +22,32 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(x_scale_ref, x_ref, w_ref, wscale_ref, o_ref):
+def _kernel(x_scale_ref, x_ref, w_ref, wscale_ref, o_ref, acc_ref):
     x = x_ref[:]                                         # (Nb, H, W, C) int8
     nb, h, w, c = x.shape
     co = o_ref.shape[-1]
     padded = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
 
-    acc = jnp.zeros((nb * h * w, co), jnp.int32)
+    # accumulate in a VMEM scratch ref: in-place updates give Mosaic explicit
+    # buffer reuse (a jnp-value accumulator keeps all nine tap products live
+    # at once and blows the 16 MB scoped-VMEM budget)
+    acc_ref[:] = jnp.zeros_like(acc_ref)
     for dy in range(3):  # static unroll: 9 int8 MXU matmuls
         for dx in range(3):
             xs = padded[:, dy:dy + h, dx:dx + w, :].reshape(nb * h * w, c)
-            acc = acc + jax.lax.dot_general(
+            acc_ref[:] += jax.lax.dot_general(
                 xs, w_ref[dy, dx], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
 
     scale = x_scale_ref[0] * wscale_ref[0, :]            # (Co,)
-    out = acc.astype(jnp.float32) * scale[None, :]
+    out = acc_ref[:].astype(jnp.float32) * scale[None, :]
     o_ref[:] = out.reshape(nb, h, w, co).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_n", "out_dtype",
                                              "interpret"))
 def int8_conv3x3(x_q: jax.Array, w_q: jax.Array, x_scale: jax.Array,
-                 w_scale: jax.Array, block_n: int = 8,
+                 w_scale: jax.Array, block_n: int = 4,
                  out_dtype=jnp.float32, interpret: bool = False) -> jax.Array:
     """x_q: (N, H, W, C) int8; w_q: (3, 3, C, Co) int8; x_scale scalar;
     w_scale (Co,) -> (N, H, W, Co) out_dtype. SAME padding, stride 1."""
@@ -67,6 +70,7 @@ def int8_conv3x3(x_q: jax.Array, w_q: jax.Array, x_scale: jax.Array,
         out_specs=pl.BlockSpec((nb, h, w, co), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h, w, co), out_dtype),
+        scratch_shapes=[pltpu.VMEM((nb * h * w, co), jnp.int32)],
         interpret=interpret,
     )(x_scale, x_q, w_q, w_scale)
 
