@@ -22,25 +22,26 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(x_scale_ref, x_ref, w_ref, wscale_ref, o_ref, acc_ref):
+def _kernel(x_scale_ref, x_ref, w_ref, wscale_ref, o_ref, col_ref):
     x = x_ref[:]                                         # (Nb, H, W, C) int8
     nb, h, w, c = x.shape
     co = o_ref.shape[-1]
     padded = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
 
-    # accumulate in a VMEM scratch ref: in-place updates give Mosaic explicit
-    # buffer reuse (a jnp-value accumulator keeps all nine tap products live
-    # at once and blows the 16 MB scoped-VMEM budget)
-    acc_ref[:] = jnp.zeros_like(acc_ref)
-    for dy in range(3):  # static unroll: 9 int8 MXU matmuls
+    # VMEM im2col: stack the nine taps on the channel axis so the contraction
+    # becomes ONE (Nb*H*W, 9C) @ (9C, Co) matmul — K=9C keeps the MXU full
+    # where per-tap K=C matmuls ran at half throughput.
+    for dy in range(3):
         for dx in range(3):
-            xs = padded[:, dy:dy + h, dx:dx + w, :].reshape(nb * h * w, c)
-            acc_ref[:] += jax.lax.dot_general(
-                xs, w_ref[dy, dx], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
+            tap = 3 * dy + dx
+            col_ref[:, :, :, tap * c:(tap + 1) * c] = (
+                padded[:, dy:dy + h, dx:dx + w, :])
 
+    acc = jax.lax.dot_general(
+        col_ref[:].reshape(nb * h * w, 9 * c), w_ref[:].reshape(9 * c, co),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
     scale = x_scale_ref[0] * wscale_ref[0, :]            # (Co,)
-    out = acc_ref[:].astype(jnp.float32) * scale[None, :]
+    out = acc.astype(jnp.float32) * scale[None, :]
     o_ref[:] = out.reshape(nb, h, w, co).astype(o_ref.dtype)
 
 
@@ -70,7 +71,7 @@ def int8_conv3x3(x_q: jax.Array, w_q: jax.Array, x_scale: jax.Array,
         out_specs=pl.BlockSpec((nb, h, w, co), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h, w, co), out_dtype),
-        scratch_shapes=[pltpu.VMEM((nb * h * w, co), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((nb, h, w, 9 * c), jnp.int8)],
         interpret=interpret,
     )(x_scale, x_q, w_q, w_scale)
 
