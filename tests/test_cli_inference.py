@@ -159,3 +159,28 @@ def test_cli_two_stage_with_orbax_checkpoints(tmp_path, tiny_cfg_json, capsys):
                  "--log-dir", str(tmp_path / "r2")]) == 0
     out = capsys.readouterr().out
     assert "best epoch" in out
+
+
+def test_cli_test_video_engine_matches_clip(tmp_path, tiny_cfg_json, capsys):
+    import json as _json
+
+    frames_dir, ann_dir = _write_frames_tree(tmp_path, n_videos=1, seconds=12)
+    manifest = tmp_path / "m.pkl"
+    main(["manifest", "--frames", str(frames_dir), "--annotations",
+          str(ann_dir), "--out", str(manifest)])
+    capsys.readouterr()
+
+    out_clip = tmp_path / "p_clip.npz"
+    assert main(["test", "--config", tiny_cfg_json, "--manifest",
+                 str(manifest), "--lfb", str(tmp_path / "b.npz"),
+                 "--out", str(out_clip)]) == 0
+    capsys.readouterr()
+    out_video = tmp_path / "p_video.npz"
+    assert main(["test", "--config", tiny_cfg_json, "--manifest",
+                 str(manifest), "--engine", "video",
+                 "--out", str(out_video)]) == 0
+    res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    a = np.load(out_clip)["preds"]
+    b = np.load(out_video)["preds"]
+    np.testing.assert_array_equal(a, b)
+    assert res["num_clips"] == len(b)

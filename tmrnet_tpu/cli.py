@@ -308,7 +308,10 @@ def cmd_test(args) -> int:
     ds = _dataset(cfg, m, False)
     _, variables = _restore_variables(cfg, cfg.model.head, args.ckpt,
                                       args.torch_ckpt, cfg.data.crop_size)
-    if args.lfb and os.path.exists(args.lfb):
+    bank = None
+    if args.engine == "video":
+        pass  # bank is built inside the fused video pass
+    elif args.lfb and os.path.exists(args.lfb):
         bank = load_bank(args.lfb)
     else:
         extractor_vars = variables
@@ -322,7 +325,54 @@ def cmd_test(args) -> int:
                      "batch_stats": extractor_vars.get("batch_stats", {})}
         bank = build_lfb(cfg, extractor, ds, cache_path=args.lfb,
                          force=not args.load_lfb)
-    res = ClipInference(cfg, variables, bank).run(ds)
+    if args.engine == "video":
+        # full-video engine: backbone once per frame, LFB build fused (no
+        # separate bank needed)
+        from tmrnet_tpu.data.transforms import EvalTransform
+        from tmrnet_tpu.eval.infer import VideoInference
+
+        extractor_vars2 = variables
+        if args.extractor_torch_ckpt or args.extractor_ckpt:
+            head = "stage1" if args.extractor_ckpt else "lfb"
+            _, extractor_vars2 = _restore_variables(
+                cfg, head, args.extractor_ckpt, args.extractor_torch_ckpt,
+                cfg.data.crop_size)
+        extractor2 = {
+            "params": {k: extractor_vars2["params"][k]
+                       for k in ("backbone", "encoder")},
+            "batch_stats": {"backbone":
+                            extractor_vars2["batch_stats"]["backbone"]}}
+        if cfg.data.test_crop_type in (5, 10):
+            raise SystemExit("--engine video does not support multi-crop "
+                             "eval; use --engine clip")
+        engine = VideoInference(cfg, variables, extractor2)
+        d = cfg.data
+        tf = EvalTransform(d.crop_size, d.resize, d.test_crop_type,
+                           d.mean, d.std)
+        from tmrnet_tpu.data.pipeline import load_frame
+
+        preds_all, scores_all = [], []
+        for video in m.videos:
+            frames = np.stack([load_frame(pth) for pth in video.frame_paths])
+            frames = tf(frames)  # per-frame deterministic eval transform
+            p, pr = engine.run_video(frames)
+            preds_all.append(p)
+            scores_all.append(pr)
+        res_preds = np.concatenate(preds_all)
+        res_scores = np.concatenate(scores_all)
+        labels_cat = np.concatenate([
+            v.labels[cfg.data.sequence_length - 1:][: max(
+                0, len(v) + 1 - cfg.data.sequence_length)]
+            for v in m.videos])
+        from tmrnet_tpu.eval.infer import InferenceResult
+
+        res = InferenceResult(
+            preds=res_preds, scores=res_scores,
+            rows=np.arange(len(res_preds)),
+            accuracy=float((res_preds == labels_cat).mean())
+            if res_preds.size else 0.0)
+    else:
+        res = ClipInference(cfg, variables, bank).run(ds)
     np.savez(args.out, preds=res.preds, scores=res.scores, rows=res.rows)
     # per-class precision/recall like the reference's sklearn report
     # (`train_singlenet_phase_1fc.py:655-658`)
@@ -448,6 +498,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--extractor-torch-ckpt")
     sp.add_argument("--lfb", help="test-set bank cache path")
     sp.add_argument("--load-lfb", action="store_true")
+    sp.add_argument("--engine", choices=["clip", "video"], default="clip",
+                    help="'video' = full-video engine (backbone once per "
+                         "frame, LFB build fused)")
     sp.add_argument("--out", default="./predictions.npz")
     sp.set_defaults(fn=cmd_test)
 
