@@ -98,6 +98,9 @@ def main():
     ap.add_argument("--use-pallas", action="store_true",
                     help="route NLBlock attention through the Pallas kernel")
     ap.add_argument("--mode", choices=["clip", "video"], default="clip")
+    ap.add_argument("--fused", action="store_true",
+                    help="route stride-1 bottlenecks through the fused "
+                         "Pallas block kernel")
     ap.add_argument("--profile", metavar="DIR",
                     help="capture a jax.profiler trace of the timed loop")
     ap.add_argument("--video-frames", type=int, default=1024)
@@ -136,11 +139,20 @@ def main():
                           use_pallas=args.use_pallas)
         model = build_model(cfg)
 
-    @jax.jit
-    def infer(variables, bank, clips, rows, firsts):
-        memory = gather_memory_windows(bank, rows, firsts, args.window)
-        logits = model.apply(variables, clips, memory, train=False)
-        return jnp.argmax(logits, axis=-1)
+    if args.fused:
+        from tmrnet_tpu.models.fused_resnet import fused_tmr_apply
+
+        @jax.jit
+        def infer(variables, bank, clips, rows, firsts):
+            memory = gather_memory_windows(bank, rows, firsts, args.window)
+            logits = fused_tmr_apply(variables, clips, memory)
+            return jnp.argmax(logits, axis=-1)
+    else:
+        @jax.jit
+        def infer(variables, bank, clips, rows, firsts):
+            memory = gather_memory_windows(bank, rows, firsts, args.window)
+            logits = model.apply(variables, clips, memory, train=False)
+            return jnp.argmax(logits, axis=-1)
 
     # warmup / compile. NOTE: sync via an actual device->host fetch
     # (np.asarray); on tunneled platforms block_until_ready can return before

@@ -55,13 +55,16 @@ def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, o_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("block_n", "interpret"))
-def fused_bottleneck(x, w1, b1, w2, b2, w3, b3, block_n: int = 8,
+def fused_bottleneck(x, w1, b1, w2, b2, w3, b3, block_n: int = 4,
                      interpret: bool = False):
     """x: (N, H, W, C); w1 (C, P), w2 (3, 3, P, P), w3 (P, C); biases are the
     BN-folded shifts. Returns relu(x + conv3(relu(conv2(relu(conv1(x))))))."""
     n, h, w, c = x.shape
     p = w1.shape[1]
     nb = min(block_n, n)
+    # weights ride in compute dtype (bf16): halves their VMEM footprint;
+    # biases stay f32 (added to f32 accumulators)
+    w1, w2, w3 = (jnp.asarray(wi, x.dtype) for wi in (w1, w2, w3))
     two_d = lambda b: jnp.asarray(b, jnp.float32).reshape(1, -1)
     full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                       memory_space=pltpu.VMEM)
