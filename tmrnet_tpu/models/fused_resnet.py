@@ -44,7 +44,7 @@ def _xla_bottleneck(x, p, stride):
 
 
 # per-stage fused-block batch tiles, sized to the 16 MB VMEM budget
-_BLOCK_N = {56: 2, 28: 2, 14: 4, 7: 16}
+_BLOCK_N = {56: 1, 28: 2, 14: 4, 7: 4}
 
 
 def apply_fused_resnet(folded_params: Dict, x: jax.Array,
