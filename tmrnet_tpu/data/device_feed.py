@@ -13,7 +13,6 @@ from collections import deque
 from typing import Iterable, Iterator, Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 

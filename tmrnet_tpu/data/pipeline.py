@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import dataclasses
 import queue
-import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Iterator, List, Optional, Sequence, Tuple
 

@@ -49,14 +49,8 @@ def _iter_all_frames(path: str) -> Iterator[np.ndarray]:
     """Decode backend selection: imageio/pyav if installed, else cv2's
     bundled ffmpeg (both are C decode paths)."""
     try:
-        import imageio.v3  # noqa: F401
-        from imageio.v3 import imiter
-
-        try:
-            yield from _iter_frames_imageio(path)
-            return
-        except ImportError:
-            pass
+        yield from _iter_frames_imageio(path)
+        return
     except ImportError:
         pass
     yield from _iter_frames_cv2(path)

@@ -18,8 +18,7 @@ Two paths, both jitted end-to-end:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Dict, Iterable, List, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

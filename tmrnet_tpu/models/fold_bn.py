@@ -14,10 +14,9 @@ skipped). Outputs are bit-comparable to eval-mode BN up to float rounding.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax.numpy as jnp
-import numpy as np
 
 
 def _fold_pair(conv: Dict, bn_params: Dict, bn_stats: Dict, eps: float = 1e-5

@@ -24,7 +24,7 @@ from flax import linen as nn
 from tmrnet_tpu.config import ModelConfig
 from tmrnet_tpu.models.blocks import NLBlock, TimeConv
 from tmrnet_tpu.models.lstm import LSTM
-from tmrnet_tpu.models.resnet import ResNet, resnet50, tiny_resnet
+from tmrnet_tpu.models.resnet import ResNet
 
 _xavier = nn.initializers.xavier_uniform()
 

@@ -21,8 +21,7 @@ a path is given (torch is a baked-in CPU dependency).
 
 from __future__ import annotations
 
-import re
-from typing import Any, Dict, Mapping, Optional, Sequence, Tuple
+from typing import Any, Dict, Mapping, Sequence, Tuple
 
 import numpy as np
 

@@ -13,11 +13,8 @@ round-2 quantized-backbone work (CLAUDE.md). Stride-1 only for now.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 

@@ -15,8 +15,6 @@ import os
 import shutil
 from typing import Any, Dict, Optional
 
-import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 
