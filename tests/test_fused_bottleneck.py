@@ -59,3 +59,27 @@ def test_fused_bottleneck_matches_folded_flax_block():
         block_n=2, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-4, rtol=1e-3)
+
+
+def test_tiled_fused_bottleneck_matches_oracle():
+    from tmrnet_tpu.ops.fused_bottleneck_tiled import fused_bottleneck_tiled
+
+    c, p = 64, 16
+    x = jax.random.normal(jax.random.PRNGKey(3), (4, 8, 8, c))
+    ws = _weights(c, p, seed=2)
+    got = fused_bottleneck_tiled(x, *ws, block_n=2, block_h=4, interpret=True)
+    want = fused_bottleneck_reference(x, *ws)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_tiled_fused_bottleneck_single_tile():
+    from tmrnet_tpu.ops.fused_bottleneck_tiled import fused_bottleneck_tiled
+
+    c, p = 32, 8
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 6, 6, c))
+    ws = _weights(c, p, seed=3)
+    got = fused_bottleneck_tiled(x, *ws, block_n=2, block_h=6, interpret=True)
+    want = fused_bottleneck_reference(x, *ws)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
