@@ -25,10 +25,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(xp_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, o_ref,
-            slab_ref, y1_ref, acc_ref, sem):
+            slab_ref, y1_ref, acc_ref, sem, *, out_w: int):
     nb, hpad, wpad, c = slab_ref.shape
     ht = hpad - 2
-    w = wpad - 2
+    w = out_w          # wpad is 8-aligned (Mosaic DMA tiling); true W passed in
     p = w1_ref.shape[1]
     i = pl.program_id(0)   # batch tile
     j = pl.program_id(1)   # H tile
@@ -49,7 +49,7 @@ def _kernel(xp_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, o_ref,
     # zero-padded X, where y1 = relu(b1) != 0 — zero those halo positions
     zeros_row = jnp.zeros((nb, 1, wpad, p), y1_ref.dtype)
     y1_ref[:, :, 0:1, :] = jnp.zeros((nb, hpad, 1, p), y1_ref.dtype)
-    y1_ref[:, :, wpad - 1:wpad, :] = jnp.zeros((nb, hpad, 1, p), y1_ref.dtype)
+    y1_ref[:, :, w + 1:w + 2, :] = jnp.zeros((nb, hpad, 1, p), y1_ref.dtype)
 
     @pl.when(j == 0)
     def _():
@@ -93,13 +93,16 @@ def fused_bottleneck_tiled(x, w1, b1, w2, b2, w3, b3, block_n: int = 8,
     p = w1.shape[1]
     nb = min(block_n, n)
     ht = min(block_h, h)
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # W side pads to an 8-aligned slab width (Mosaic DMA slices must align
+    # the second-to-last dim to the (8, 128) tiling)
+    wpad = -(-(w + 2) // 8) * 8
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, wpad - w - 1), (0, 0)))
     w1, w2, w3 = (jnp.asarray(wi, x.dtype) for wi in (w1, w2, w3))
     two_d = lambda b: jnp.asarray(b, jnp.float32).reshape(1, -1)
     full = lambda shape: pl.BlockSpec(shape, lambda i, j: tuple(
         0 for _ in shape), memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, out_w=w),
         grid=(pl.cdiv(n, nb), pl.cdiv(h, ht)),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # padded x stays in HBM
@@ -111,8 +114,8 @@ def fused_bottleneck_tiled(x, w1, b1, w2, b2, w3, b3, block_n: int = 8,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h, w, c), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((nb, ht + 2, w + 2, c), x.dtype),   # halo'd x slab
-            pltpu.VMEM((nb, ht + 2, w + 2, p), x.dtype),   # y1 slab
+            pltpu.VMEM((nb, ht + 2, wpad, c), x.dtype),    # halo'd x slab
+            pltpu.VMEM((nb, ht + 2, wpad, p), x.dtype),    # y1 slab
             pltpu.VMEM((nb * ht * w, p), jnp.float32),     # conv2 accumulator
             pltpu.SemaphoreType.DMA,
         ],
