@@ -174,10 +174,16 @@ void tmr_preprocess_batch(const uint8_t* in, int n, int ih, int iw,
                           const int* crop_y, const int* crop_x, int crop,
                           const uint8_t* flip, const float* mean,
                           const float* stdev, float* out, int num_threads) {
-  float inv_std[3], mu[3];
+  // Per-channel 256-entry lookup tables: the uint8->normalized-float map has
+  // only 768 distinct values, so the inner loop is three table reads per
+  // pixel — faster than per-pixel multiply-subtract and exact.
+  float lut[3][256];
   for (int c = 0; c < 3; ++c) {
-    inv_std[c] = 1.0f / (255.0f * stdev[c]);
-    mu[c] = mean[c] / stdev[c];
+    const float inv_std = 1.0f / (255.0f * stdev[c]);
+    const float mu = mean[c] / stdev[c];
+    for (int v = 0; v < 256; ++v) {
+      lut[c][v] = v * inv_std - mu;
+    }
   }
   pfor(n, num_threads, [&](int i) {
     const uint8_t* src = in + static_cast<size_t>(i) * ih * iw * 3;
@@ -187,10 +193,19 @@ void tmr_preprocess_batch(const uint8_t* in, int n, int ih, int iw,
     for (int y = 0; y < crop; ++y) {
       const uint8_t* srow = src + (static_cast<size_t>(cy + y) * iw + cx) * 3;
       float* drow = dst + static_cast<size_t>(y) * crop * 3;
-      for (int x = 0; x < crop; ++x) {
-        const int sx2 = fl ? (crop - 1 - x) : x;
-        for (int c = 0; c < 3; ++c) {
-          drow[3 * x + c] = srow[3 * sx2 + c] * inv_std[c] - mu[c];
+      if (!fl) {
+        const int m = crop * 3;
+        for (int k = 0; k + 2 < m; k += 3) {
+          drow[k] = lut[0][srow[k]];
+          drow[k + 1] = lut[1][srow[k + 1]];
+          drow[k + 2] = lut[2][srow[k + 2]];
+        }
+      } else {
+        for (int x = 0; x < crop; ++x) {
+          const uint8_t* px = srow + 3 * (crop - 1 - x);
+          drow[3 * x] = lut[0][px[0]];
+          drow[3 * x + 1] = lut[1][px[1]];
+          drow[3 * x + 2] = lut[2][px[2]];
         }
       }
     }
