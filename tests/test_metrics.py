@@ -200,3 +200,41 @@ def test_classification_metrics_against_sklearn():
         sklearn.recall_score(y, p, average=None, labels=range(5), zero_division=0),
     )
     assert m["accuracy"] == pytest.approx(sklearn.accuracy_score(y, p))
+
+
+def test_single_phase_video():
+    # whole video is one phase: other phases NaN, that phase 100
+    gt = np.full(120, 3)
+    s = relaxed_evaluate(gt, gt.copy())
+    assert s.accuracy == 100.0
+    assert s.jaccard[3] == 100.0
+    assert np.isnan(np.delete(s.jaccard, 3)).all()
+    rep = aggregate_videos([s])
+    assert np.isnan(rep.mean_jaccard)  # plain mean over NaN phases, like Main.m
+    assert rep.mean_accuracy == 100.0
+
+
+def test_multiple_transitions_each_get_relaxation():
+    # consecutive increasing transitions: each new run's start forgives the
+    # late diff==-1 independently
+    gt = np.array([0] * 20 + [1] * 20 + [2] * 20)
+    pred = np.array([0] * 22 + [1] * 20 + [2] * 18)  # 2 frames late, twice
+    s = relaxed_evaluate(gt, pred, quirk_compat=False)
+    assert s.accuracy == 100.0
+
+
+def test_decreasing_transition_not_forgiven():
+    # the protocol forgives late entries (diff -1 at run start) and early
+    # advances (diff +1 at run end) — never a return to a LOWER phase
+    gt = np.array([0] * 20 + [1] * 20 + [0] * 20)
+    pred = np.array([0] * 22 + [1] * 16 + [0] * 22)
+    s = relaxed_evaluate(gt, pred, quirk_compat=False)
+    assert s.accuracy == pytest.approx(100.0 * 58 / 60)
+
+
+def test_quirk_default_is_matlab_behavior():
+    # default call must use quirk semantics (what published numbers used)
+    gt = np.array([0] * 30 + [1] * 30)
+    pred = np.array([0] * 25 + [1] * 35)
+    assert relaxed_evaluate(gt, pred).accuracy == relaxed_evaluate(
+        gt, pred, quirk_compat=True).accuracy

@@ -91,3 +91,23 @@ def test_streaming_multiple_independent_streams():
         for t in range(n):
             st, p, _, _ = stream.step(st, vid[t][None])
             assert int(p[0]) == batched[t, i]
+
+
+def test_streaming_nl_only_head():
+    import dataclasses as dc
+
+    cfg = _cfg()
+    cfg = dc.replace(cfg, model=dc.replace(cfg.model, head="nl_only"))
+    variables, extractor = _variables(cfg, key=9)
+    n = 10
+    frames = np.random.RandomState(2).rand(n, HW, HW, 3).astype(np.float32)
+    offline = VideoInference(cfg, variables, extractor, pad_frames=n)
+    off_preds, _ = offline.run_video(frames)
+    stream = StreamingInference(cfg, variables, extractor)
+    state = stream.init_state(1)
+    preds = []
+    for t in range(n):
+        state, p, _, valid = stream.step(state, frames[t][None])
+        if bool(valid[0]):
+            preds.append(int(p[0]))
+    np.testing.assert_array_equal(np.asarray(preds), off_preds)
