@@ -190,3 +190,48 @@ def test_adam_matches_torch_two_steps():
         p = optax.apply_updates(p, updates)
     np.testing.assert_allclose(np.asarray(p["head"]["w"]),
                                tw.detach().numpy(), rtol=1e-4, atol=1e-6)
+
+
+def test_padded_labels_masked_in_loss_and_metrics():
+    """Batch padding (label -1) contributes zero loss and is excluded from
+    correct/count — the train epoch accounting depends on this. (BN train-mode
+    batch stats still see padded rows: unavoidable with static shapes.)"""
+    cfg = _tiny_cfg("stage1")
+    model = build_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    clips = jax.random.normal(rng, (4, 3, 16, 16, 3))
+    variables = model.init(rng, clips)
+    tx = make_optimizer(TrainConfig(optimizer="sgd", lr=0.05),
+                        variables["params"])
+    train_step, eval_step = make_stage1_steps(class_weights=np.ones(4))
+
+    labels_full = jnp.array([0, 1, 2, 3])
+    labels_pad = jnp.array([0, 1, -1, -1])  # last two rows are padding
+
+    # train_step donates its state, so give it a copy of the variables
+    state = create_train_state(
+        model, jax.tree_util.tree_map(jnp.copy, variables), tx)
+    _, m_pad = train_step(state, clips, labels_pad, jax.random.PRNGKey(7))
+    assert int(m_pad["count"]) == 2
+    assert int(m_pad["correct"]) <= 2
+
+    # loss of the padded batch == loss of just the first two rows
+    em = eval_step(create_train_state(model, variables, tx), clips, labels_pad)
+    em2 = eval_step(create_train_state(model, variables, tx), clips[:2],
+                    labels_full[:2])
+    np.testing.assert_allclose(float(em["loss"]), float(em2["loss"]),
+                               rtol=1e-5)
+    # per-sample losses are exactly zero at padded rows
+    assert np.asarray(em["losses"])[2:].sum() == 0.0
+
+
+def test_clip_loader_pads_with_negative_labels():
+    from tests.test_data_pipeline import _toy_setup  # type: ignore
+    from tmrnet_tpu.data.pipeline import ClipLoader
+
+    ds, _ = _toy_setup()  # 34 clips
+    loader = ClipLoader(ds, batch_clips=8, shuffle=False, num_workers=1)
+    clips, labels, rows, pad = list(loader.epoch(0))[-1]
+    assert pad == 6
+    assert (labels[-pad:] == -1).all()
+    assert (labels[:-pad] >= 0).all()

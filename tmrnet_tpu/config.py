@@ -68,9 +68,9 @@ class DataConfig:
     use_flip: bool = True
     rotate_degrees: float = 5.0
     color_jitter: float = 0.1
-    # Test-time crop type: 0 random / 1 center / 2 resize-only
-    # (five/ten-crop of the reference are intentionally unsupported: never used
-    # by its published configs).
+    # Test-time crop type (matches the reference's --crop flag): 0 random /
+    # 1 center / 2 resize-only / 5 five-crop / 10 ten-crop. Five/ten-crop
+    # scores are softmax-averaged over crops in ClipInference.run.
     test_crop_type: int = 1
     mean: Tuple[float, float, float] = CHOLEC80_MEAN
     std: Tuple[float, float, float] = CHOLEC80_STD

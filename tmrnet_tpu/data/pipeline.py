@@ -131,8 +131,13 @@ class ClipLoader:
                                      np.repeat(batch_rows[-1:], pad)])
             clips, labels = zip(*(self.ds.get_clip(int(r), epoch)
                                   for r in padded))
-            return (np.stack(clips).astype(np.float32),
-                    np.asarray(labels, np.int64), padded, pad)
+            labels = np.asarray(labels, np.int64)
+            if pad:
+                # padded rows repeat the last clip; label -1 marks them so the
+                # loss/metrics mask them out (weighted_cross_entropy ignores
+                # negative labels)
+                labels[len(batch_rows):] = -1
+            return np.stack(clips).astype(np.float32), labels, padded, pad
 
         batches = [rows[i:i + self.batch]
                    for i in range(0, len(rows), self.batch)]

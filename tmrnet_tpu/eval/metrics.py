@@ -196,7 +196,12 @@ class ProtocolReport:
 
 
 def _nanmean(x, axis=None):
-    with np.errstate(invalid="ignore"):
+    # all-NaN slices (a phase absent from a video) are expected; NaN out is
+    # the MATLAB behavior, so silence numpy's "Mean of empty slice" warning
+    import warnings
+
+    with np.errstate(invalid="ignore"), warnings.catch_warnings():
+        warnings.simplefilter("ignore", category=RuntimeWarning)
         out = np.nanmean(x, axis=axis)
     return out
 

@@ -105,7 +105,7 @@ def fused_bottleneck_tiled(x, w1, b1, w2, b2, w3, b3, block_n: int = 8,
         functools.partial(_kernel, out_w=w),
         grid=(pl.cdiv(n, nb), pl.cdiv(h, ht)),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # padded x stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # padded x stays in HBM
             full((c, p)), full((1, p)),
             full((3, 3, p, p)), full((1, p)),
             full((p, c)), full((1, c)),

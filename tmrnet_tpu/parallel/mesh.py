@@ -102,27 +102,44 @@ def shard_batch(mesh: Mesh, *arrays, data_axis: str = "data"):
     return out[0] if len(out) == 1 else out
 
 
+def _path_keys(path) -> Tuple[str, ...]:
+    return tuple(str(getattr(p, "key", getattr(p, "name", p))) for p in path)
+
+
 def shard_state(mesh: Mesh, state, use_tp: bool = True):
     """Place a TrainState: params per TP rules, everything else replicated
-    except optimizer slots, which follow their parameter's sharding."""
+    except optimizer slots, which follow their parameter's sharding.
+
+    Optimizer slots (momentum/adam moments) live inside the optax state under
+    the same nested param-dict keys as the parameter itself, so each slot leaf
+    is matched STRUCTURALLY: the longest path suffix that names a parameter,
+    with a shape check. (A shape-keyed lookup would silently misplace slots
+    the first time two same-shaped params get different specs.)"""
     psh = param_shardings(mesh, state.params, use_tp=use_tp)
     rep = replicated_sharding(mesh)
 
     params = jax.device_put(state.params, psh)
 
-    def place_opt(leaf):
+    # param path (tuple of dict keys) -> (shape, sharding)
+    by_path = {}
+
+    def record(path, leaf, sh):
+        by_path[_path_keys(path)] = (np.shape(leaf), sh)
+
+    jax.tree_util.tree_map_with_path(
+        record, state.params, psh)
+
+    def place_opt_leaf(path, leaf):
+        keys = _path_keys(path)
+        shape = np.shape(leaf)
+        for i in range(len(keys)):  # longest suffix first
+            hit = by_path.get(keys[i:])
+            if hit is not None and hit[0] == shape:
+                return jax.device_put(leaf, hit[1])
         return jax.device_put(leaf, rep)
 
-    # momentum/adam slots mirror param shapes; find matching shardings by shape
-    flat_psh = {np.shape(v): s for v, s in zip(
-        jax.tree_util.tree_leaves(state.params),
-        jax.tree_util.tree_leaves(psh, is_leaf=lambda x: isinstance(x, NamedSharding)))}
-
-    def place_opt_leaf(leaf):
-        sh = flat_psh.get(np.shape(leaf), rep)
-        return jax.device_put(leaf, sh)
-
-    opt_state = jax.tree_util.tree_map(place_opt_leaf, state.opt_state)
+    opt_state = jax.tree_util.tree_map_with_path(place_opt_leaf,
+                                                 state.opt_state)
     batch_stats = jax.device_put(state.batch_stats, rep)
     return state.replace(params=params, opt_state=opt_state,
                          batch_stats=batch_stats,

@@ -102,13 +102,13 @@ def _run_epoch_train(train_step, state, loader, epoch, rng, use_memory,
         else:
             state, m = train_step(state, jnp.asarray(clips),
                                   jnp.asarray(labels), step_rng)
-        b = len(rows) - pad
-        loss_sum += float(m["loss"])
+        b = len(rows) - pad  # valid (non-padded) samples this batch
+        loss_sum += float(m["loss"])  # loss already masks padding (label -1)
         correct += int(m["correct"])
-        count += len(rows)
-        timer.add_frames(clips.shape[0] * clips.shape[1])
+        count += b
+        timer.add_frames(b * clips.shape[1])
         if log is not None and (i + 1) % log_every == 0:
-            log.log(int(state.step), {"loss": float(m["loss"]) / len(rows),
+            log.log(int(state.step), {"loss": float(m["loss"]) / max(b, 1),
                                       "fps": timer.fps}, prefix="train/")
         if (minibatch_val is not None and minibatch_val_every
                 and (i + 1) % minibatch_val_every == 0):

@@ -45,11 +45,15 @@ def weighted_cross_entropy(
     if label_smoothing > 0.0:
         onehot = onehot * (1.0 - label_smoothing) + label_smoothing / num_classes
     per_sample = -(onehot * logp).sum(axis=-1)
+    # negative labels mark batch padding: zero loss and zero sample weight
+    valid = (labels >= 0).astype(jnp.float32)
+    per_sample = per_sample * valid
     if class_weights is not None:
-        w = jnp.take(jnp.asarray(class_weights, jnp.float32), labels)
+        w = jnp.take(jnp.asarray(class_weights, jnp.float32),
+                     jnp.maximum(labels, 0)) * valid
         per_sample = per_sample * w
     else:
-        w = jnp.ones_like(per_sample)
+        w = valid
     if reduction == "sum":
         return per_sample.sum()
     if reduction == "mean":

@@ -43,10 +43,11 @@ def _make_steps(has_memory: bool, class_weights, loss_reduction: str = "sum"):
             state, state.params, tuple(inputs), labels, rng)
         state = state.apply_gradients(grads, new_bs)
         preds = jnp.argmax(logits, axis=-1)
+        valid = labels >= 0  # negative labels mark batch padding
         metrics = {
             "loss": loss,
-            "correct": (preds == labels).sum(),
-            "count": jnp.asarray(labels.shape[0], jnp.int32),
+            "correct": ((preds == labels) & valid).sum(),
+            "count": valid.sum().astype(jnp.int32),
         }
         return state, metrics
 
@@ -57,12 +58,13 @@ def _make_steps(has_memory: bool, class_weights, loss_reduction: str = "sum"):
         logits = out[:, -1, :] if out.ndim == 3 else out
         loss = weighted_cross_entropy(logits, labels, w, loss_reduction)
         preds = jnp.argmax(logits, axis=-1)
+        valid = labels >= 0  # negative labels mark batch padding
         return {
             "loss": loss,
             # per-sample losses let the host mask batch padding exactly
             "losses": weighted_cross_entropy(logits, labels, w, "none"),
-            "correct": (preds == labels).sum(),
-            "count": jnp.asarray(labels.shape[0], jnp.int32),
+            "correct": ((preds == labels) & valid).sum(),
+            "count": valid.sum().astype(jnp.int32),
             "preds": preds,
             "probs": jax.nn.softmax(logits.astype(jnp.float32), axis=-1),
         }
