@@ -102,6 +102,37 @@ def _load_manifest(path: str, split: str = "train"):
     return primary
 
 
+def _mesh_for(cfg):
+    """Build the device mesh when the config or the host calls for one.
+
+    Mirrors the reference drivers' default multi-GPU behavior (DataParallel
+    over all visible devices, `train_non-local_mutiConv_resnet.py:710-778`):
+    with >1 visible device a data-parallel mesh is built automatically;
+    explicit `--set mesh.data_parallel=N` / `mesh.model_parallel=N` force one
+    regardless. Returns None on a single default device (plain jit path)."""
+    m = cfg.mesh
+    if m.multihost:
+        # DCN init must precede the first backend query
+        from tmrnet_tpu.parallel.mesh import initialize_multihost
+
+        initialize_multihost()
+    import jax
+
+    n_dev = len(jax.devices())
+    explicit = m.data_parallel != -1 or m.model_parallel > 1
+    if not explicit and n_dev <= 1:
+        return None
+    from tmrnet_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(m)
+    dp = mesh.shape[m.data_axis]
+    if cfg.data.batch_clips % dp != 0:
+        raise SystemExit(
+            f"data.batch_clips={cfg.data.batch_clips} must be divisible by "
+            f"the data-parallel axis ({dp}); set --set data.batch_clips=...")
+    return mesh
+
+
 def _dataset(cfg, manifest, train: bool):
     from tmrnet_tpu.data.pipeline import ClipDataset
     from tmrnet_tpu.data.transforms import EvalTransform, TrainTransform
@@ -231,7 +262,8 @@ def cmd_train_bank(args) -> int:
         init = variables
     state, hist = train_stage1(cfg, _dataset(cfg, train_m, True),
                                _dataset(cfg, val_m, False),
-                               init_variables=init, log=log)
+                               init_variables=init, mesh=_mesh_for(cfg),
+                               log=log)
     best = max(hist, key=lambda h: h.val_acc)
     print(f"best epoch {best.epoch}: val_acc={best.val_acc:.4f}")
     return 0
@@ -292,7 +324,7 @@ def cmd_train_tmr(args) -> int:
     state, hist = train_stage2(
         cfg, _dataset(cfg, train_m, True), bank,
         _dataset(cfg, val_m, False) if val_m else None, val_bank,
-        init_variables=init, log=log)
+        init_variables=init, mesh=_mesh_for(cfg), log=log)
     best = max(hist, key=lambda h: h.val_acc)
     print(f"best epoch {best.epoch}: val_acc={best.val_acc:.4f}")
     return 0
@@ -345,7 +377,8 @@ def cmd_test(args) -> int:
         if cfg.data.test_crop_type in (5, 10):
             raise SystemExit("--engine video does not support multi-crop "
                              "eval; use --engine clip")
-        engine = VideoInference(cfg, variables, extractor2)
+        engine = VideoInference(cfg, variables, extractor2,
+                                mesh=_mesh_for(cfg))
         d = cfg.data
         tf = EvalTransform(d.crop_size, d.resize, d.test_crop_type,
                            d.mean, d.std)
@@ -372,7 +405,7 @@ def cmd_test(args) -> int:
             accuracy=float((res_preds == labels_cat).mean())
             if res_preds.size else 0.0)
     else:
-        res = ClipInference(cfg, variables, bank).run(ds)
+        res = ClipInference(cfg, variables, bank, mesh=_mesh_for(cfg)).run(ds)
     np.savez(args.out, preds=res.preds, scores=res.scores, rows=res.rows)
     # per-class precision/recall like the reference's sklearn report
     # (`train_singlenet_phase_1fc.py:655-658`)

@@ -186,6 +186,19 @@ def _fit(cfg: ExperimentConfig, model, train_ds: ClipDataset,
 
     if mesh is not None:
         state, _ = _maybe_shard(mesh, state)
+        # the feature bank must live on the mesh's device set, or the jitted
+        # step sees inputs committed to incompatible devices; replicate it
+        # (Cholec80-scale bank is ~90 MB bf16 — cheap next to activations)
+        from tmrnet_tpu.parallel.mesh import replicated_sharding
+
+        rep = replicated_sharding(mesh)
+        if bank is not None:
+            bank = FeatureBank(features=jax.device_put(bank.features, rep),
+                               first_rows=bank.first_rows)
+        if val_bank is not None:
+            val_bank = FeatureBank(
+                features=jax.device_put(val_bank.features, rep),
+                first_rows=val_bank.first_rows)
 
     schedule = make_schedule(t)
     tracker = BestTracker()
