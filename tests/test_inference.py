@@ -169,3 +169,62 @@ def test_clip_inference_ten_crop(tmp_path):
     assert res.preds.shape == (ds.num_clips,)
     assert res.scores.shape == (ds.num_clips, 4)
     np.testing.assert_allclose(res.scores.sum(axis=-1), 1.0, atol=1e-5)
+
+
+def test_compat_cross_video_flag_flips_clip_inference(tmp_path):
+    """memory.compat_cross_video routes the reference-quirk window table into
+    a real eval step: scores diverge from the clamped default exactly at the
+    rows whose lookback crosses a video boundary (the first `window` clips of
+    every video after the first), and nowhere else
+    (`train_non-local_mutiConv_resnet.py:298-326`)."""
+    cfg = _cfg(tmp_path)
+    manifest, store = _synthetic(n_videos=2, frames=16)
+    ds = ClipDataset(manifest, SEQ, frame_loader=array_frame_loader(store))
+    variables, extractor = _init_models(cfg)
+    bank = build_lfb(cfg, extractor, ds, cache_path=None)
+
+    res_clamped = ClipInference(cfg, variables, bank).run(ds)
+    cfg_q = dataclasses.replace(
+        cfg, memory=dataclasses.replace(cfg.memory, compat_cross_video=True))
+    res_quirk = ClipInference(cfg_q, variables, bank).run(ds)
+
+    diff = np.abs(res_clamped.scores - res_quirk.scores).max(axis=1) > 1e-6
+    cpv = 16 - SEQ + 1  # 13 clips per video
+    window = cfg.memory.window
+    # video 0: quirk == clamp (within-video walk repeats the first row too)
+    assert not diff[:cpv].any()
+    # video 1: first `window` rows look back across the boundary
+    assert diff[cpv: cpv + window].any()
+    # beyond the window the lookback never leaves the video: identical again
+    assert not diff[cpv + window:].any()
+
+
+def test_compat_cross_video_flag_flips_training(tmp_path):
+    """The flag reaches train_stage2's gather: validation predictions after
+    one epoch differ between quirk and clamped runs on a multi-video set."""
+    import dataclasses as dc
+
+    from tmrnet_tpu.train.loop import train_stage2
+
+    cfg = _cfg(tmp_path)
+    cfg = dc.replace(cfg, train=TrainConfig(
+        epochs=1, lr=0.05, checkpoint_dir=str(tmp_path / "ck_a"), seed=3))
+    manifest, store = _synthetic(n_videos=2, frames=16)
+    ds = ClipDataset(manifest, SEQ, frame_loader=array_frame_loader(store))
+    variables, extractor = _init_models(cfg)
+    bank = build_lfb(cfg, extractor, ds, cache_path=None)
+    # distinctive bank rows so window differences are visible in the loss
+    feats = np.arange(bank.num_rows, dtype=np.float32)[:, None].repeat(
+        bank.feature_dim, 1)
+    bank = FeatureBank(jnp.asarray(feats), bank.first_rows)
+
+    copy = lambda v: jax.tree_util.tree_map(jnp.copy, v)  # noqa: E731
+    _, hist_a = train_stage2(cfg, ds, bank, ds, bank,
+                             init_variables=copy(variables))
+    cfg_q = dc.replace(
+        cfg,
+        memory=dc.replace(cfg.memory, compat_cross_video=True),
+        train=dc.replace(cfg.train, checkpoint_dir=str(tmp_path / "ck_b")))
+    _, hist_b = train_stage2(cfg_q, ds, bank, ds, bank,
+                             init_variables=copy(variables))
+    assert hist_a[-1].val_loss != hist_b[-1].val_loss

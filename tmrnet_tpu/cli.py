@@ -377,6 +377,11 @@ def cmd_test(args) -> int:
         if cfg.data.test_crop_type in (5, 10):
             raise SystemExit("--engine video does not support multi-crop "
                              "eval; use --engine clip")
+        if cfg.memory.compat_cross_video:
+            raise SystemExit(
+                "--engine video builds per-video memory windows; the "
+                "reference cross-video quirk (memory.compat_cross_video) "
+                "requires --engine clip")
         engine = VideoInference(cfg, variables, extractor2,
                                 mesh=_mesh_for(cfg))
         d = cfg.data

@@ -89,6 +89,16 @@ def memory_window_rows(rows, first_rows, window: int):
     return xp.maximum(rows - ks, first)
 
 
+def quirk_window_table(seq_len: int, video_lengths: Sequence[int],
+                       window: int) -> np.ndarray:
+    """Precomputed (num_rows, window) reference-quirk window table for a whole
+    dataset: row r's memory window rows under the reference's dict walk
+    (cross-video lookback included). Indexed per batch as table[rows]; the
+    gather itself stays on device."""
+    starts = clip_start_indices(seq_len, video_lengths)
+    return memory_window_rows_reference(starts, seq_len, video_lengths, window)
+
+
 def memory_window_rows_reference(
     start_frames: Sequence[int],
     seq_len: int,

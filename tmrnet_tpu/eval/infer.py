@@ -54,11 +54,14 @@ class ClipInference:
         self.cfg = cfg
         self.mesh = mesh
         model = build_model(cfg.model)
-        window = cfg.memory.window
+        self.window = cfg.memory.window
 
         @jax.jit
-        def infer(variables, features, clips, rows, firsts):
-            memory = gather_memory_windows(features, rows, firsts, window)
+        def infer(variables, features, clips, idx):
+            # idx: (B, window) bank rows, computed host-side — either the
+            # clamped windows (paper intent) or the reference-quirk table
+            # (memory.compat_cross_video); the gather runs on device
+            memory = jnp.take(features, idx, axis=0)
             logits = model.apply(variables, clips, memory, train=False)
             probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
             return jnp.argmax(probs, axis=-1), probs
@@ -81,6 +84,20 @@ class ClipInference:
                             num_workers=self.cfg.data.num_workers,
                             prefetch=self.cfg.data.prefetch)
         first_rows = ds.first_rows
+        quirk_table = None
+        if self.cfg.memory.compat_cross_video:
+            from tmrnet_tpu.data.indexing import quirk_window_table
+
+            quirk_table = quirk_window_table(
+                ds.seq_len, ds.manifest.video_lengths, self.window)
+
+        def window_idx(r: np.ndarray) -> np.ndarray:
+            if quirk_table is not None:
+                return quirk_table[r].astype(np.int32)
+            from tmrnet_tpu.data.indexing import memory_window_rows
+
+            return memory_window_rows(r, first_rows[r],
+                                      self.window).astype(np.int32)
 
         def host_batches():
             for clips, labels, rows, pad in loader.epoch(0):
@@ -88,18 +105,17 @@ class ClipInference:
                 if clips.ndim == 6:  # multi-crop eval: (B, ncrops, T, H, W, C)
                     ncrops = clips.shape[1]
                     clips = clips.reshape((-1,) + clips.shape[2:])
-                r = np.repeat(rows, ncrops).astype(np.int32)
-                yield (clips.astype(np.float32), r,
-                       first_rows[rows].repeat(ncrops).astype(np.int32),
+                r = np.repeat(rows, ncrops)
+                yield (clips.astype(np.float32), window_idx(r),
                        labels, rows, pad, ncrops)
 
         preds_all, scores_all, rows_all, labels_all = [], [], [], []
-        for (clips_d, rows_d, firsts_d, labels, rows, pad,
+        for (clips_d, idx_d, labels, rows, pad,
              ncrops) in device_prefetch(host_batches(), mesh=self.mesh,
-                                        array_indices=(0, 1, 2)):
+                                        array_indices=(0, 1)):
             b = len(rows) - pad
             _, probs = self._infer(
-                self.variables, self.bank.features, clips_d, rows_d, firsts_d)
+                self.variables, self.bank.features, clips_d, idx_d)
             probs = np.asarray(probs)
             if ncrops > 1:  # average softmax over crops (multi-crop protocol)
                 probs = probs.reshape(len(rows), ncrops, -1).mean(axis=1)

@@ -76,14 +76,40 @@ def _init_state(cfg: ExperimentConfig, model, sample_inputs,
     return create_train_state(model, init_variables, tx)
 
 
-def _memory_for(bank: FeatureBank, rows: np.ndarray, first_rows: np.ndarray,
-                window: int) -> jax.Array:
-    return gather_memory_windows(bank.features, jnp.asarray(rows, jnp.int32),
-                                 jnp.asarray(first_rows, jnp.int32), window)
+def _make_memory_fn(cfg: ExperimentConfig, ds: Optional[ClipDataset],
+                    bank: Optional[FeatureBank], window: int
+                    ) -> Optional[Callable]:
+    """rows -> (B, window, F) memory gather for one dataset/bank pair.
+
+    Default: clamped on-device window (paper intent). With
+    `memory.compat_cross_video` the reference's dict-walk semantics are used —
+    lookback silently crosses video boundaries through the previous video's
+    tail frames (`train_non-local_mutiConv_resnet.py:298-326`) — via a
+    precomputed host table; the gather itself stays on device."""
+    if bank is None or ds is None:
+        return None
+    if cfg.memory.compat_cross_video:
+        from tmrnet_tpu.data.indexing import quirk_window_table
+
+        table = quirk_window_table(ds.seq_len, ds.manifest.video_lengths,
+                                   window).astype(np.int32)
+
+        def fn(rows):
+            return jnp.take(bank.features, jnp.asarray(table[rows]), axis=0)
+
+        return fn
+    first_rows_all = ds.first_rows
+
+    def fn(rows):
+        return gather_memory_windows(
+            bank.features, jnp.asarray(rows, jnp.int32),
+            jnp.asarray(first_rows_all[rows], jnp.int32), window)
+
+    return fn
 
 
-def _run_epoch_train(train_step, state, loader, epoch, rng, use_memory,
-                     bank=None, window=0, first_rows_all=None, mesh=None,
+def _run_epoch_train(train_step, state, loader, epoch, rng,
+                     memory_fn: Optional[Callable] = None, mesh=None,
                      log: Optional[MetricLogger] = None, log_every: int = 50,
                      minibatch_val: Optional[Callable] = None,
                      minibatch_val_every: int = 0):
@@ -95,9 +121,8 @@ def _run_epoch_train(train_step, state, loader, epoch, rng, use_memory,
             from tmrnet_tpu.parallel.mesh import shard_batch
 
             clips, labels = shard_batch(mesh, clips, labels)
-        if use_memory:
-            memory = _memory_for(bank, rows, first_rows_all[rows], window)
-            state, m = train_step(state, jnp.asarray(clips), memory,
+        if memory_fn is not None:
+            state, m = train_step(state, jnp.asarray(clips), memory_fn(rows),
                                   jnp.asarray(labels), step_rng)
         else:
             state, m = train_step(state, jnp.asarray(clips),
@@ -118,14 +143,14 @@ def _run_epoch_train(train_step, state, loader, epoch, rng, use_memory,
     return state, loss_sum / max(count, 1), correct / max(count, 1)
 
 
-def _run_epoch_eval(eval_step, state, loader, use_memory, bank=None, window=0,
-                    first_rows_all=None):
+def _run_epoch_eval(eval_step, state, loader,
+                    memory_fn: Optional[Callable] = None):
     loss_sum, correct, count = 0.0, 0, 0
     all_preds, all_labels, all_rows = [], [], []
     for clips, labels, rows, pad in loader.epoch(0):
-        if use_memory:
-            memory = _memory_for(bank, rows, first_rows_all[rows], window)
-            m = eval_step(state, jnp.asarray(clips), memory, jnp.asarray(labels))
+        if memory_fn is not None:
+            m = eval_step(state, jnp.asarray(clips), memory_fn(rows),
+                          jnp.asarray(labels))
         else:
             m = eval_step(state, jnp.asarray(clips), jnp.asarray(labels))
         b = len(rows) - pad
@@ -203,21 +228,21 @@ def _fit(cfg: ExperimentConfig, model, train_ds: ClipDataset,
     schedule = make_schedule(t)
     tracker = BestTracker()
     rng = jax.random.PRNGKey(t.seed)
-    first_rows_all = train_ds.first_rows if use_memory else None
-    val_first_rows = val_ds.first_rows if (use_memory and val_ds) else None
+    memory_fn = (_make_memory_fn(cfg, train_ds, bank, window)
+                 if use_memory else None)
+    val_memory_fn = (_make_memory_fn(
+        cfg, val_ds, val_bank if val_bank is not None else bank, window)
+        if use_memory and val_ds is not None else None)
     history: List[EpochStats] = []
 
     minibatch_val = None
     if t.val_minibatch_every and val_ds is not None:
         vb_clips, vb_labels, vb_rows, vb_pad = next(iter(val_loader.epoch(0)))
-        the_bank = val_bank if val_bank is not None else bank
 
         def minibatch_val(st):
             if use_memory:
-                mem = _memory_for(the_bank, vb_rows,
-                                  val_first_rows[vb_rows], window)
-                m = eval_step(st, jnp.asarray(vb_clips), mem,
-                              jnp.asarray(vb_labels))
+                m = eval_step(st, jnp.asarray(vb_clips),
+                              val_memory_fn(vb_rows), jnp.asarray(vb_labels))
             else:
                 m = eval_step(st, jnp.asarray(vb_clips), jnp.asarray(vb_labels))
             b = len(vb_rows) - vb_pad
@@ -228,14 +253,11 @@ def _fit(cfg: ExperimentConfig, model, train_ds: ClipDataset,
     for epoch in range(start_epoch, t.epochs):
         t0 = time.time()
         state, tr_loss, tr_acc = _run_epoch_train(
-            train_step, state, train_loader, epoch, rng, use_memory, bank,
-            window, first_rows_all, mesh, log, t.log_every,
-            minibatch_val, t.val_minibatch_every)
+            train_step, state, train_loader, epoch, rng, memory_fn,
+            mesh, log, t.log_every, minibatch_val, t.val_minibatch_every)
         if val_loader is not None:
             va_loss, va_acc, va_preds, va_labels, _ = _run_epoch_eval(
-                eval_step, state, val_loader, use_memory,
-                val_bank if val_bank is not None else bank, window,
-                val_first_rows)
+                eval_step, state, val_loader, val_memory_fn)
             if log is not None and va_preds.size:
                 from tmrnet_tpu.eval.metrics import classification_metrics
 
