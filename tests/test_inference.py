@@ -228,3 +228,56 @@ def test_compat_cross_video_flag_flips_training(tmp_path):
     _, hist_b = train_stage2(cfg_q, ds, bank, ds, bank,
                              init_variables=copy(variables))
     assert hist_a[-1].val_loss != hist_b[-1].val_loss
+
+
+def test_video_inference_length_buckets(tmp_path):
+    """Realistic Cholec80 length distribution (1,500-5,500 frames at 1 fps)
+    compiles O(5) programs, not one per distinct length (r1 verdict item 5:
+    lengths above pad_frames previously padded to themselves)."""
+    cfg = _cfg(tmp_path)
+    variables, extractor = _init_models(cfg)
+    engine = VideoInference(cfg, variables, extractor)
+
+    rng = np.random.RandomState(0)
+    lengths = rng.randint(1500, 5501, size=40)
+    buckets = {engine.bucket_frames(int(n)) for n in lengths}
+    assert len(buckets) <= 5
+    assert all(b >= n for b, n in zip(
+        (engine.bucket_frames(int(n)) for n in lengths), lengths))
+    # monotone and aligned above the pow-2 ceiling
+    assert engine.bucket_frames(2049) == 3072
+    assert engine.bucket_frames(5500) == 6144
+    assert engine.bucket_frames(8192) == 8192
+    assert engine.bucket_frames(8193) == 9216
+    # pow-2 region unchanged
+    assert engine.bucket_frames(900) == 1024
+    assert engine.bucket_frames(2048) == 2048
+
+    # integration: same-bucket videos share one compiled program
+    manifest, store = _synthetic(n_videos=1, frames=16)
+    frames_a = np.random.RandomState(1).rand(9, HW, HW, 3).astype(np.float32)
+    frames_b = np.random.RandomState(2).rand(13, HW, HW, 3).astype(np.float32)
+    pa, _ = engine.run_video(frames_a)   # bucket 16
+    pb, _ = engine.run_video(frames_b)   # bucket 16
+    assert len(engine._compiled) == 1
+    assert pa.shape == (9 - SEQ + 1,) and pb.shape == (13 - SEQ + 1,)
+
+
+def test_batched_multi_video_inference_matches_per_video(tmp_path):
+    """run_videos (B videos per program, vmapped) must equal per-video
+    run_video outputs, including mixed lengths padded to one bucket."""
+    cfg = _cfg(tmp_path)
+    variables, extractor = _init_models(cfg, key=5)
+    engine = VideoInference(cfg, variables, extractor, pad_frames=32)
+
+    rng = np.random.RandomState(3)
+    frames_list = [rng.rand(n, HW, HW, 3).astype(np.float32)
+                   for n in (9, 13, 16, 11)]
+    got = engine.run_videos(frames_list)
+    assert len(got) == 4
+    for f, (p_b, pr_b) in zip(frames_list, got):
+        p_s, pr_s = engine.run_video(f)
+        np.testing.assert_array_equal(p_b, p_s)
+        np.testing.assert_allclose(pr_b, pr_s, atol=1e-5, rtol=1e-4)
+    # one program for the whole batch
+    assert ("batch", 4, 16) in engine._compiled

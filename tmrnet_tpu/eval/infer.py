@@ -82,7 +82,8 @@ class ClipInference:
 
         loader = ClipLoader(ds, self.cfg.eval.batch_clips, shuffle=False,
                             num_workers=self.cfg.data.num_workers,
-                            prefetch=self.cfg.data.prefetch)
+                            prefetch=self.cfg.data.prefetch,
+                            use_processes=self.cfg.data.use_process_workers)
         first_rows = ds.first_rows
         quirk_table = None
         if self.cfg.memory.compat_cross_video:
@@ -99,6 +100,10 @@ class ClipInference:
             return memory_window_rows(r, first_rows[r],
                                       self.window).astype(np.int32)
 
+        # ship clips over PCIe/tunnel in the model's compute dtype — bf16
+        # halves host->device bytes vs float32 at identical model numerics
+        wire_dtype = jnp.dtype(self.cfg.model.compute_dtype)
+
         def host_batches():
             for clips, labels, rows, pad in loader.epoch(0):
                 ncrops = 1
@@ -106,7 +111,7 @@ class ClipInference:
                     ncrops = clips.shape[1]
                     clips = clips.reshape((-1,) + clips.shape[2:])
                 r = np.repeat(rows, ncrops)
-                yield (clips.astype(np.float32), window_idx(r),
+                yield (clips.astype(wire_dtype), window_idx(r),
                        labels, rows, pad, ncrops)
 
         preds_all, scores_all, rows_all, labels_all = [], [], [], []
@@ -144,16 +149,23 @@ class VideoInference:
     """
 
     def __init__(self, cfg: ExperimentConfig, variables, extractor_variables,
-                 pad_frames: int = 2048, mesh=None):
+                 pad_frames: int = 2048, bucket_step: int = 1024, mesh=None):
         """mesh: optional ('data','model') mesh — the video's FRAME dimension
         is sharded over the data axis (sequence parallelism for the trunk:
         each device runs the backbone on its frame shard; the tiny LSTM/head
         stages run on gathered features, with XLA inserting the all-gather).
+
+        Videos pad to pow-2 buckets up to `pad_frames`, then to multiples of
+        `bucket_step`: real Cholec80 test videos run ~1,500-5,500 frames at
+        1 fps, so a full 40-video pass compiles O(5) programs (cached across
+        videos) instead of one 3-7 minute compile per distinct length, at
+        ≤ bucket_step/n wasted backbone compute.
         """
         self.cfg = cfg
         self.seq = cfg.data.sequence_length
         self.window = cfg.memory.window
         self.pad_frames = pad_frames
+        self.bucket_step = bucket_step
         self.mesh = mesh
         if mesh is not None:
             from tmrnet_tpu.parallel.mesh import replicated_sharding
@@ -173,6 +185,14 @@ class VideoInference:
         cdt = jnp.dtype(mcfg.compute_dtype)
         self.lstm = LSTM(self.hidden, compute_dtype=cdt)
         self._compiled = {}
+
+    def bucket_frames(self, n: int) -> int:
+        """Padded length for an n-frame video: pow-2 up to pad_frames, then
+        the next multiple of bucket_step (bounded recompilation at any
+        video length)."""
+        if n <= self.pad_frames:
+            return min(self.pad_frames, 1 << max(0, (n - 1).bit_length()))
+        return -(-n // self.bucket_step) * self.bucket_step
 
     def _window_features(self, feats: jax.Array) -> jax.Array:
         """(N, F) per-frame features -> (N-seq+1, seq, F) sliding windows via
@@ -245,6 +265,63 @@ class VideoInference:
         self._compiled[padded] = run
         return run
 
+    def _build_batch_fn(self, padded: int, batch: int):
+        key = ("batch", batch, padded)
+        if key in self._compiled:
+            return self._compiled[key]
+
+        @jax.jit
+        def run_many(variables, extractor_variables, frames):
+            # frames: (B, padded, H, W, 3); per-video pass vmapped over B —
+            # each video keeps its own bank/windows, XLA batches the trunk
+            def one(fr):
+                bank_feats = self._clip_embeddings(extractor_variables, fr,
+                                                   "lfb")
+                st = self._clip_embeddings(variables, fr, "tmr")
+                logits = self._head(variables, st, bank_feats,
+                                    fr.shape[0] - self.seq + 1)
+                probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+                return jnp.argmax(probs, axis=-1), probs
+
+            return jax.vmap(one)(frames)
+
+        self._compiled[key] = run_many
+        return run_many
+
+    def run_videos(self, frames_list) -> list:
+        """Batched multi-video inference: B videos per compiled program to
+        fill the chip at serving time. All videos pad to the largest bucket;
+        outputs equal per-video `run_video` calls (parity-tested).
+
+        frames_list: list of (N_i, H, W, 3) arrays -> list of (preds, probs).
+        """
+        if not frames_list:
+            return []
+        ns = [int(f.shape[0]) for f in frames_list]
+        padded = max(self.bucket_frames(n) for n in ns)
+        cdt = jnp.dtype(self.cfg.model.compute_dtype)
+        batch = []
+        for f in frames_list:
+            pad = padded - int(f.shape[0])
+            if pad == 0 and isinstance(f, jax.Array):
+                batch.append(f.astype(cdt))  # already device-staged
+                continue
+            f = np.asarray(f)
+            if pad:
+                f = np.concatenate([f, np.repeat(f[-1:], pad, axis=0)])
+            batch.append(jnp.asarray(f, cdt))
+        frames = jnp.stack(batch)
+        if self.mesh is not None:
+            from tmrnet_tpu.parallel.mesh import shard_batch
+
+            frames = shard_batch(self.mesh, frames)  # videos over data axis
+        run = self._build_batch_fn(padded, len(batch))
+        preds, probs = run(self.variables, self.extractor_variables, frames)
+        preds, probs = np.asarray(preds), np.asarray(probs)
+        return [(preds[i][: ns[i] - self.seq + 1],
+                 probs[i][: ns[i] - self.seq + 1])
+                for i in range(len(ns))]
+
     def run_video(self, frames: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """frames: (N, H, W, 3) normalized float -> (preds, probs) for the
         video's N - seq + 1 clip positions."""
@@ -253,8 +330,7 @@ class VideoInference:
         if num_clips <= 0:
             return np.zeros(0, np.int64), np.zeros((0,), np.float32)
         # bucket-pad to limit recompilation
-        bucket = self.pad_frames
-        padded = min(bucket, 1 << (n - 1).bit_length()) if n <= bucket else n
+        padded = self.bucket_frames(n)
         pad = padded - n
         if pad:
             frames = np.concatenate(
