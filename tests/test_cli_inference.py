@@ -229,3 +229,40 @@ def test_cli_mesh_batch_divisibility_error(tmp_path, tiny_cfg_json, capsys):
               "--train-manifest", str(manifest),
               "--set", "mesh.data_parallel=3",
               "--log-dir", str(tmp_path / "runs")])
+
+
+def test_cli_parity_command_from_torch_pth(tmp_path, capsys):
+    """The one-command parity recipe: a reference-format .pth (synthetic
+    weights, full TMRNet structure) + frames dir -> Main.m-format table."""
+    import torch
+
+    from tests.test_e2e_logits_parity import TorchTMRNet
+
+    frames_dir, ann_dir = _write_frames_tree(tmp_path, n_videos=2, seconds=15)
+    manifest = tmp_path / "test_paths.pkl"
+    main(["manifest", "--frames", str(frames_dir),
+          "--annotations", str(ann_dir), "--out", str(manifest)])
+    capsys.readouterr()
+
+    pth = tmp_path / "tmrnet.pth"
+    torch.save(TorchTMRNet().state_dict(), str(pth))
+
+    json_out = tmp_path / "parity.json"
+    rc = main(["parity", "--manifest", str(manifest),
+               "--torch-ckpt", str(pth),
+               "--workdir", str(tmp_path / "pw"),
+               "--json-out", str(json_out),
+               "--set", "model.backbone=tiny", "--set", "model.stage_sizes=1,1",
+               "--set", "model.width=8", "--set", "model.hidden_dim=32",
+               "--set", "model.num_classes=7", "--set", "model.head=tmr",
+               "--set", "model.lfb_window=6", "--set", "memory.window=6",
+               "--set", "data.sequence_length=4", "--set", "data.crop_size=48",
+               "--set", "data.resize=56", "--set", "data.batch_clips=8",
+               "--set", "data.num_workers=2"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Phase|" in out and "Mean jaccard" in out
+    rep = json.loads(json_out.read_text())
+    assert 0.0 <= rep["mean_accuracy"] <= 100.0
+    assert len(rep["jaccard_per_phase"]) == 7
+    assert (tmp_path / "pw" / "predictions.npz").exists()

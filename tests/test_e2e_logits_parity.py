@@ -49,29 +49,31 @@ class TorchTMRNet(nn.Module):
 
 
 class _TorchNLBlock(nn.Module):
-    def __init__(self):
+    def __init__(self, hid=HID):
         super().__init__()
-        self.linear1 = nn.Linear(HID, HID)
-        self.linear2 = nn.Linear(HID, HID)
-        self.linear3 = nn.Linear(HID, HID)
-        self.linear4 = nn.Linear(HID, HID)
-        self.layer_norm = nn.LayerNorm([1, HID])
+        self.hid = hid
+        self.linear1 = nn.Linear(hid, hid)
+        self.linear2 = nn.Linear(hid, hid)
+        self.linear3 = nn.Linear(hid, hid)
+        self.linear4 = nn.Linear(hid, hid)
+        self.layer_norm = nn.LayerNorm([1, hid])
 
     def forward(self, st, lt):
-        q = self.linear1(st.view(-1, 1, HID))
+        hid = self.hid
+        q = self.linear1(st.view(-1, 1, hid))
         k = self.linear2(lt).transpose(1, 2)
-        a = torch.softmax(torch.matmul(q, k) * (1.0 / HID) ** 0.5, dim=2)
+        a = torch.softmax(torch.matmul(q, k) * (1.0 / hid) ** 0.5, dim=2)
         s = torch.matmul(a, self.linear3(lt))
         s = torch.relu(self.layer_norm(s))
-        return st + self.linear4(s).view(-1, HID)
+        return st + self.linear4(s).view(-1, hid)
 
 
 class _TorchTimeConv(nn.Module):
-    def __init__(self):
+    def __init__(self, hid=HID):
         super().__init__()
-        self.timeconv1 = nn.Conv1d(HID, HID, 3, padding=1)
-        self.timeconv2 = nn.Conv1d(HID, HID, 5, padding=2)
-        self.timeconv3 = nn.Conv1d(HID, HID, 7, padding=3)
+        self.timeconv1 = nn.Conv1d(hid, hid, 3, padding=1)
+        self.timeconv2 = nn.Conv1d(hid, hid, 5, padding=2)
+        self.timeconv3 = nn.Conv1d(hid, hid, 7, padding=3)
 
     def forward(self, x):
         xt = x.transpose(1, 2)
@@ -145,3 +147,94 @@ def test_full_stage1_logits_match_torch_oracle():
                  for c in init}
     got = model.apply(variables, jclips, train=False)
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-4, rtol=1e-3)
+
+
+class TorchResNet50Trunk(nn.Module):
+    """Full-depth torchvision-style (3,4,6,3) x width trunk so converter
+    naming/stage bugs at layer3/layer4 depth can't hide (r1 verdict item 4:
+    only a width-8 (1,1) trunk was covered)."""
+
+    def __init__(self, width=64, stage_sizes=(3, 4, 6, 3)):
+        super().__init__()
+        from tests.test_torch_import import TorchBottleneck
+
+        self.conv1 = nn.Conv2d(3, width, 7, stride=2, padding=3, bias=False)
+        self.bn1 = nn.BatchNorm2d(width)
+        self.relu = nn.ReLU()
+        self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
+        inplanes = width
+        for l, n in enumerate(stage_sizes, start=1):
+            planes = width * (2 ** (l - 1))
+            blocks = []
+            for i in range(n):
+                stride = 2 if (l > 1 and i == 0) else 1
+                blocks.append(TorchBottleneck(inplanes, planes, stride))
+                inplanes = planes * 4
+            setattr(self, f"layer{l}", nn.Sequential(*blocks))
+
+    def forward(self, x):
+        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+        return x.mean(dim=(2, 3))
+
+
+def test_full_size_resnet50_tmrnet_logits_match_torch_oracle():
+    """Production-depth converter test: (3,4,6,3) x 64 ResNet-50 trunk +
+    512-hidden LSTM/TimeConv/NLBlock head with synthetic weights, converted
+    end-to-end. 96x96 input keeps CPU time sane; depth and stage structure
+    are what the converter can get wrong, not resolution."""
+    HW96, HID512, WIN8 = 96, 512, 8
+
+    class TorchTMRNet50(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.share = TorchResNet50Trunk()
+            self.lstm = nn.LSTM(2048, HID512, batch_first=True)
+            self.nl_block = _TorchNLBlock(HID512)
+            self.time_conv = _TorchTimeConv(HID512)
+            self.fc_h_c = nn.Linear(2 * HID512, HID512)
+            self.fc_c = nn.Linear(HID512, NCLS)
+
+        def forward(self, x, long_feature):
+            b, t = x.shape[:2]
+            feats = self.share(x.reshape(b * t, 3, HW96, HW96)).reshape(b, t, -1)
+            y, _ = self.lstm(feats)
+            st = y[:, -1, :]
+            lt = self.time_conv(long_feature)
+            y1 = self.nl_block(st, lt)
+            z = torch.cat([st, y1], dim=1)
+            z = torch.relu(self.fc_h_c(z))
+            return self.fc_c(z)
+
+    tm = TorchTMRNet50().eval()
+    _randomize_bn_stats(tm, np.random.RandomState(11))
+
+    rng = np.random.RandomState(5)
+    clips = rng.randn(1, SEQ, 3, HW96, HW96).astype(np.float32)
+    lt = rng.randn(1, WIN8, HID512).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(clips), torch.from_numpy(lt)).numpy()
+
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    converted = convert_reference_checkpoint(sd, head="tmr",
+                                             stage_sizes=(3, 4, 6, 3))
+
+    cfg = ModelConfig(backbone="resnet50", stage_sizes=(3, 4, 6, 3), width=64,
+                      hidden_dim=HID512, num_classes=NCLS, head="tmr",
+                      lfb_window=WIN8, compute_dtype="float32")
+    model = build_model(cfg)
+    jclips = jnp.asarray(clips.transpose(0, 1, 3, 4, 2))
+    jlt = jnp.asarray(lt)
+    init = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), jclips,
+                                             jlt))
+    # every converted leaf must exist in the model with the right shape; then
+    # the converted tree IS the full variable set (no merge hiding misses)
+    from tmrnet_tpu.models.torch_import import assert_shapes_match
+
+    for c in converted:
+        assert_shapes_match(init[c], converted[c])
+    n_init = len(jax.tree_util.tree_leaves(init))
+    n_conv = len(jax.tree_util.tree_leaves(converted))
+    assert n_conv == n_init, f"converted {n_conv} leaves, model has {n_init}"
+    got = model.apply(converted, jclips, jlt, train=False)
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-3, rtol=1e-3)

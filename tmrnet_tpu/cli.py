@@ -8,6 +8,7 @@ drivers (SURVEY.md section 5, config notes):
   build-lfb  frozen-extractor feature bank (--load_LFB workflow)
   train-tmr  stage-2 TMRNet / only-non-local training
   test       batched test inference -> predictions .npz + accuracy
+  parity     reference .pth + frames -> Main.m protocol table, one command
   export     predictions -> video<N>-phase.txt trees (export_phase_copy.py)
   evaluate   relaxed-boundary protocol scoring (MATLAB Main.m, in Python)
 
@@ -148,6 +149,50 @@ def _dataset(cfg, manifest, train: bool):
     return ClipDataset(manifest, d.sequence_length, transform=tf)
 
 
+def _video_dataset(cfg, videos_dir: str, annotation_root: str, train: bool):
+    """Video-direct dataset (the fork's HystDataset direction,
+    `test-resnet.py:139-203`, without its bugs): clips decode straight from
+    the video files; labels come from the phase annotations at source fps,
+    sampled every data.source_fps // data.fps frames."""
+    from tmrnet_tpu.data.manifests import read_phase_annotation
+    from tmrnet_tpu.data.pipeline import VideoClipDataset
+    from tmrnet_tpu.data.transforms import (
+        VideoEvalTransform,
+        VideoTrainTransform,
+    )
+    from tmrnet_tpu.data.video import VideoClipReader, probe_num_frames
+
+    if not annotation_root:
+        raise SystemExit("--videos requires --annotations <dir>")
+    d = cfg.data
+    stride = max(1, d.source_fps // d.fps)
+    name_to_id = {n: i for i, n in enumerate(d.phase_names)}
+    paths, counts, labels = [], [], []
+    for fname in sorted(os.listdir(videos_dir)):
+        if not fname.endswith((".mp4", ".avi", ".mkv")):
+            continue
+        vid = os.path.splitext(fname)[0]
+        ann_path = os.path.join(annotation_root, f"{vid}-phase.txt")
+        if not os.path.exists(ann_path):
+            continue
+        ann = read_phase_annotation(ann_path, name_to_id)
+        raw = probe_num_frames(os.path.join(videos_dir, fname))
+        # sampled frames that actually have annotations
+        ks = [k for k in range(-(-raw // stride)) if stride * k in ann]
+        n = len(ks)
+        if n == 0:
+            continue
+        paths.append(os.path.join(videos_dir, fname))
+        counts.append(n)
+        labels.append(np.asarray([ann[stride * k] for k in ks], np.int64))
+    if not paths:
+        raise SystemExit(f"no annotated videos found under {videos_dir}")
+    reader = VideoClipReader(paths, counts, d.sequence_length, stride=stride)
+    tf = (VideoTrainTransform(d.crop_size) if train
+          else VideoEvalTransform(d.crop_size))
+    return VideoClipDataset(reader, labels, transform=tf)
+
+
 def _restore_variables(cfg, head: str, ckpt_dir: Optional[str],
                        torch_ckpt: Optional[str], sample_hw: int = 224):
     """Load model variables from an orbax dir (best/) or a torch .pth."""
@@ -250,18 +295,25 @@ def cmd_train_bank(args) -> int:
     from tmrnet_tpu.utils.logging import MetricLogger
 
     cfg = load_config(args)
-    train_m = _load_manifest(args.train_manifest or cfg.data.manifest_path)
-    val_m = (_load_manifest(args.val_manifest, "val")
-             if args.val_manifest else
-             _load_manifest(args.train_manifest or cfg.data.manifest_path, "val"))
+    if args.videos:
+        train_ds = _video_dataset(cfg, args.videos, args.annotations, True)
+        val_ds = (_video_dataset(cfg, args.val_videos, args.annotations, False)
+                  if args.val_videos else None)
+    else:
+        train_m = _load_manifest(args.train_manifest or cfg.data.manifest_path)
+        val_m = (_load_manifest(args.val_manifest, "val")
+                 if args.val_manifest else
+                 _load_manifest(args.train_manifest or cfg.data.manifest_path,
+                                "val"))
+        train_ds = _dataset(cfg, train_m, True)
+        val_ds = _dataset(cfg, val_m, False)
     log = MetricLogger(args.log_dir)
     init = None
     if args.torch_init:
         _, variables = _restore_variables(cfg, "stage1", None, args.torch_init,
                                           cfg.data.crop_size)
         init = variables
-    state, hist = train_stage1(cfg, _dataset(cfg, train_m, True),
-                               _dataset(cfg, val_m, False),
+    state, hist = train_stage1(cfg, train_ds, val_ds,
                                init_variables=init, mesh=_mesh_for(cfg),
                                log=log)
     best = max(hist, key=lambda h: h.val_acc)
@@ -273,7 +325,12 @@ def cmd_build_lfb(args) -> int:
     from tmrnet_tpu.train.loop import build_lfb
 
     cfg = load_config(args)
-    m = _load_manifest(args.manifest)
+    if args.videos:
+        ds = _video_dataset(cfg, args.videos, args.annotations, False)
+    elif args.manifest:
+        ds = _dataset(cfg, _load_manifest(args.manifest), False)
+    else:
+        raise SystemExit("build-lfb needs --manifest or --videos")
     # orbax checkpoints carry the stage-1 structure (restore must match);
     # torch .pth conversion handles subsets directly with the lfb head
     head = "stage1" if args.ckpt else "lfb"
@@ -283,8 +340,7 @@ def cmd_build_lfb(args) -> int:
                             for k in ("backbone", "encoder")},
                  "batch_stats": {"backbone":
                                  variables["batch_stats"]["backbone"]}}
-    bank = build_lfb(cfg, extractor, _dataset(cfg, m, False),
-                     cache_path=args.out, force=True)
+    bank = build_lfb(cfg, extractor, ds, cache_path=args.out, force=True)
     print(f"bank: {bank.num_rows} rows x {bank.feature_dim} -> {args.out}")
     return 0
 
@@ -295,10 +351,15 @@ def cmd_train_tmr(args) -> int:
     from tmrnet_tpu.utils.logging import MetricLogger
 
     cfg = load_config(args)
-    train_m = _load_manifest(args.train_manifest or cfg.data.manifest_path)
+    if args.videos:
+        train_ds = _video_dataset(cfg, args.videos, args.annotations, True)
+        val_m = None
+    else:
+        train_m = _load_manifest(args.train_manifest or cfg.data.manifest_path)
+        train_ds = _dataset(cfg, train_m, True)
+        val_m = (_load_manifest(args.val_manifest, "val") if args.val_manifest
+                 else None)
     bank = load_bank(args.lfb)
-    val_m = (_load_manifest(args.val_manifest, "val") if args.val_manifest
-             else None)
     val_bank = load_bank(args.val_lfb) if args.val_lfb else None
     init = None
     if args.torch_init:
@@ -322,7 +383,7 @@ def cmd_train_tmr(args) -> int:
         init = {c: merge_variables(init[c], shared.get(c, {})) for c in init}
     log = MetricLogger(args.log_dir)
     state, hist = train_stage2(
-        cfg, _dataset(cfg, train_m, True), bank,
+        cfg, train_ds, bank,
         _dataset(cfg, val_m, False) if val_m else None, val_bank,
         init_variables=init, mesh=_mesh_for(cfg), log=log)
     best = max(hist, key=lambda h: h.val_acc)
@@ -432,6 +493,72 @@ def cmd_test(args) -> int:
     return 0
 
 
+def cmd_parity(args) -> int:
+    """One command from a reference .pth + frames to the Main.m-format
+    protocol table: build the bank with the (frozen) extractor weights, run
+    clip inference with reference-exact memory windows, export the phase
+    trees, and score with the relaxed-boundary protocol. Ready for the day
+    the published Dropbox checkpoints (/root/reference/README.md:91) and the
+    Cholec80 test set are both on disk."""
+    import dataclasses as dc
+
+    from tmrnet_tpu.eval.export import export_predictions, load_exported
+    from tmrnet_tpu.eval.infer import ClipInference
+    from tmrnet_tpu.eval.metrics import evaluate_protocol
+    from tmrnet_tpu.train.loop import build_lfb
+
+    cfg = load_config(args)
+    # reference-exact memory windows unless the user explicitly overrode
+    if not any((o or "").startswith("memory.compat_cross_video")
+               for o in (getattr(args, "set", None) or [])):
+        cfg = dc.replace(cfg, memory=dc.replace(cfg.memory,
+                                                compat_cross_video=True))
+    m = _load_manifest(args.manifest)
+    ds = _dataset(cfg, m, False)
+    _, variables = _restore_variables(cfg, cfg.model.head, None,
+                                      args.torch_ckpt, cfg.data.crop_size)
+    ext_vars = variables
+    if args.extractor_torch_ckpt:
+        _, ext_vars = _restore_variables(cfg, "lfb", None,
+                                         args.extractor_torch_ckpt,
+                                         cfg.data.crop_size)
+    extractor = {"params": {k: ext_vars["params"][k]
+                            for k in ("backbone", "encoder")},
+                 "batch_stats": {"backbone":
+                                 ext_vars["batch_stats"]["backbone"]}}
+    os.makedirs(args.workdir, exist_ok=True)
+    bank = build_lfb(cfg, extractor, ds,
+                     cache_path=args.lfb or os.path.join(args.workdir,
+                                                         "lfb.npz"),
+                     force=not args.load_lfb)
+    res = ClipInference(cfg, variables, bank, mesh=_mesh_for(cfg)).run(ds)
+    np.savez(os.path.join(args.workdir, "predictions.npz"),
+             preds=res.preds, scores=res.scores, rows=res.rows)
+    pred_dir = os.path.join(args.workdir, "phase")
+    gt_dir = os.path.join(args.workdir, "gt-phase")
+    export_predictions(m, res.preds, cfg.data.sequence_length,
+                       pred_dir=pred_dir, gt_dir=gt_dir,
+                       fps=cfg.eval.export_fps)
+    gts, preds = load_exported(pred_dir, gt_dir,
+                               [v.video_id for v in m.videos])
+    rep = evaluate_protocol(gts, preds, protocol=args.protocol,
+                            quirk_compat=True)
+    print(rep.format_table())
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump({
+                "clip_accuracy": res.accuracy,
+                "mean_accuracy": rep.mean_accuracy,
+                "std_accuracy": rep.std_accuracy,
+                "mean_jaccard": rep.mean_jaccard,
+                "std_jaccard": rep.std_jaccard,
+                "mean_precision": rep.mean_precision,
+                "mean_recall": rep.mean_recall,
+                "jaccard_per_phase": rep.jaccard_per_phase.tolist(),
+            }, f, indent=2)
+    return 0
+
+
 def cmd_export(args) -> int:
     from tmrnet_tpu.eval.export import export_predictions
 
@@ -504,13 +631,21 @@ def build_parser() -> argparse.ArgumentParser:
     _add_config_args(sp)
     sp.add_argument("--train-manifest")
     sp.add_argument("--val-manifest")
+    sp.add_argument("--videos", help="train straight from video files "
+                                     "(video-direct path) instead of a "
+                                     "frames manifest")
+    sp.add_argument("--val-videos")
+    sp.add_argument("--annotations",
+                    help="phase annotation dir (required with --videos)")
     sp.add_argument("--torch-init", help="reference .pth to initialize from")
     sp.add_argument("--log-dir", default="./runs/train-bank")
     sp.set_defaults(fn=cmd_train_bank)
 
     sp = sub.add_parser("build-lfb", help="build the feature bank")
     _add_config_args(sp)
-    sp.add_argument("--manifest", required=True)
+    sp.add_argument("--manifest")
+    sp.add_argument("--videos", help="build from video files (video-direct)")
+    sp.add_argument("--annotations")
     sp.add_argument("--ckpt", help="stage-1 orbax checkpoint dir")
     sp.add_argument("--torch-ckpt", help="stage-1 reference .pth")
     sp.add_argument("--out", required=True)
@@ -520,6 +655,10 @@ def build_parser() -> argparse.ArgumentParser:
     _add_config_args(sp)
     sp.add_argument("--train-manifest")
     sp.add_argument("--val-manifest")
+    sp.add_argument("--videos", help="train straight from video files "
+                                     "(video-direct path)")
+    sp.add_argument("--annotations",
+                    help="phase annotation dir (required with --videos)")
     sp.add_argument("--lfb", required=True)
     sp.add_argument("--val-lfb")
     sp.add_argument("--stage1-ckpt")
@@ -541,6 +680,24 @@ def build_parser() -> argparse.ArgumentParser:
                          "frame, LFB build fused)")
     sp.add_argument("--out", default="./predictions.npz")
     sp.set_defaults(fn=cmd_test)
+
+    sp = sub.add_parser("parity", help="reference .pth + frames -> Main.m "
+                                       "protocol table in one command")
+    _add_config_args(sp)
+    sp.add_argument("--manifest", required=True,
+                    help="test manifest (pickle/CSV) over the frames dirs")
+    sp.add_argument("--torch-ckpt", required=True,
+                    help="reference stage-2 .pth (TMRNet weights)")
+    sp.add_argument("--extractor-torch-ckpt",
+                    help="reference stage-1 .pth for the LFB extractor "
+                         "(defaults to --torch-ckpt's trunk+lstm)")
+    sp.add_argument("--lfb", help="bank cache path (default workdir/lfb.npz)")
+    sp.add_argument("--load-lfb", action="store_true")
+    sp.add_argument("--workdir", default="./parity")
+    sp.add_argument("--protocol", default="cholec80",
+                    choices=["cholec80", "m2cai"])
+    sp.add_argument("--json-out")
+    sp.set_defaults(fn=cmd_parity)
 
     sp = sub.add_parser("export", help="predictions npz -> phase txt trees")
     _add_config_args(sp)
