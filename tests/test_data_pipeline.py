@@ -158,3 +158,17 @@ def test_channel_stats():
     mean, std = channel_stats(frames)
     np.testing.assert_allclose(mean, 0.5, atol=1e-6)
     np.testing.assert_allclose(std, 0.5, atol=1e-6)
+
+
+def test_clip_loader_process_workers_match_threads():
+    """use_processes=True (forked, GIL-free) yields byte-identical batches in
+    the same order as the thread pool."""
+    ds, _ = _toy_setup()
+    lt = ClipLoader(ds, batch_clips=8, shuffle=True, num_workers=2, seed=5)
+    lp = ClipLoader(ds, batch_clips=8, shuffle=True, num_workers=2, seed=5,
+                    use_processes=True)
+    for (c1, l1, r1, p1), (c2, l2, r2, p2) in zip(lt.epoch(1), lp.epoch(1)):
+        np.testing.assert_array_equal(c1, c2)
+        np.testing.assert_array_equal(l1, l2)
+        np.testing.assert_array_equal(r1, r2)
+        assert p1 == p2

@@ -80,6 +80,7 @@ class DataConfig:
     batch_clips: int = 40  # clips per global batch (reference uses batch 400 frames)
     prefetch: int = 2
     num_workers: int = 8
+    use_process_workers: bool = False  # GIL-free decode (forked processes)
     use_native_preproc: bool = True  # C++ libtmrnet_data.so if built, else numpy
 
 

@@ -167,6 +167,22 @@ def _frame_number(fname: str) -> int:
     return int(m[-1]) if m else -1
 
 
+def read_phase_annotation(ann_path: str,
+                          name_to_id: Dict[str, int]) -> Dict[int, int]:
+    """Parse a `frame_idx <TAB> PhaseName` annotation txt (header tolerated)
+    into frame index -> phase id."""
+    frame_to_phase: Dict[int, int] = {}
+    with open(ann_path, "r") as f:
+        for li, line in enumerate(f):
+            parts = line.split()
+            if len(parts) < 2 or (li == 0 and not parts[0].isdigit()):
+                continue
+            lab = parts[1]
+            frame_to_phase[int(parts[0])] = (
+                int(lab) if lab.isdigit() else name_to_id[lab])
+    return frame_to_phase
+
+
 def build_manifest_from_frames(
     data_root: str,
     annotation_root: str,
@@ -190,15 +206,7 @@ def build_manifest_from_frames(
         ann_path = os.path.join(annotation_root, annotation_pattern.format(vid=vid))
         if not os.path.exists(ann_path):
             continue
-        frame_to_phase: Dict[int, int] = {}
-        with open(ann_path, "r") as f:
-            for li, line in enumerate(f):
-                parts = line.split()
-                if len(parts) < 2 or (li == 0 and not parts[0].isdigit()):
-                    continue
-                lab = parts[1]
-                frame_to_phase[int(parts[0])] = (
-                    int(lab) if lab.isdigit() else name_to_id[lab])
+        frame_to_phase = read_phase_annotation(ann_path, name_to_id)
         paths, labels = [], []
         for fname in sorted(os.listdir(vdir), key=_frame_number):
             if fname.startswith("."):

@@ -49,8 +49,18 @@ class ClipDataset:
     transform: Optional[Callable] = None  # (clip, epoch, clip_id) -> array
     frame_loader: Callable[[str], np.ndarray] = load_frame
     error_policy: str = "zeros"  # 'zeros' | 'raise'
+    # LRU cache over RAW decoded frames: consecutive clips overlap in
+    # seq_len-1 frames, so without it every frame decodes ~seq_len times.
+    # Sized in frames (1024 x 250x250x3 u8 ~ 190 MB). Transforms run after
+    # the cache and never mutate their input.
+    frame_cache: int = 1024
 
     def __post_init__(self):
+        if self.frame_cache:
+            import functools
+
+            self.frame_loader = functools.lru_cache(
+                maxsize=self.frame_cache)(self.frame_loader)
         lengths = self.manifest.video_lengths
         self._cpv = clips_per_video(self.seq_len, lengths)
         self._first_rows = video_first_rows(self.seq_len, lengths)
@@ -91,17 +101,51 @@ class ClipDataset:
         return clip, label
 
 
+def _assemble_batch(ds, batch_rows: np.ndarray, epoch: int, batch: int):
+    pad = batch - len(batch_rows)
+    padded = np.concatenate([batch_rows, np.repeat(batch_rows[-1:], pad)])
+    clips, labels = zip(*(ds.get_clip(int(r), epoch) for r in padded))
+    labels = np.asarray(labels, np.int64)
+    if pad:
+        # padded rows repeat the last clip; label -1 marks them so the
+        # loss/metrics mask them out (weighted_cross_entropy ignores
+        # negative labels)
+        labels[len(batch_rows):] = -1
+    return np.stack(clips).astype(np.float32), labels, padded, pad
+
+
+_PROC_DS = None  # per-worker dataset (process mode, set once per child)
+
+
+def _proc_init(ds):
+    global _PROC_DS
+    _PROC_DS = ds
+
+
+def _proc_make_batch(batch_rows, epoch, batch):
+    return _assemble_batch(_PROC_DS, batch_rows, epoch, batch)
+
+
 class ClipLoader:
-    """Threaded, prefetching batch iterator over clip rows.
+    """Prefetching batch iterator over clip rows.
 
     Yields (clips (B,T,H,W,C) float32, labels (B,), rows (B,)). The final
     partial batch is padded by repeating its last clip with pad_count reported,
     keeping shapes static for XLA (`drop_remainder=False` semantics without
-    recompilation)."""
+    recompilation).
+
+    Two worker modes:
+      threads (default) -- cv2 decode and the native C++ preprocess both
+          release the GIL, so threads scale on multi-core hosts with near-zero
+          IPC cost.
+      processes (use_processes=True) -- fully GIL-free, for transform stacks
+          with heavy pure-Python work; costs one batch pickle per step
+          (fork start method, so in-memory datasets/closures work)."""
 
     def __init__(self, dataset: ClipDataset, batch_clips: int,
                  shuffle: bool = False, num_workers: int = 8,
-                 prefetch: int = 2, seed: int = 0, drop_remainder: bool = False):
+                 prefetch: int = 2, seed: int = 0, drop_remainder: bool = False,
+                 use_processes: bool = False):
         self.ds = dataset
         self.batch = batch_clips
         self.shuffle = shuffle
@@ -109,10 +153,21 @@ class ClipLoader:
         self.prefetch = max(1, prefetch)
         self.seed = seed
         self.drop_remainder = drop_remainder
+        self.use_processes = use_processes
 
     def __len__(self) -> int:
         n = self.ds.num_clips
         return n // self.batch if self.drop_remainder else -(-n // self.batch)
+
+    def _pool(self):
+        if self.use_processes:
+            import multiprocessing
+            from concurrent.futures import ProcessPoolExecutor
+
+            return ProcessPoolExecutor(
+                self.workers, mp_context=multiprocessing.get_context("fork"),
+                initializer=_proc_init, initargs=(self.ds,))
+        return ThreadPoolExecutor(self.workers)
 
     def epoch(self, epoch: int = 0) -> Iterator[Tuple[np.ndarray, np.ndarray,
                                                       np.ndarray, int]]:
@@ -125,36 +180,30 @@ class ClipLoader:
         if self.drop_remainder:
             rows = rows[: len(rows) - len(rows) % self.batch]
 
-        def make_batch(batch_rows: np.ndarray):
-            pad = self.batch - len(batch_rows)
-            padded = np.concatenate([batch_rows,
-                                     np.repeat(batch_rows[-1:], pad)])
-            clips, labels = zip(*(self.ds.get_clip(int(r), epoch)
-                                  for r in padded))
-            labels = np.asarray(labels, np.int64)
-            if pad:
-                # padded rows repeat the last clip; label -1 marks them so the
-                # loss/metrics mask them out (weighted_cross_entropy ignores
-                # negative labels)
-                labels[len(batch_rows):] = -1
-            return np.stack(clips).astype(np.float32), labels, padded, pad
+        if self.use_processes:
+            def submit(pool, b):
+                return pool.submit(_proc_make_batch, b, epoch, self.batch)
+        else:
+            def submit(pool, b):
+                return pool.submit(_assemble_batch, self.ds, b, epoch,
+                                   self.batch)
 
         batches = [rows[i:i + self.batch]
                    for i in range(0, len(rows), self.batch)]
         if not batches:
             return
-        with ThreadPoolExecutor(self.workers) as pool:
+        with self._pool() as pool:
             futs = queue.Queue()
             it = iter(batches)
             for _ in range(self.prefetch):
                 b = next(it, None)
                 if b is not None:
-                    futs.put(pool.submit(make_batch, b))
+                    futs.put(submit(pool, b))
             while not futs.empty():
                 yield futs.get().result()
                 b = next(it, None)
                 if b is not None:
-                    futs.put(pool.submit(make_batch, b))
+                    futs.put(submit(pool, b))
 
 
 @dataclasses.dataclass
@@ -201,6 +250,28 @@ class VideoClipDataset:
             clip = self.transform(clip, epoch, row)
         label = int(self.labels[vid][start + self.reader.seq_len - 1])
         return clip, label
+
+    @property
+    def manifest(self) -> "_VideoManifestView":
+        """Manifest-shaped view (video_lengths / flat_labels) so the trainers'
+        class weighting and memory-window machinery work unchanged on the
+        video-direct path."""
+        return _VideoManifestView(self)
+
+
+@dataclasses.dataclass
+class _VideoManifestView:
+    ds: VideoClipDataset
+
+    @property
+    def video_lengths(self):
+        return [int(n) for n in self.ds.reader.num_frames]
+
+    def flat_labels(self) -> np.ndarray:
+        return np.concatenate([
+            np.asarray(lab[:n], np.int64)
+            for lab, n in zip(self.ds.labels, self.ds.reader.num_frames)
+        ]) if len(self.ds.labels) else np.zeros(0, np.int64)
 
 
 def array_frame_loader(frames_by_path):

@@ -249,18 +249,33 @@ class TrainTransform:
         return normalize(clip, self.mean, self.std)
 
 
+def random_choice_frames(clip: np.ndarray, num_frames: int,
+                         rng) -> np.ndarray:
+    """The fork's RandomChoice frame subsampler (`test-resnet.py:258-270`):
+    num_frames indices drawn WITH replacement, sorted, from the clip.
+    (Commented out in every published fork transform stack; exposed here as
+    an opt-in knob with the same semantics.)"""
+    if num_frames <= 0:
+        return clip
+    idx = np.sort(rng.integers(0, clip.shape[0], size=num_frames))
+    return clip[idx]
+
+
 @dataclasses.dataclass
 class VideoTrainTransform:
     """The fork's video-direct train stack (reference `test-resnet.py:206-236`):
-    clip-shared RandomResizedCrop(224, scale=(0.2,1)) + intensity scale to
-    [0,1] (no mean/std)."""
+    optional RandomChoice frame subsample, clip-shared
+    RandomResizedCrop(224, scale=(0.2,1)) + intensity scale to [0,1]
+    (no mean/std)."""
 
     crop_size: int = 224
     scale: Tuple[float, float] = (0.2, 1.0)
     base_seed: int = 0
+    num_frames: int = -1  # >0 enables the fork's RandomChoice subsampler
 
     def __call__(self, clip: np.ndarray, epoch: int, clip_id: int) -> np.ndarray:
         rng = clip_rng(epoch, clip_id, self.base_seed)
+        clip = random_choice_frames(clip, self.num_frames, rng)
         clip = random_resized_crop(clip, self.crop_size, rng, self.scale)
         return clip.astype(np.float32) / 255.0
 
