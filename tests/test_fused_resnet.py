@@ -40,3 +40,28 @@ def test_fused_path_matches_folded_module(stage_sizes, width):
         fr.fused_bottleneck = orig
     np.testing.assert_allclose(np.asarray(got_fused), np.asarray(want),
                                atol=5e-4, rtol=1e-3)
+
+
+def test_tiled_fused_path_matches_folded_module():
+    """Whole-trunk parity for the DMA-pipelined tiled kernel (kernel='tiled'),
+    interpret mode on CPU."""
+    import functools
+
+    import tmrnet_tpu.models.fused_resnet as fr
+
+    stage_sizes, width = (2, 2), 8
+    model = ResNet(stage_sizes=stage_sizes, width=width)
+    x = jax.random.normal(jax.random.PRNGKey(3), (3, 64, 64, 3))
+    variables = _nontrivial_stats(model.init(jax.random.PRNGKey(4), x))
+    want = model.apply(variables, x, train=False)
+
+    folded = fold_resnet(variables["params"], variables["batch_stats"])
+    orig = fr.fused_bottleneck_tiled
+    try:
+        fr.fused_bottleneck_tiled = functools.partial(orig, interpret=True)
+        got = apply_fused_resnet(folded, x, stage_sizes, use_fused=True,
+                                 kernel="tiled")
+    finally:
+        fr.fused_bottleneck_tiled = orig
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-4, rtol=1e-3)

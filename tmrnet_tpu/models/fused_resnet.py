@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from tmrnet_tpu.ops.fused_bottleneck import fused_bottleneck
+from tmrnet_tpu.ops.fused_bottleneck_tiled import fused_bottleneck_tiled
 
 
 def _conv(x, kernel, bias, stride=1, pad=0):
@@ -45,12 +46,30 @@ def _xla_bottleneck(x, p, stride):
 
 # per-stage fused-block batch tiles, sized to the 16 MB VMEM budget
 _BLOCK_N = {56: 1, 28: 2, 14: 4, 7: 4}
+# tiled (H-sliced, double-buffered DMA) variant: VMEM holds 2 slabs + copy
+_TILED_BLOCK_N = {56: 2, 28: 4, 14: 4, 7: 4}
+
+
+def _tile_h(h: int) -> int:
+    """Largest tile height <= 14 that divides H (the kernel requires H %
+    block_h == 0); ResNet-50 stages hit 14/14/14/7."""
+    if h <= 14:
+        return h
+    for ht in range(14, 1, -1):
+        if h % ht == 0:
+            return ht
+    return h
 
 
 def apply_fused_resnet(folded_params: Dict, x: jax.Array,
                        stage_sizes: Sequence[int] = (3, 4, 6, 3),
-                       use_fused: bool = True) -> jax.Array:
-    """(B, H, W, 3) -> (B, num_features) with the folded param tree."""
+                       use_fused: bool = True,
+                       kernel: str = "block") -> jax.Array:
+    """(B, H, W, 3) -> (B, num_features) with the folded param tree.
+
+    kernel: 'block' = whole-image fused bottleneck (ops/fused_bottleneck),
+    'tiled' = H-tiled variant with software-pipelined slab DMA
+    (ops/fused_bottleneck_tiled)."""
     from flax import linen as nn
 
     x = jax.nn.relu(_conv(x, folded_params["conv1"]["kernel"],
@@ -65,12 +84,21 @@ def apply_fused_resnet(folded_params: Dict, x: jax.Array,
                         and "downsample_conv" not in p
                         and x.shape[-1] == p["conv3"]["kernel"].shape[-1])
             if use_fused and identity:
-                x = fused_bottleneck(
-                    x,
-                    p["conv1"]["kernel"][0, 0], p["conv1"]["bias"],
-                    p["conv2"]["kernel"], p["conv2"]["bias"],
-                    p["conv3"]["kernel"][0, 0], p["conv3"]["bias"],
-                    block_n=_BLOCK_N.get(x.shape[1], 2))
+                if kernel == "tiled":
+                    x = fused_bottleneck_tiled(
+                        x,
+                        p["conv1"]["kernel"][0, 0], p["conv1"]["bias"],
+                        p["conv2"]["kernel"], p["conv2"]["bias"],
+                        p["conv3"]["kernel"][0, 0], p["conv3"]["bias"],
+                        block_n=_TILED_BLOCK_N.get(x.shape[1], 2),
+                        block_h=_tile_h(x.shape[1]))
+                else:
+                    x = fused_bottleneck(
+                        x,
+                        p["conv1"]["kernel"][0, 0], p["conv1"]["bias"],
+                        p["conv2"]["kernel"], p["conv2"]["bias"],
+                        p["conv3"]["kernel"][0, 0], p["conv3"]["bias"],
+                        block_n=_BLOCK_N.get(x.shape[1], 2))
             else:
                 x = _xla_bottleneck(x, p, stride)
     return jnp.mean(x, axis=(1, 2))
@@ -80,7 +108,8 @@ def fused_tmr_apply(folded_variables: Dict, clips: jax.Array,
                     memory: jax.Array, hidden_dim: int = 512,
                     stage_sizes: Sequence[int] = (3, 4, 6, 3),
                     use_time_conv: bool = True,
-                    use_fused: bool = True) -> jax.Array:
+                    use_fused: bool = True,
+                    kernel: str = "block") -> jax.Array:
     """Full TMRNet inference forward over the fused backbone.
 
     folded_variables: fold_bn.fold_variables output for a TMRNet model
@@ -94,7 +123,7 @@ def fused_tmr_apply(folded_variables: Dict, clips: jax.Array,
     b, t = clips.shape[:2]
     frames = clips.reshape((b * t,) + clips.shape[2:])
     feats = apply_fused_resnet(params["backbone"], frames, stage_sizes,
-                               use_fused=use_fused)
+                               use_fused=use_fused, kernel=kernel)
     feats = feats.reshape(b, t, -1)
     ys, _ = LSTM(hidden_dim, compute_dtype=cdt).apply(
         {"params": params["encoder"]["lstm"]}, feats)
