@@ -203,10 +203,12 @@ def _fit(cfg: ExperimentConfig, model, train_ds: ClipDataset,
     train_loader = ClipLoader(train_ds, cfg.data.batch_clips, shuffle=True,
                               num_workers=cfg.data.num_workers,
                               prefetch=cfg.data.prefetch, seed=t.seed,
-                              drop_remainder=True)
+                              drop_remainder=True,
+                              use_processes=cfg.data.use_process_workers)
     val_loader = (ClipLoader(val_ds, cfg.data.batch_clips, shuffle=False,
                              num_workers=cfg.data.num_workers,
-                             prefetch=cfg.data.prefetch)
+                             prefetch=cfg.data.prefetch,
+                             use_processes=cfg.data.use_process_workers)
                   if val_ds is not None else None)
 
     if mesh is not None:
@@ -317,7 +319,8 @@ def build_lfb(cfg: ExperimentConfig, extractor_variables,
     feats = bank.features
     loader = ClipLoader(ds, cfg.data.batch_clips, shuffle=False,
                         num_workers=cfg.data.num_workers,
-                        prefetch=cfg.data.prefetch)
+                        prefetch=cfg.data.prefetch,
+                        use_processes=cfg.data.use_process_workers)
     for clips, _labels, rows, pad in loader.epoch(0):
         values = extract(extractor_variables, jnp.asarray(clips))
         b = len(rows) - pad
