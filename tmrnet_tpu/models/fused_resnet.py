@@ -46,8 +46,12 @@ def _xla_bottleneck(x, p, stride):
 
 # per-stage fused-block batch tiles, sized to the 16 MB VMEM budget
 _BLOCK_N = {56: 1, 28: 2, 14: 4, 7: 4}
-# tiled (H-sliced, double-buffered DMA) variant: VMEM holds 2 slabs + copy
-_TILED_BLOCK_N = {56: 2, 28: 4, 14: 4, 7: 4}
+# tiled (H-sliced, double-buffered DMA) variant: VMEM holds 2 slabs + a copy
+# + double-buffered weights, so batch tiles shrink vs the block kernel.
+# Stage 4 (C=2048) is excluded: its weight set alone (w1+w2+w3, x2 for the
+# BlockSpec double buffer) exceeds the 16 MB VMEM budget — it falls back to
+# the whole-image fused kernel, whose 7x7 activations fit trivially.
+_TILED_BLOCK_N = {56: 2, 28: 4, 14: 2}
 
 
 def _tile_h(h: int) -> int:
@@ -84,7 +88,7 @@ def apply_fused_resnet(folded_params: Dict, x: jax.Array,
                         and "downsample_conv" not in p
                         and x.shape[-1] == p["conv3"]["kernel"].shape[-1])
             if use_fused and identity:
-                if kernel == "tiled":
+                if kernel == "tiled" and x.shape[-1] < 2048:
                     x = fused_bottleneck_tiled(
                         x,
                         p["conv1"]["kernel"][0, 0], p["conv1"]["bias"],
