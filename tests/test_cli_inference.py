@@ -266,3 +266,38 @@ def test_cli_parity_command_from_torch_pth(tmp_path, capsys):
     assert 0.0 <= rep["mean_accuracy"] <= 100.0
     assert len(rep["jaccard_per_phase"]) == 7
     assert (tmp_path / "pw" / "predictions.npz").exists()
+
+
+def test_cli_test_video_engine_batched_matches_sequential(tmp_path,
+                                                          tiny_cfg_json,
+                                                          capsys):
+    """eval.video_batch > 1 groups same-bucket videos through run_videos;
+    outputs must equal the per-video engine (mixed lengths included)."""
+    frames_dir, ann_dir = _write_frames_tree(tmp_path, n_videos=3, seconds=12)
+    # make lengths differ: drop frames from one video
+    import os
+
+    v3 = sorted(os.listdir(frames_dir / "video03"))
+    for f in v3[-4:]:
+        os.remove(frames_dir / "video03" / f)
+    manifest = tmp_path / "m.pkl"
+    main(["manifest", "--frames", str(frames_dir), "--annotations",
+          str(ann_dir), "--out", str(manifest)])
+    capsys.readouterr()
+
+    out_seq = tmp_path / "p_seq.npz"
+    assert main(["test", "--config", tiny_cfg_json, "--manifest",
+                 str(manifest), "--engine", "video",
+                 "--out", str(out_seq)]) == 0
+    capsys.readouterr()
+    out_bat = tmp_path / "p_bat.npz"
+    assert main(["test", "--config", tiny_cfg_json, "--manifest",
+                 str(manifest), "--engine", "video",
+                 "--set", "eval.video_batch=3",
+                 "--out", str(out_bat)]) == 0
+    capsys.readouterr()
+    np.testing.assert_array_equal(np.load(out_seq)["preds"],
+                                  np.load(out_bat)["preds"])
+    np.testing.assert_allclose(np.load(out_seq)["scores"],
+                               np.load(out_bat)["scores"],
+                               atol=1e-5, rtol=1e-4)

@@ -450,15 +450,31 @@ def cmd_test(args) -> int:
                            d.mean, d.std)
         from tmrnet_tpu.data.pipeline import load_frame
 
-        preds_all, scores_all = [], []
-        for video in m.videos:
+        def load_video(video):
             frames = np.stack([load_frame(pth) for pth in video.frame_paths])
-            frames = tf(frames)  # per-frame deterministic eval transform
-            p, pr = engine.run_video(frames)
-            preds_all.append(p)
-            scores_all.append(pr)
-        res_preds = np.concatenate(preds_all)
-        res_scores = np.concatenate(scores_all)
+            return tf(frames)  # per-frame deterministic eval transform
+
+        results = [None] * len(m.videos)
+        vb = max(1, cfg.eval.video_batch)
+        if vb > 1:
+            # group same-bucket videos and run B per compiled program
+            # (outputs equal per-video runs; parity-tested in run_videos)
+            groups = {}
+            for vi, video in enumerate(m.videos):
+                groups.setdefault(engine.bucket_frames(len(video)),
+                                  []).append(vi)
+            for _bucket, vis in sorted(groups.items()):
+                for c in range(0, len(vis), vb):
+                    chunk = vis[c:c + vb]
+                    outs = engine.run_videos(
+                        [load_video(m.videos[vi]) for vi in chunk])
+                    for vi, out in zip(chunk, outs):
+                        results[vi] = out
+        else:
+            for vi, video in enumerate(m.videos):
+                results[vi] = engine.run_video(load_video(video))
+        res_preds = np.concatenate([r[0] for r in results])
+        res_scores = np.concatenate([r[1] for r in results])
         labels_cat = np.concatenate([
             v.labels[cfg.data.sequence_length - 1:][: max(
                 0, len(v) + 1 - cfg.data.sequence_length)]

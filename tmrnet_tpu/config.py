@@ -178,6 +178,10 @@ class EvalConfig:
     relaxed_seconds: int = 10
     export_fps: int = 25  # txt rows are 25*k frame ids (export_phase_copy.py:63-73)
     test_videos: Tuple[int, int] = (41, 80)  # inclusive video-number range
+    # --engine video: run B same-bucket videos per compiled program
+    # (VideoInference.run_videos). >1 fills the chip on short videos
+    # (+33% at 4x512 measured) but holds B transformed videos in host RAM.
+    video_batch: int = 1
 
 
 @dataclass(frozen=True)

@@ -312,9 +312,15 @@ class VideoInference:
             batch.append(jnp.asarray(f, cdt))
         frames = jnp.stack(batch)
         if self.mesh is not None:
-            from tmrnet_tpu.parallel.mesh import shard_batch
+            from jax.sharding import NamedSharding, PartitionSpec as P
 
-            frames = shard_batch(self.mesh, frames)  # videos over data axis
+            dp = self.mesh.shape.get("data", 1)
+            if len(batch) % dp == 0:        # videos over the data axis
+                frames = jax.device_put(
+                    frames, NamedSharding(self.mesh, P("data")))
+            elif padded % dp == 0:          # else frames within each video
+                frames = jax.device_put(
+                    frames, NamedSharding(self.mesh, P(None, "data")))
         run = self._build_batch_fn(padded, len(batch))
         preds, probs = run(self.variables, self.extractor_variables, frames)
         preds, probs = np.asarray(preds), np.asarray(probs)
