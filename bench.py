@@ -148,7 +148,8 @@ def bench_e2e(args):
     cfg = ExperimentConfig(
         data=DataConfig(sequence_length=seq, batch_clips=args.batch_clips,
                         num_workers=args.e2e_workers,
-                        use_process_workers=args.e2e_processes),
+                        use_process_workers=args.e2e_processes,
+                        device_normalize=args.e2e_device_normalize),
         model=ModelConfig(backbone="resnet50", head="tmr", num_classes=7,
                           hidden_dim=512, lfb_window=window,
                           compute_dtype="bfloat16"),
@@ -164,14 +165,20 @@ def bench_e2e(args):
                                                   clips0, mem0))
     variables = jax.tree_util.tree_map(
         lambda s: jnp.zeros(s.shape, s.dtype), variables)
-    tf = EvalTransform(crop_size=224, resize=250, crop_type=1)
+    tf = EvalTransform(crop_size=224, resize=250, crop_type=1,
+                       normalize=not args.e2e_device_normalize)
     ds = ClipDataset(manifest, seq, transform=tf)
     bank = FeatureBank.create(seq, manifest.video_lengths, 512, jnp.bfloat16)
     engine = ClipInference(cfg, variables, bank)
-    engine.run(ds)  # compile + warm the page cache
-    t0 = time.perf_counter()
-    res = engine.run(ds)
-    dt = time.perf_counter() - t0
+    try:
+        engine.run(ds)  # compile + warm the page cache
+        t0 = time.perf_counter()
+        res = engine.run(ds)
+        dt = time.perf_counter() - t0
+    finally:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
     frames = res.preds.size * seq
     fps = frames / dt
     print(json.dumps({
@@ -180,6 +187,59 @@ def bench_e2e(args):
         "unit": "frames/sec (host-inclusive)",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
         "host_cores": os.cpu_count(),
+    }))
+    return 0
+
+
+def bench_train(args):
+    """Stage-2 TMRNet training throughput: full forward + last-frame weighted
+    CE + backward + two-group SGD + BN stat update, donated state, synthetic
+    device-resident batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from tmrnet_tpu.config import ModelConfig, TrainConfig
+    from tmrnet_tpu.memory.lfb import gather_memory_windows
+    from tmrnet_tpu.models.tmrnet import build_model
+    from tmrnet_tpu.train.optim import make_optimizer
+    from tmrnet_tpu.train.state import create_train_state
+    from tmrnet_tpu.train.steps import make_stage2_steps
+
+    seq, b, window = 10, args.train_batch, args.window
+    cfg = ModelConfig(backbone="resnet50", head="tmr", num_classes=7,
+                      hidden_dim=512, lfb_window=window,
+                      compute_dtype="bfloat16")
+    model = build_model(cfg)
+    clips = jax.random.normal(jax.random.PRNGKey(0),
+                              (b, seq, 224, 224, 3), jnp.bfloat16)
+    bankf = jax.random.normal(jax.random.PRNGKey(1), (4096, 512),
+                              jnp.bfloat16)
+    rows = jnp.arange(100, 100 + b, dtype=jnp.int32)
+    memory = gather_memory_windows(bankf, rows, jnp.zeros((b,), jnp.int32),
+                                   window)
+    labels = jnp.zeros((b,), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(2), clips, memory)
+    tx = make_optimizer(TrainConfig(optimizer="sgd", lr=1e-3),
+                        variables["params"],
+                        slow_modules=("backbone", "encoder"))
+    state = create_train_state(model, variables, tx)
+    train_step, _ = make_stage2_steps(class_weights=np.ones(7))
+
+    state, m = train_step(state, clips, memory, labels, jax.random.PRNGKey(3))
+    np.asarray(m["loss"])  # compile + sync (block_until_ready lies on axon)
+    iters = args.iters
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, m = train_step(state, clips, memory, labels,
+                              jax.random.PRNGKey(4 + i))
+    np.asarray(m["loss"])  # drain the FIFO queue
+    dt = time.perf_counter() - t0
+    fps = iters * b * seq / dt
+    print(json.dumps({
+        "metric": "tmrnet_stage2_train_frames_per_sec_per_chip",
+        "value": round(fps, 1),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
     }))
     return 0
 
@@ -195,14 +255,20 @@ def main():
                     help="keep BatchNorm ops instead of folding into convs")
     ap.add_argument("--use-pallas", action="store_true",
                     help="route NLBlock attention through the Pallas kernel")
-    ap.add_argument("--mode", choices=["clip", "video", "e2e"],
+    ap.add_argument("--mode", choices=["clip", "video", "e2e", "train"],
                     default="clip")
+    ap.add_argument("--train-batch", type=int, default=16)
+    ap.add_argument("--backbone", default="resnet50",
+                    choices=["resnet50", "resnest50"],
+                    help="clip-mode backbone (resnest50 = best-accuracy cfg)")
     ap.add_argument("--e2e-videos", type=int, default=2)
     ap.add_argument("--e2e-frames", type=int, default=400,
                     help="frames per synthetic video in e2e mode")
     ap.add_argument("--e2e-workers", type=int, default=8)
     ap.add_argument("--e2e-processes", action="store_true",
                     help="process-pool host workers in e2e mode")
+    ap.add_argument("--e2e-device-normalize", action="store_true",
+                    help="ship uint8, normalize in-jit (data.device_normalize)")
     ap.add_argument("--fused", action="store_true",
                     help="route stride-1 bottlenecks through the fused "
                          "Pallas block kernel")
@@ -219,6 +285,8 @@ def main():
         return bench_video(args)
     if args.mode == "e2e":
         return bench_e2e(args)
+    if args.mode == "train":
+        return bench_train(args)
 
     import jax
     import jax.numpy as jnp
@@ -230,7 +298,7 @@ def main():
 
     seq = 10
     b = args.batch_clips
-    cfg = ModelConfig(backbone="resnet50", head="tmr", num_classes=7,
+    cfg = ModelConfig(backbone=args.backbone, head="tmr", num_classes=7,
                       hidden_dim=512, lfb_window=args.window,
                       compute_dtype="bfloat16", use_pallas=args.use_pallas)
     model = build_model(cfg)
@@ -244,7 +312,7 @@ def main():
     variables = model.init(jax.random.PRNGKey(2), clips, memory0)
     if not args.no_fold_bn:
         variables = fold_variables(variables)
-        cfg = ModelConfig(backbone="resnet50", head="tmr", num_classes=7,
+        cfg = ModelConfig(backbone=args.backbone, head="tmr", num_classes=7,
                           hidden_dim=512, lfb_window=args.window,
                           compute_dtype="bfloat16", folded=True,
                           use_pallas=args.use_pallas)

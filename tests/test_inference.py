@@ -281,3 +281,37 @@ def test_batched_multi_video_inference_matches_per_video(tmp_path):
         np.testing.assert_allclose(pr_b, pr_s, atol=1e-5, rtol=1e-4)
     # one program for the whole batch
     assert ("batch", 4, 16) in engine._compiled
+
+
+def test_device_normalize_matches_host_normalize(tmp_path):
+    """data.device_normalize ships uint8 and normalizes in-jit; scores must
+    match the host-normalized float path."""
+    import dataclasses as dc
+
+    from tmrnet_tpu.data.transforms import EvalTransform
+
+    cfg = _cfg(tmp_path)
+    manifest, store = _synthetic(n_videos=2, frames=12)
+    variables, extractor = _init_models(cfg, key=9)
+
+    tf_host = EvalTransform(crop_size=16, resize=24, crop_type=1)
+    ds_host = ClipDataset(manifest, SEQ, transform=tf_host,
+                          frame_loader=array_frame_loader(store))
+    bank = build_lfb(cfg, extractor, ds_host, cache_path=None)
+    res_host = ClipInference(cfg, variables, bank).run(ds_host)
+
+    cfg_dev = dc.replace(cfg, data=dc.replace(cfg.data,
+                                              device_normalize=True))
+    tf_dev = EvalTransform(crop_size=16, resize=24, crop_type=1,
+                           normalize=False)
+    ds_dev = ClipDataset(manifest, SEQ, transform=tf_dev,
+                         frame_loader=array_frame_loader(store))
+    # the uint8 batch really is uint8 on the wire
+    from tmrnet_tpu.data.pipeline import ClipLoader
+
+    clips, _, _, _ = next(iter(ClipLoader(ds_dev, 4, num_workers=1).epoch(0)))
+    assert clips.dtype == np.uint8
+    res_dev = ClipInference(cfg_dev, variables, bank).run(ds_dev)
+    np.testing.assert_array_equal(res_host.preds, res_dev.preds)
+    np.testing.assert_allclose(res_host.scores, res_dev.scores,
+                               atol=2e-5, rtol=1e-4)

@@ -134,7 +134,10 @@ def _mesh_for(cfg):
     return mesh
 
 
-def _dataset(cfg, manifest, train: bool):
+def _dataset(cfg, manifest, train: bool, device_normalize: bool = False):
+    """device_normalize applies only to the INFERENCE datasets (test/parity):
+    ClipInference and build_lfb normalize uint8 in-jit; the training/val
+    loaders always normalize on host (their jitted steps don't)."""
     from tmrnet_tpu.data.pipeline import ClipDataset
     from tmrnet_tpu.data.transforms import EvalTransform, TrainTransform
 
@@ -145,7 +148,9 @@ def _dataset(cfg, manifest, train: bool):
                             use_native=d.use_native_preproc)
     else:
         tf = EvalTransform(d.crop_size, d.resize, d.test_crop_type,
-                           d.mean, d.std)
+                           d.mean, d.std,
+                           normalize=not (device_normalize
+                                          and d.device_normalize))
     return ClipDataset(manifest, d.sequence_length, transform=tf)
 
 
@@ -398,7 +403,7 @@ def cmd_test(args) -> int:
 
     cfg = load_config(args)
     m = _load_manifest(args.manifest)
-    ds = _dataset(cfg, m, False)
+    ds = _dataset(cfg, m, False, device_normalize=True)
     _, variables = _restore_variables(cfg, cfg.model.head, args.ckpt,
                                       args.torch_ckpt, cfg.data.crop_size)
     bank = None
@@ -530,7 +535,7 @@ def cmd_parity(args) -> int:
         cfg = dc.replace(cfg, memory=dc.replace(cfg.memory,
                                                 compat_cross_video=True))
     m = _load_manifest(args.manifest)
-    ds = _dataset(cfg, m, False)
+    ds = _dataset(cfg, m, False, device_normalize=True)
     _, variables = _restore_variables(cfg, cfg.model.head, None,
                                       args.torch_ckpt, cfg.data.crop_size)
     ext_vars = variables

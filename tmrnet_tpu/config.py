@@ -81,6 +81,9 @@ class DataConfig:
     prefetch: int = 2
     num_workers: int = 8
     use_process_workers: bool = False  # GIL-free decode (forked processes)
+    # eval: ship uint8 over PCIe and normalize in-jit (4x less traffic than
+    # f32, no host normalize pass); identical outputs (parity-tested)
+    device_normalize: bool = False
     use_native_preproc: bool = True  # C++ libtmrnet_data.so if built, else numpy
 
 

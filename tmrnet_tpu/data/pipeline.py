@@ -111,7 +111,10 @@ def _assemble_batch(ds, batch_rows: np.ndarray, epoch: int, batch: int):
         # loss/metrics mask them out (weighted_cross_entropy ignores
         # negative labels)
         labels[len(batch_rows):] = -1
-    return np.stack(clips).astype(np.float32), labels, padded, pad
+    clips = np.stack(clips)
+    if clips.dtype != np.uint8:  # uint8 = device-side normalize path
+        clips = clips.astype(np.float32)
+    return clips, labels, padded, pad
 
 
 _PROC_DS = None  # per-worker dataset (process mode, set once per child)

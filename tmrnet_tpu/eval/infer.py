@@ -55,12 +55,23 @@ class ClipInference:
         self.mesh = mesh
         model = build_model(cfg.model)
         self.window = cfg.memory.window
+        cdt = jnp.dtype(cfg.model.compute_dtype)
+        mean = jnp.asarray(cfg.data.mean, cdt) * 255.0
+        std = jnp.asarray(cfg.data.std, cdt) * 255.0
+        dev_norm = cfg.data.device_normalize
 
         @jax.jit
         def infer(variables, features, clips, idx):
             # idx: (B, window) bank rows, computed host-side — either the
             # clamped windows (paper intent) or the reference-quirk table
             # (memory.compat_cross_video); the gather runs on device
+            if clips.dtype == jnp.uint8:
+                clips = clips.astype(cdt)
+                if dev_norm:
+                    # data.device_normalize: uint8 over the wire,
+                    # (x/255 - mean)/std fused into the first conv's input
+                    # transform by XLA
+                    clips = (clips - mean) / std
             memory = jnp.take(features, idx, axis=0)
             logits = model.apply(variables, clips, memory, train=False)
             probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
@@ -111,8 +122,9 @@ class ClipInference:
                     ncrops = clips.shape[1]
                     clips = clips.reshape((-1,) + clips.shape[2:])
                 r = np.repeat(rows, ncrops)
-                yield (clips.astype(wire_dtype), window_idx(r),
-                       labels, rows, pad, ncrops)
+                if clips.dtype != np.uint8:  # uint8 ships as-is (1 B/px)
+                    clips = clips.astype(wire_dtype)
+                yield (clips, window_idx(r), labels, rows, pad, ncrops)
 
         preds_all, scores_all, rows_all, labels_all = [], [], [], []
         for (clips_d, idx_d, labels, rows, pad,

@@ -309,9 +309,18 @@ def build_lfb(cfg: ExperimentConfig, extractor_variables,
         return load_bank(path)
 
     model = build_model(dataclasses.replace(cfg.model, head="lfb"))
+    cdt = jnp.dtype(cfg.model.compute_dtype)
+    mean = jnp.asarray(cfg.data.mean, cdt) * 255.0
+    std = jnp.asarray(cfg.data.std, cdt) * 255.0
+    dev_norm = cfg.data.device_normalize
 
     @jax.jit
     def extract(variables, clips):
+        if clips.dtype == jnp.uint8:
+            clips = clips.astype(cdt)
+            if dev_norm:
+                # device-side normalize (data.device_normalize serving path)
+                clips = (clips - mean) / std
         return model.apply(variables, clips, train=False)
 
     lengths = ds.manifest.video_lengths
