@@ -315,3 +315,40 @@ def test_device_normalize_matches_host_normalize(tmp_path):
     np.testing.assert_array_equal(res_host.preds, res_dev.preds)
     np.testing.assert_allclose(res_host.scores, res_dev.scores,
                                atol=2e-5, rtol=1e-4)
+
+
+def test_video_engine_device_normalize_matches_host(tmp_path):
+    """VideoInference with data.device_normalize: uint8 frames in, in-jit
+    normalization, outputs match the host-normalized float path for both
+    run_video and run_videos."""
+    import dataclasses as dc
+
+    from tmrnet_tpu.data.transforms import EvalTransform
+
+    cfg = _cfg(tmp_path)
+    manifest, store = _synthetic(n_videos=2, frames=12)
+    variables, extractor = _init_models(cfg, key=11)
+
+    tf_host = EvalTransform(crop_size=16, resize=24, crop_type=1)
+    tf_dev = EvalTransform(crop_size=16, resize=24, crop_type=1,
+                           normalize=False)
+    cfg_dev = dc.replace(cfg, data=dc.replace(cfg.data,
+                                              device_normalize=True))
+    eng_host = VideoInference(cfg, variables, extractor, pad_frames=16)
+    eng_dev = VideoInference(cfg_dev, variables, extractor, pad_frames=16)
+
+    raws = [np.stack([store[p] for p in v.frame_paths])
+            for v in manifest.videos]
+    for raw in raws:
+        p_h, pr_h = eng_host.run_video(tf_host(raw))
+        u8 = tf_dev(raw)
+        assert u8.dtype == np.uint8
+        p_d, pr_d = eng_dev.run_video(u8)
+        np.testing.assert_array_equal(p_h, p_d)
+        np.testing.assert_allclose(pr_h, pr_d, atol=2e-5, rtol=1e-4)
+    # batched path too
+    outs = eng_dev.run_videos([tf_dev(r) for r in raws])
+    for raw, (p_d, pr_d) in zip(raws, outs):
+        p_h, pr_h = eng_host.run_video(tf_host(raw))
+        np.testing.assert_array_equal(p_h, p_d)
+        np.testing.assert_allclose(pr_h, pr_d, atol=2e-5, rtol=1e-4)

@@ -452,7 +452,8 @@ def cmd_test(args) -> int:
                                 mesh=_mesh_for(cfg))
         d = cfg.data
         tf = EvalTransform(d.crop_size, d.resize, d.test_crop_type,
-                           d.mean, d.std)
+                           d.mean, d.std,
+                           normalize=not d.device_normalize)
         from tmrnet_tpu.data.pipeline import load_frame
 
         def load_video(video):

@@ -196,7 +196,21 @@ class VideoInference:
         self.hidden = mcfg.hidden_dim
         cdt = jnp.dtype(mcfg.compute_dtype)
         self.lstm = LSTM(self.hidden, compute_dtype=cdt)
+        self._cdt = cdt
+        # uint8-over-the-wire serving path (data.device_normalize)
+        self._dev_norm = cfg.data.device_normalize
+        self._mean = jnp.asarray(cfg.data.mean, cdt) * 255.0
+        self._std = jnp.asarray(cfg.data.std, cdt) * 255.0
         self._compiled = {}
+
+    def _prep_frames(self, frames: jax.Array) -> jax.Array:
+        """In-jit input prep: uint8 casts to the compute dtype and, under
+        data.device_normalize, gets (x-mean)/std fused into the trunk."""
+        if frames.dtype == jnp.uint8:
+            frames = frames.astype(self._cdt)
+            if self._dev_norm:
+                frames = (frames - self._mean) / self._std
+        return frames
 
     def bucket_frames(self, n: int) -> int:
         """Padded length for an n-frame video: pow-2 up to pad_frames, then
@@ -263,6 +277,7 @@ class VideoInference:
 
         @jax.jit
         def run(variables, extractor_variables, frames):
+            frames = self._prep_frames(frames)
             # 1) frozen extractor -> LFB rows for this video
             bank_feats = self._clip_embeddings(extractor_variables, frames,
                                                "lfb")
@@ -287,6 +302,7 @@ class VideoInference:
             # frames: (B, padded, H, W, 3); per-video pass vmapped over B —
             # each video keeps its own bank/windows, XLA batches the trunk
             def one(fr):
+                fr = self._prep_frames(fr)
                 bank_feats = self._clip_embeddings(extractor_variables, fr,
                                                    "lfb")
                 st = self._clip_embeddings(variables, fr, "tmr")
@@ -316,12 +332,14 @@ class VideoInference:
         for f in frames_list:
             pad = padded - int(f.shape[0])
             if pad == 0 and isinstance(f, jax.Array):
-                batch.append(f.astype(cdt))  # already device-staged
+                # already device-staged; uint8 stays uint8 (in-jit prep)
+                batch.append(f if f.dtype == jnp.uint8 else f.astype(cdt))
                 continue
             f = np.asarray(f)
             if pad:
                 f = np.concatenate([f, np.repeat(f[-1:], pad, axis=0)])
-            batch.append(jnp.asarray(f, cdt))
+            batch.append(jnp.asarray(f) if f.dtype == np.uint8
+                         else jnp.asarray(f, cdt))
         frames = jnp.stack(batch)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -354,7 +372,10 @@ class VideoInference:
             frames = np.concatenate(
                 [frames, np.repeat(frames[-1:], pad, axis=0)])
         cdt = jnp.dtype(self.cfg.model.compute_dtype)
-        frames = jnp.asarray(frames, cdt)
+        if frames.dtype == np.uint8:   # in-jit prep handles uint8
+            frames = jnp.asarray(frames)
+        else:
+            frames = jnp.asarray(frames, cdt)
         if self.mesh is not None:
             from tmrnet_tpu.parallel.mesh import shard_batch
 
