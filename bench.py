@@ -310,9 +310,12 @@ def main():
     firsts = jnp.zeros((b,), jnp.int32)
     memory0 = gather_memory_windows(bank, rows, firsts, args.window)
     variables = model.init(jax.random.PRNGKey(2), clips, memory0)
+    if args.backbone != "resnet50":
+        args.no_fold_bn = True  # BN folding implemented for plain ResNet only
     if not args.no_fold_bn:
         variables = fold_variables(variables)
-        cfg = ModelConfig(backbone=args.backbone, head="tmr", num_classes=7,
+        cfg = ModelConfig(backbone=args.backbone, head="tmr",
+                          num_classes=7,
                           hidden_dim=512, lfb_window=args.window,
                           compute_dtype="bfloat16", folded=True,
                           use_pallas=args.use_pallas)
