@@ -111,3 +111,34 @@ def test_streaming_nl_only_head():
         if bool(valid[0]):
             preds.append(int(p[0]))
     np.testing.assert_array_equal(np.asarray(preds), off_preds)
+
+
+def test_streaming_device_normalize_matches_host():
+    """Streaming with data.device_normalize: raw uint8 frames in, in-jit
+    (x-mean)/std, outputs match host-normalized float streaming."""
+    import dataclasses as dc
+
+    from tmrnet_tpu.data.transforms import normalize as host_normalize
+
+    cfg = _cfg()
+    variables, extractor = _variables(cfg, key=4)
+    mean, std = cfg.data.mean, cfg.data.std
+    n = 10
+    raw = np.random.RandomState(5).randint(
+        0, 255, (n, HW, HW, 3), dtype=np.uint8)
+
+    host = StreamingInference(cfg, variables, extractor)
+    sh = host.init_state(1)
+    cfg_dev = dc.replace(cfg, data=dc.replace(cfg.data,
+                                              device_normalize=True))
+    dev = StreamingInference(cfg_dev, variables, extractor)
+    sd = dev.init_state(1)
+    for t in range(n):
+        sh, p_h, pr_h, v_h = host.step(
+            sh, host_normalize(raw[t][None], mean, std))
+        sd, p_d, pr_d, v_d = dev.step(sd, raw[t][None])
+        assert bool(v_h[0]) == bool(v_d[0])
+        if v_h[0]:
+            np.testing.assert_array_equal(np.asarray(p_h), np.asarray(p_d))
+            np.testing.assert_allclose(np.asarray(pr_h), np.asarray(pr_d),
+                                       atol=2e-5, rtol=1e-4)

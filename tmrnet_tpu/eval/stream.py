@@ -63,6 +63,11 @@ class StreamingInference:
         self.lstm = LSTM(self.hidden, compute_dtype=self.cdt)
         self.variables = variables
         self.extractor_variables = extractor_variables
+        # uint8-over-the-wire serving path (data.device_normalize), same
+        # convention as the offline engines
+        self._dev_norm = cfg.data.device_normalize
+        self._mean = jnp.asarray(cfg.data.mean, self.cdt) * 255.0
+        self._std = jnp.asarray(cfg.data.std, self.cdt) * 255.0
         self._step = jax.jit(self._step_impl, donate_argnums=(0,))
 
     def init_state(self, num_streams: int) -> StreamState:
@@ -106,6 +111,10 @@ class StreamingInference:
         return dense(params["fc_c"], y)
 
     def _step_impl(self, state: StreamState, frames: jax.Array):
+        if frames.dtype == jnp.uint8:
+            frames = frames.astype(self.cdt)
+            if self._dev_norm:
+                frames = (frames - self._mean) / self._std
         fe = self._trunk(self.extractor_variables, frames)   # (B, F)
         ft = self._trunk(self.variables, frames)
         ext_ring = jnp.concatenate([state.ext_ring[:, 1:], fe[:, None]], axis=1)
@@ -148,7 +157,11 @@ class StreamingInference:
 
     def step(self, state: StreamState, frames: np.ndarray
              ) -> Tuple[StreamState, np.ndarray, np.ndarray, np.ndarray]:
-        """frames: (B, H, W, 3) normalized float, one new frame per stream.
+        """frames: (B, H, W, 3) — normalized float, or raw uint8 with
+        data.device_normalize (1 byte/pixel over PCIe, in-jit normalize).
         Returns (state, preds (B,), probs (B, C), valid (B,)); valid is False
         until the stream has seen seq_len frames."""
-        return self._step(state, jnp.asarray(frames, self.cdt))
+        frames = np.asarray(frames)
+        j = (jnp.asarray(frames) if frames.dtype == np.uint8
+             else jnp.asarray(frames, self.cdt))
+        return self._step(state, j)
