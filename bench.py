@@ -12,7 +12,11 @@ once per frame, sliding LSTM windows, batched memory head). The reference
 protocol runs ~20 backbone passes per unique frame (10x overlap x
 {bank build, test forward}); this engine runs 2.
 
-Usage: python bench.py [--mode clip|video] [--batch-clips N] [--iters N]
+--mode stream: online serving — B parallel 1-fps streams, per-step latency
+with a fetch every step (eval/stream.py).
+
+Usage: python bench.py [--mode clip|video|e2e|train|stream] [--batch-clips N]
+       [--iters N]
 """
 
 import argparse
@@ -48,7 +52,7 @@ def bench_video(args):
                           compute_dtype="bfloat16",
                           use_pallas=args.use_pallas),
         memory=MemoryConfig(window=args.window),
-        eval=EvalConfig(),
+        eval=EvalConfig(backbone_chunk=args.backbone_chunk),
     )
     from tmrnet_tpu.models.tmrnet import build_model
 
@@ -244,6 +248,74 @@ def bench_train(args):
     return 0
 
 
+def bench_stream(args):
+    """Online serving: B parallel 1-fps streams, one frame per stream per
+    step (eval/stream.py). Reports per-step latency with a device->host fetch
+    every step — the honest online number (each OR needs its prediction now).
+    On this axon-tunneled host the fetch itself costs ~30 ms; production
+    PCIe hosts see the compute-side latency."""
+    import jax
+    import jax.numpy as jnp
+
+    from tmrnet_tpu.config import (
+        DataConfig,
+        EvalConfig,
+        ExperimentConfig,
+        MemoryConfig,
+        ModelConfig,
+    )
+    from tmrnet_tpu.eval.stream import StreamingInference
+    from tmrnet_tpu.models.tmrnet import build_model
+
+    b, window = args.stream_batch, args.window
+    cfg = ExperimentConfig(
+        data=DataConfig(sequence_length=10, device_normalize=True),
+        model=ModelConfig(backbone="resnet50", head="tmr", num_classes=7,
+                          hidden_dim=512, lfb_window=window,
+                          compute_dtype="bfloat16"),
+        memory=MemoryConfig(window=window),
+        eval=EvalConfig(),
+    )
+    model = build_model(cfg.model)
+    clips0 = jnp.zeros((1, 10, 224, 224, 3), jnp.bfloat16)
+    mem0 = jnp.zeros((1, window, 512), jnp.bfloat16)
+    variables = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0),
+                                                  clips0, mem0))
+    variables = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), variables)
+    extractor = {"params": {"backbone": variables["params"]["backbone"],
+                            "encoder": variables["params"]["encoder"]},
+                 "batch_stats": {"backbone":
+                                 variables["batch_stats"]["backbone"]}}
+    engine = StreamingInference(cfg, variables, extractor)
+    state = engine.init_state(b)
+    # uint8 frames on device: isolates the step (the per-frame H2D is 150 KB/
+    # stream and overlaps compute on a pipelined host; the tunnel would
+    # otherwise dominate)
+    frames = jax.device_put(jax.random.randint(
+        jax.random.PRNGKey(1), (b, 224, 224, 3), 0, 255, jnp.uint8))
+    state, preds, _, _ = engine.step(state, frames)   # compile
+    np.asarray(preds)
+    lat = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        state, preds, probs, valid = engine.step(state, frames)
+        np.asarray(preds)   # online: every step's prediction is consumed
+        lat.append(time.perf_counter() - t0)
+    lat = np.array(lat) * 1e3
+    p50 = float(np.percentile(lat, 50))
+    fps = b / (p50 / 1e3)
+    print(json.dumps({
+        "metric": "tmrnet_streaming_latency_ms_per_step",
+        "value": round(p50, 2),
+        "unit": f"ms/step p50 ({b} streams; p95 "
+                f"{float(np.percentile(lat, 95)):.2f} ms; "
+                f"{fps:.0f} frames/sec)",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+    return 0
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch-clips", type=int, default=96,
@@ -255,7 +327,10 @@ def main():
                     help="keep BatchNorm ops instead of folding into convs")
     ap.add_argument("--use-pallas", action="store_true",
                     help="route NLBlock attention through the Pallas kernel")
-    ap.add_argument("--mode", choices=["clip", "video", "e2e", "train"],
+    ap.add_argument("--stream-batch", type=int, default=16,
+                    help="stream mode: parallel 1-fps video streams")
+    ap.add_argument("--mode",
+                    choices=["clip", "video", "e2e", "train", "stream"],
                     default="clip")
     ap.add_argument("--train-batch", type=int, default=16)
     ap.add_argument("--backbone", default="resnet50",
@@ -279,6 +354,9 @@ def main():
     ap.add_argument("--video-frames", type=int, default=1024)
     ap.add_argument("--video-batch", type=int, default=1,
                     help=">1: batched multi-video engine (run_videos)")
+    ap.add_argument("--backbone-chunk", type=int, default=0,
+                    help="video mode: lax.map the trunk over frame chunks "
+                         "of this size (bounds activation HBM; 0 = off)")
     args = ap.parse_args()
 
     if args.mode == "video":
@@ -287,6 +365,8 @@ def main():
         return bench_e2e(args)
     if args.mode == "train":
         return bench_train(args)
+    if args.mode == "stream":
+        return bench_stream(args)
 
     import jax
     import jax.numpy as jnp

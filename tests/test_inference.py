@@ -283,6 +283,60 @@ def test_batched_multi_video_inference_matches_per_video(tmp_path):
     assert ("batch", 4, 16) in engine._compiled
 
 
+def test_backbone_chunked_matches_unchunked(tmp_path):
+    """eval.backbone_chunk scans the trunk over frame chunks (bounded
+    activation HBM); outputs must equal the all-at-once pass for run_video
+    and run_videos, float and uint8 (device_normalize) inputs alike."""
+    import dataclasses as dc
+
+    cfg = _cfg(tmp_path)
+    variables, extractor = _init_models(cfg, key=7)
+    base = VideoInference(cfg, variables, extractor, pad_frames=16)
+    chunked = VideoInference(cfg, variables, extractor, pad_frames=16,
+                             backbone_chunk=8)
+    rng = np.random.RandomState(4)
+    frames = rng.rand(14, HW, HW, 3).astype(np.float32)  # pads to 16 = 2x8
+    p0, pr0 = base.run_video(frames)
+    p1, pr1 = chunked.run_video(frames)
+    np.testing.assert_array_equal(p0, p1)
+    np.testing.assert_allclose(pr0, pr1, atol=1e-5, rtol=1e-4)
+
+    # batched engine: vmapped chunked scan
+    frames_list = [rng.rand(n, HW, HW, 3).astype(np.float32)
+                   for n in (9, 14, 16)]
+    got_b = chunked.run_videos(frames_list)
+    for f, (p_b, pr_b) in zip(frames_list, got_b):
+        p_s, pr_s = base.run_video(f)
+        np.testing.assert_array_equal(p_b, p_s)
+        np.testing.assert_allclose(pr_b, pr_s, atol=1e-5, rtol=1e-4)
+
+    # uint8 wire + in-jit normalize, prep inside the chunk body
+    cfg_dev = dc.replace(cfg, data=dc.replace(cfg.data,
+                                              device_normalize=True),
+                         eval=dc.replace(cfg.eval, backbone_chunk=8))
+    from tmrnet_tpu.data.transforms import EvalTransform
+
+    tf_host = EvalTransform(crop_size=16, resize=24, crop_type=1)
+    tf_dev = EvalTransform(crop_size=16, resize=24, crop_type=1,
+                           normalize=False)
+    eng_host = VideoInference(cfg, variables, extractor, pad_frames=16)
+    eng_dev = VideoInference(cfg_dev, variables, extractor, pad_frames=16)
+    assert eng_dev.backbone_chunk == 8  # picked up from cfg.eval
+    raw = rng.randint(0, 255, (12, HW, HW, 3)).astype(np.uint8)
+    p_h, pr_h = eng_host.run_video(tf_host(raw))
+    u8 = tf_dev(raw)
+    assert u8.dtype == np.uint8
+    p_d, pr_d = eng_dev.run_video(u8)
+    np.testing.assert_array_equal(p_h, p_d)
+    np.testing.assert_allclose(pr_h, pr_d, atol=2e-5, rtol=1e-4)
+
+    # non-divisible chunk falls back to the all-at-once pass (still exact)
+    odd = VideoInference(cfg, variables, extractor, pad_frames=16,
+                         backbone_chunk=5)
+    p2, pr2 = odd.run_video(frames)
+    np.testing.assert_array_equal(p0, p2)
+
+
 def test_device_normalize_matches_host_normalize(tmp_path):
     """data.device_normalize ships uint8 and normalizes in-jit; scores must
     match the host-normalized float path."""

@@ -185,6 +185,11 @@ class EvalConfig:
     # (VideoInference.run_videos). >1 fills the chip on short videos
     # (+33% at 4x512 measured) but holds B transformed videos in host RAM.
     video_batch: int = 1
+    # --engine video: run the backbone over frame chunks of this size
+    # (lax.map) instead of all frames at once. Bounds peak activation HBM to
+    # O(chunk) frames — without it the conv1 activations of one program cap
+    # the frame budget at ~8k frames on a 16 GB v5e (batch x length). 0 = off.
+    backbone_chunk: int = 0
 
 
 @dataclass(frozen=True)

@@ -161,7 +161,8 @@ class VideoInference:
     """
 
     def __init__(self, cfg: ExperimentConfig, variables, extractor_variables,
-                 pad_frames: int = 2048, bucket_step: int = 1024, mesh=None):
+                 pad_frames: int = 2048, bucket_step: int = 1024, mesh=None,
+                 backbone_chunk: int | None = None):
         """mesh: optional ('data','model') mesh — the video's FRAME dimension
         is sharded over the data axis (sequence parallelism for the trunk:
         each device runs the backbone on its frame shard; the tiny LSTM/head
@@ -172,12 +173,20 @@ class VideoInference:
         1 fps, so a full 40-video pass compiles O(5) programs (cached across
         videos) instead of one 3-7 minute compile per distinct length, at
         ≤ bucket_step/n wasted backbone compute.
+
+        backbone_chunk (default cfg.eval.backbone_chunk; 0 = off): run the
+        trunk over frame chunks of this size via lax.map so peak activation
+        HBM is O(chunk) frames instead of O(video); lifts the one-program
+        frame budget (batch x length) past the ~8k-frame conv1-activation
+        ceiling of a 16 GB v5e at identical outputs.
         """
         self.cfg = cfg
         self.seq = cfg.data.sequence_length
         self.window = cfg.memory.window
         self.pad_frames = pad_frames
         self.bucket_step = bucket_step
+        self.backbone_chunk = (cfg.eval.backbone_chunk
+                               if backbone_chunk is None else backbone_chunk)
         self.mesh = mesh
         if mesh is not None:
             from tmrnet_tpu.parallel.mesh import replicated_sharding
@@ -228,6 +237,25 @@ class VideoInference:
         idx = starts + jnp.arange(self.seq)[None, :]
         return jnp.take(feats, idx, axis=0)
 
+    def _backbone_all_frames(self, bvars, frames: jax.Array) -> jax.Array:
+        """Input prep + trunk over all N frames. With backbone_chunk set and
+        divisible, scan frame chunks (lax.map) so only O(chunk) frames'
+        activations — and normalized pixels — are live at once; the (N, F)
+        feature output is tiny either way. Prep runs inside the chunk body
+        (and hence once per trunk instead of once per video): elementwise
+        uint8->bf16 is noise next to a ResNet pass, and keeping it in the
+        loop stops XLA from materializing a full normalized copy of the
+        video in HBM."""
+        n, c = frames.shape[0], self.backbone_chunk
+        if not c or n <= c or n % c:
+            return self.backbone.apply(bvars, self._prep_frames(frames),
+                                       train=False)
+        chunks = frames.reshape((n // c, c) + frames.shape[1:])
+        feats = jax.lax.map(
+            lambda fr: self.backbone.apply(bvars, self._prep_frames(fr),
+                                           train=False), chunks)
+        return feats.reshape((n,) + feats.shape[2:])
+
     def _clip_embeddings(self, variables, frames: jax.Array,
                          prefix: str) -> jax.Array:
         """Backbone once per frame + batched LSTM over sliding windows ->
@@ -236,7 +264,7 @@ class VideoInference:
         bvars = {"params": params["backbone"]}
         if "batch_stats" in variables and "backbone" in variables["batch_stats"]:
             bvars["batch_stats"] = variables["batch_stats"]["backbone"]
-        feats = self.backbone.apply(bvars, frames, train=False)     # (N, F)
+        feats = self._backbone_all_frames(bvars, frames)            # (N, F)
         windows = self._window_features(feats)                       # (C, T, F)
         ys, _ = self.lstm.apply({"params": params["encoder"]["lstm"]}, windows)
         return ys[:, -1, :]                                          # (C, H)
@@ -277,7 +305,8 @@ class VideoInference:
 
         @jax.jit
         def run(variables, extractor_variables, frames):
-            frames = self._prep_frames(frames)
+            # input prep (uint8 cast + device normalize) happens per trunk
+            # inside _backbone_all_frames
             # 1) frozen extractor -> LFB rows for this video
             bank_feats = self._clip_embeddings(extractor_variables, frames,
                                                "lfb")
@@ -302,7 +331,6 @@ class VideoInference:
             # frames: (B, padded, H, W, 3); per-video pass vmapped over B —
             # each video keeps its own bank/windows, XLA batches the trunk
             def one(fr):
-                fr = self._prep_frames(fr)
                 bank_feats = self._clip_embeddings(extractor_variables, fr,
                                                    "lfb")
                 st = self._clip_embeddings(variables, fr, "tmr")
