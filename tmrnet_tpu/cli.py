@@ -8,6 +8,7 @@ drivers (SURVEY.md section 5, config notes):
   build-lfb  frozen-extractor feature bank (--load_LFB workflow)
   train-tmr  stage-2 TMRNet / only-non-local training
   test       batched test inference -> predictions .npz + accuracy
+  stream     online streaming inference, one frame per stream per step
   parity     reference .pth + frames -> Main.m protocol table, one command
   export     predictions -> video<N>-phase.txt trees (export_phase_copy.py)
   evaluate   relaxed-boundary protocol scoring (MATLAB Main.m, in Python)
@@ -515,6 +516,74 @@ def cmd_test(args) -> int:
     return 0
 
 
+def cmd_stream(args) -> int:
+    """Online streaming inference (the deployment shape of surgical phase
+    recognition — the reference has no serving path, its test drivers are
+    offline batch jobs): play every manifest video as a parallel 1-fps
+    stream through eval/stream.py's jitted per-frame step and write one JSONL
+    row per (video, frame) as predictions become available. Outputs match
+    `test --engine video` exactly from the first full clip onward
+    (parity-tested)."""
+    from tmrnet_tpu.data.pipeline import load_frame
+    from tmrnet_tpu.data.transforms import EvalTransform
+    from tmrnet_tpu.eval.stream import StreamingInference
+
+    cfg = load_config(args)
+    m = _load_manifest(args.manifest)
+    _, variables = _restore_variables(cfg, cfg.model.head, args.ckpt,
+                                      args.torch_ckpt, cfg.data.crop_size)
+    extractor_vars = variables
+    if args.extractor_torch_ckpt or args.extractor_ckpt:
+        head = "stage1" if args.extractor_ckpt else "lfb"
+        _, extractor_vars = _restore_variables(
+            cfg, head, args.extractor_ckpt, args.extractor_torch_ckpt,
+            cfg.data.crop_size)
+    extractor = {
+        "params": {k: extractor_vars["params"][k]
+                   for k in ("backbone", "encoder")},
+        "batch_stats": {"backbone":
+                        extractor_vars["batch_stats"]["backbone"]}}
+    if cfg.data.test_crop_type in (5, 10):
+        raise SystemExit("stream does not support multi-crop eval")
+
+    d = cfg.data
+    tf = EvalTransform(d.crop_size, d.resize, d.test_crop_type, d.mean,
+                       d.std, normalize=not d.device_normalize)
+    videos = [tf(np.stack([load_frame(p) for p in v.frame_paths]))
+              for v in m.videos]
+    lengths = [v.shape[0] for v in videos]
+    seq = d.sequence_length
+
+    engine = StreamingInference(cfg, variables, extractor)
+    state = engine.init_state(len(videos))
+    steps = min(max(lengths), args.max_steps or max(lengths))
+    correct = total = 0
+    with open(args.out, "w") as f:
+        for t in range(steps):
+            # ended streams keep replaying their last frame; their rows are
+            # simply not emitted
+            frames = np.stack([v[min(t, n - 1)]
+                               for v, n in zip(videos, lengths)])
+            state, preds, probs, valid = engine.step(state, frames)
+            preds, valid = np.asarray(preds), np.asarray(valid)
+            for i, video in enumerate(m.videos):
+                if t >= lengths[i]:
+                    continue
+                ok = bool(valid[i]) and t >= seq - 1
+                f.write(json.dumps({
+                    "video": video.video_id, "frame": t,
+                    "pred": int(preds[i]) if ok else None,
+                    "valid": ok}) + "\n")
+                if ok:
+                    correct += int(preds[i] == video.labels[t])
+                    total += 1
+    acc = correct / total if total else 0.0
+    print(json.dumps({"streams": len(videos), "steps": int(steps),
+                      "clip_accuracy": round(acc, 6),
+                      "predictions": total, "out": args.out}))
+    return 0
+
+
 def cmd_parity(args) -> int:
     """One command from a reference .pth + frames to the Main.m-format
     protocol table: build the bank with the (frozen) extractor weights, run
@@ -702,6 +771,19 @@ def build_parser() -> argparse.ArgumentParser:
                          "frame, LFB build fused)")
     sp.add_argument("--out", default="./predictions.npz")
     sp.set_defaults(fn=cmd_test)
+
+    sp = sub.add_parser("stream", help="online streaming inference "
+                                       "(one frame/stream/step, JSONL out)")
+    _add_config_args(sp)
+    sp.add_argument("--manifest", required=True)
+    sp.add_argument("--ckpt")
+    sp.add_argument("--torch-ckpt")
+    sp.add_argument("--extractor-ckpt")
+    sp.add_argument("--extractor-torch-ckpt")
+    sp.add_argument("--max-steps", type=int, default=0,
+                    help="cap the number of streamed frames per video")
+    sp.add_argument("--out", default="./stream_preds.jsonl")
+    sp.set_defaults(fn=cmd_stream)
 
     sp = sub.add_parser("parity", help="reference .pth + frames -> Main.m "
                                        "protocol table in one command")
