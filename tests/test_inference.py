@@ -337,6 +337,24 @@ def test_backbone_chunked_matches_unchunked(tmp_path):
     np.testing.assert_array_equal(p0, p2)
 
 
+def test_effective_chunk_policy(tmp_path):
+    """backbone_chunk: 0 = auto (chunk 1024 only past the measured 4096-frame
+    program ceiling), -1 = never, >0 = explicit."""
+    cfg = _cfg(tmp_path)
+    variables, extractor = _init_models(cfg)
+    auto = VideoInference(cfg, variables, extractor)          # cfg default 0
+    assert auto._effective_chunk(1, 2048) == 0    # small program: unchanged
+    assert auto._effective_chunk(1, 4096) == 0    # measured-good shape
+    assert auto._effective_chunk(4, 1024) == 0    # total exactly at ceiling
+    assert auto._effective_chunk(1, 8192) == 1024  # would OOM unchunked
+    assert auto._effective_chunk(4, 2048) == 1024  # the documented OOM case
+    assert auto._effective_chunk(16, 512) == 512   # chunk capped at padded
+    never = VideoInference(cfg, variables, extractor, backbone_chunk=-1)
+    assert never._effective_chunk(4, 2048) == 0
+    explicit = VideoInference(cfg, variables, extractor, backbone_chunk=256)
+    assert explicit._effective_chunk(1, 512) == 256
+
+
 def test_device_normalize_matches_host_normalize(tmp_path):
     """data.device_normalize ships uint8 and normalizes in-jit; scores must
     match the host-normalized float path."""

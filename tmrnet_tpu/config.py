@@ -188,7 +188,10 @@ class EvalConfig:
     # --engine video: run the backbone over frame chunks of this size
     # (lax.map) instead of all frames at once. Bounds peak activation HBM to
     # O(chunk) frames — without it the conv1 activations of one program cap
-    # the frame budget at ~8k frames on a 16 GB v5e (batch x length). 0 = off.
+    # the frame budget at ~8k frames on a 16 GB v5e (batch x length).
+    # 0 = auto (chunk by 1024 once a program exceeds 4096 total frames —
+    # the measured safe ceiling; smaller programs run unchunked exactly as
+    # before), -1 = never chunk, >0 = explicit chunk size.
     backbone_chunk: int = 0
 
 

@@ -31,6 +31,12 @@ from tmrnet_tpu.models.lstm import LSTM
 from tmrnet_tpu.models.tmrnet import build_model
 
 
+# Measured single-program frame ceiling on a 16 GB v5e: 1 x 4096 frames runs,
+# 4 x 2048 OOMs on conv1 activations (docs/PERFORMANCE.md). Auto-chunking
+# kicks in above this so any batch x length combination executes.
+_AUTO_CHUNK_FRAMES = 4096
+
+
 @dataclasses.dataclass
 class InferenceResult:
     """Per-clip predictions grouped by video (clip row order)."""
@@ -174,11 +180,14 @@ class VideoInference:
         videos) instead of one 3-7 minute compile per distinct length, at
         ≤ bucket_step/n wasted backbone compute.
 
-        backbone_chunk (default cfg.eval.backbone_chunk; 0 = off): run the
-        trunk over frame chunks of this size via lax.map so peak activation
-        HBM is O(chunk) frames instead of O(video); lifts the one-program
-        frame budget (batch x length) past the ~8k-frame conv1-activation
-        ceiling of a 16 GB v5e at identical outputs.
+        backbone_chunk (default cfg.eval.backbone_chunk): run the trunk over
+        frame chunks of this size via lax.map so peak activation HBM is
+        O(chunk) frames instead of O(video); lifts the one-program frame
+        budget (batch x length) past the ~8k-frame conv1-activation ceiling
+        of a 16 GB v5e at identical outputs. 0 = auto (chunk by 1024 only
+        once a program exceeds _AUTO_CHUNK_FRAMES total frames, so small
+        programs keep their measured unchunked form), -1 = never, >0 =
+        explicit chunk size.
         """
         self.cfg = cfg
         self.seq = cfg.data.sequence_length
@@ -237,8 +246,23 @@ class VideoInference:
         idx = starts + jnp.arange(self.seq)[None, :]
         return jnp.take(feats, idx, axis=0)
 
-    def _backbone_all_frames(self, bvars, frames: jax.Array) -> jax.Array:
-        """Input prep + trunk over all N frames. With backbone_chunk set and
+    def _effective_chunk(self, batch: int, padded: int) -> int:
+        """Resolve the backbone chunk for a (batch, padded)-shaped program.
+        Explicit (>0) wins; -1 disables; 0 = auto — chunk by min(1024, padded)
+        only when the program's total frames exceed the measured single-
+        program HBM ceiling, so smaller programs keep their exact unchunked
+        form (all bucket sizes are pow-2 or 1024-multiples, so the auto
+        chunk always divides)."""
+        if self.backbone_chunk > 0:
+            return self.backbone_chunk
+        if self.backbone_chunk < 0 or batch * padded <= _AUTO_CHUNK_FRAMES:
+            return 0
+        c = min(1024, padded)
+        return c if padded % c == 0 else 0
+
+    def _backbone_all_frames(self, bvars, frames: jax.Array,
+                             chunk: int) -> jax.Array:
+        """Input prep + trunk over all N frames. With a chunk set and
         divisible, scan frame chunks (lax.map) so only O(chunk) frames'
         activations — and normalized pixels — are live at once; the (N, F)
         feature output is tiny either way. Prep runs inside the chunk body
@@ -246,7 +270,7 @@ class VideoInference:
         uint8->bf16 is noise next to a ResNet pass, and keeping it in the
         loop stops XLA from materializing a full normalized copy of the
         video in HBM."""
-        n, c = frames.shape[0], self.backbone_chunk
+        n, c = frames.shape[0], chunk
         if not c or n <= c or n % c:
             return self.backbone.apply(bvars, self._prep_frames(frames),
                                        train=False)
@@ -257,14 +281,14 @@ class VideoInference:
         return feats.reshape((n,) + feats.shape[2:])
 
     def _clip_embeddings(self, variables, frames: jax.Array,
-                         prefix: str) -> jax.Array:
+                         prefix: str, chunk: int = 0) -> jax.Array:
         """Backbone once per frame + batched LSTM over sliding windows ->
         last-step embedding per clip position (the LFB feature / St)."""
         params = variables["params"]
         bvars = {"params": params["backbone"]}
         if "batch_stats" in variables and "backbone" in variables["batch_stats"]:
             bvars["batch_stats"] = variables["batch_stats"]["backbone"]
-        feats = self._backbone_all_frames(bvars, frames)            # (N, F)
+        feats = self._backbone_all_frames(bvars, frames, chunk)     # (N, F)
         windows = self._window_features(feats)                       # (C, T, F)
         ys, _ = self.lstm.apply({"params": params["encoder"]["lstm"]}, windows)
         return ys[:, -1, :]                                          # (C, H)
@@ -302,6 +326,7 @@ class VideoInference:
     def _build_fn(self, padded: int):
         if padded in self._compiled:
             return self._compiled[padded]
+        chunk = self._effective_chunk(1, padded)
 
         @jax.jit
         def run(variables, extractor_variables, frames):
@@ -309,9 +334,9 @@ class VideoInference:
             # inside _backbone_all_frames
             # 1) frozen extractor -> LFB rows for this video
             bank_feats = self._clip_embeddings(extractor_variables, frames,
-                                               "lfb")
+                                               "lfb", chunk)
             # 2) TMR encoder -> St per clip position
-            st = self._clip_embeddings(variables, frames, "tmr")
+            st = self._clip_embeddings(variables, frames, "tmr", chunk)
             # 3) memory head batched over all clip positions
             logits = self._head(variables, st, bank_feats,
                                 frames.shape[0] - self.seq + 1)
@@ -325,15 +350,17 @@ class VideoInference:
         key = ("batch", batch, padded)
         if key in self._compiled:
             return self._compiled[key]
+        chunk = self._effective_chunk(batch, padded)
 
         @jax.jit
         def run_many(variables, extractor_variables, frames):
             # frames: (B, padded, H, W, 3); per-video pass vmapped over B —
             # each video keeps its own bank/windows, XLA batches the trunk
+            # (under vmap the chunk scan processes batch x chunk frames/step)
             def one(fr):
                 bank_feats = self._clip_embeddings(extractor_variables, fr,
-                                                   "lfb")
-                st = self._clip_embeddings(variables, fr, "tmr")
+                                                   "lfb", chunk)
+                st = self._clip_embeddings(variables, fr, "tmr", chunk)
                 logits = self._head(variables, st, bank_feats,
                                     fr.shape[0] - self.seq + 1)
                 probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)

@@ -115,6 +115,8 @@ class StreamingInference:
             frames = frames.astype(self.cdt)
             if self._dev_norm:
                 frames = (frames - self._mean) / self._std
+        elif frames.dtype != self.cdt:
+            frames = frames.astype(self.cdt)
         fe = self._trunk(self.extractor_variables, frames)   # (B, F)
         ft = self._trunk(self.variables, frames)
         ext_ring = jnp.concatenate([state.ext_ring[:, 1:], fe[:, None]], axis=1)
@@ -160,7 +162,14 @@ class StreamingInference:
         """frames: (B, H, W, 3) — normalized float, or raw uint8 with
         data.device_normalize (1 byte/pixel over PCIe, in-jit normalize).
         Returns (state, preds (B,), probs (B, C), valid (B,)); valid is False
-        until the stream has seen seq_len frames."""
+        until the stream has seen seq_len frames.
+
+        Device-resident frames pass straight through (dtype casts happen
+        in-jit) — coercing them through numpy here would round-trip every
+        frame device->host->device, which costs ~7 ms/stream-frame on a
+        tunneled host (measured) and wastes PCIe both ways on any host."""
+        if isinstance(frames, jax.Array):
+            return self._step(state, frames)
         frames = np.asarray(frames)
         j = (jnp.asarray(frames) if frames.dtype == np.uint8
              else jnp.asarray(frames, self.cdt))
