@@ -226,6 +226,20 @@ def test_cli_stream_matches_video_engine(tmp_path, tiny_cfg_json, capsys):
                                   np.asarray(stream_preds))
     assert summary["predictions"] == len(stream_preds)
 
+    # the streaming JSONL feeds the same export -> protocol-scoring chain
+    pred_dir, gt_dir = tmp_path / "sphase", tmp_path / "sgt"
+    assert main(["export", "--config", tiny_cfg_json, "--manifest",
+                 str(manifest), "--preds", str(out_jsonl),
+                 "--pred-dir", str(pred_dir), "--gt-dir", str(gt_dir)]) == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["num_videos"] == 2
+    rep_json = tmp_path / "srep.json"
+    assert main(["evaluate", "--pred-dir", str(pred_dir), "--gt-dir",
+                 str(gt_dir), "--fps", "1", "--json-out",
+                 str(rep_json)]) == 0
+    rep = _json.loads(rep_json.read_text())
+    assert 0.0 <= rep["mean_accuracy"] <= 100.0
+
 
 def test_cli_train_bank_explicit_mesh(tmp_path, tiny_cfg_json, capsys):
     """CLI builds a dp4 x tp2 mesh from --set overrides and trains through it

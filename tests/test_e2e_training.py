@@ -149,6 +149,26 @@ def test_mid_epoch_minibatch_validation(tmp_path):
     lines = [json.loads(l) for l in open(log_dir + "/metrics.jsonl")]
     assert any("val_minibatch/loss" in l for l in lines)
     assert any("val/precision_0" in l for l in lines)
+    # per-epoch confusion matrix row (reference Comet log_confusion_matrix)
+    cms = [l["val/confusion"] for l in lines if "val/confusion" in l]
+    assert cms, "no confusion matrix logged"
+    cm = np.asarray(cms[-1])
+    assert cm.shape == (4, 4) and cm.sum() > 0
+
+
+def test_confusion_matrix_counts(tmp_path):
+    from tmrnet_tpu.utils.logging import MetricLogger
+
+    log_dir = str(tmp_path / "cmlogs")
+    log = MetricLogger(log_dir, use_tensorboard=False, quiet=True)
+    log.log_confusion_matrix(0, [0, 0, 1, 2], [0, 1, 1, 2], num_classes=3)
+    log.close()
+    import json
+
+    rows = [json.loads(l) for l in open(log_dir + "/metrics.jsonl")]
+    cm = np.asarray(rows[-1]["confusion"])
+    np.testing.assert_array_equal(
+        cm, [[1, 1, 0], [0, 1, 0], [0, 0, 1]])
 
 
 def test_train_stage1_with_mesh(tmp_path):

@@ -655,7 +655,25 @@ def cmd_export(args) -> int:
 
     cfg = load_config(args)
     m = _load_manifest(args.manifest)
-    preds = np.load(args.preds)["preds"]
+    if args.preds.endswith(".jsonl"):
+        # stream-command output: one row per (video, frame); valid rows carry
+        # the clip prediction for that frame position. Reassemble into
+        # bank-row (video-major, frame-ascending) order.
+        by_video = {}
+        with open(args.preds) as f:
+            for line in f:
+                r = json.loads(line)
+                if r.get("valid"):
+                    by_video.setdefault(r["video"], []).append(
+                        (r["frame"], r["pred"]))
+        parts = []
+        for v in m.videos:
+            rows = sorted(by_video.get(v.video_id, []))
+            parts.append(np.asarray([p for _, p in rows], np.int64))
+        preds = (np.concatenate(parts) if parts
+                 else np.zeros(0, np.int64))
+    else:
+        preds = np.load(args.preds)["preds"]
     stats = export_predictions(m, preds, cfg.data.sequence_length,
                                pred_dir=args.pred_dir, gt_dir=args.gt_dir,
                                fps=cfg.eval.export_fps)
@@ -803,10 +821,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--json-out")
     sp.set_defaults(fn=cmd_parity)
 
-    sp = sub.add_parser("export", help="predictions npz -> phase txt trees")
+    sp = sub.add_parser("export", help="predictions (npz or stream jsonl) "
+                                       "-> phase txt trees")
     _add_config_args(sp)
     sp.add_argument("--manifest", required=True)
-    sp.add_argument("--preds", required=True)
+    sp.add_argument("--preds", required=True,
+                    help=".npz from `test` or .jsonl from `stream`")
     sp.add_argument("--pred-dir", default="./eval/phase")
     sp.add_argument("--gt-dir", default="./eval/gt-phase")
     sp.set_defaults(fn=cmd_export)

@@ -269,6 +269,11 @@ def _fit(cfg: ExperimentConfig, model, train_ds: ClipDataset,
                     log.log(epoch, {f"precision_{c}": cmm["precision"][c],
                                     f"recall_{c}": cmm["recall"][c]},
                             prefix="val/")
+                # reference logs a per-epoch confusion matrix to Comet
+                # (`train_memorybank.py:357-358`)
+                log.log_confusion_matrix(epoch, va_labels, va_preds,
+                                         int(cfg.model.num_classes),
+                                         tag="val/confusion")
         else:
             va_loss, va_acc = tr_loss, tr_acc
         lr = schedule(epoch + 1, va_loss) if callable(schedule) else t.lr

@@ -58,6 +58,27 @@ class MetricLogger:
             arr = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
         self._tb.add_images(tag, arr, step, dataformats="NHWC")
 
+    def log_confusion_matrix(self, step: int, labels, preds,
+                             num_classes: int, tag: str = "confusion") -> None:
+        """Row-normalized confusion matrix to JSONL (+ TensorBoard image),
+        covering the reference's Comet log_confusion_matrix
+        (`train_memorybank.py:357-358`). labels/preds: int arrays."""
+        import numpy as np
+
+        labels = np.asarray(labels).ravel()
+        preds = np.asarray(preds).ravel()
+        cm = np.zeros((num_classes, num_classes), np.int64)
+        np.add.at(cm, (labels, preds), 1)
+        if self._jsonl:
+            self._jsonl.write(json.dumps(
+                {"step": step, tag: cm.tolist()}) + "\n")
+            self._jsonl.flush()
+        if self._tb is not None:
+            row = cm.astype(np.float64)
+            row /= np.maximum(row.sum(axis=1, keepdims=True), 1)
+            img = (row * 255).astype("uint8")[..., None].repeat(3, axis=-1)
+            self._tb.add_images(tag, img[None], step, dataformats="NHWC")
+
     def close(self) -> None:
         if self._jsonl:
             self._jsonl.close()
