@@ -346,9 +346,13 @@ def test_effective_chunk_policy(tmp_path):
     assert auto._effective_chunk(1, 2048) == 0    # small program: unchanged
     assert auto._effective_chunk(1, 4096) == 0    # measured-good shape
     assert auto._effective_chunk(4, 1024) == 0    # total exactly at ceiling
-    assert auto._effective_chunk(1, 8192) == 1024  # would OOM unchunked
-    assert auto._effective_chunk(4, 2048) == 1024  # the documented OOM case
-    assert auto._effective_chunk(16, 512) == 512   # chunk capped at padded
+    assert auto._effective_chunk(1, 8192) == 2048  # would OOM unchunked
+    assert auto._effective_chunk(4, 2048) == 512   # the measured OOM case:
+    # batch x chunk budgets the scan step (4 x 512 = 2048 frames/step)
+    assert auto._effective_chunk(2, 4096) == 1024
+    assert auto._effective_chunk(16, 512) == 256   # floor 256/stream
+    assert auto._effective_chunk(1, 6144) == 2048  # 1024-multiple bucket
+    assert auto._effective_chunk(64, 128) == 0     # chunk >= padded: no-op
     never = VideoInference(cfg, variables, extractor, backbone_chunk=-1)
     assert never._effective_chunk(4, 2048) == 0
     explicit = VideoInference(cfg, variables, extractor, backbone_chunk=256)

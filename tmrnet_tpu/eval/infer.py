@@ -248,17 +248,29 @@ class VideoInference:
 
     def _effective_chunk(self, batch: int, padded: int) -> int:
         """Resolve the backbone chunk for a (batch, padded)-shaped program.
-        Explicit (>0) wins; -1 disables; 0 = auto — chunk by min(1024, padded)
-        only when the program's total frames exceed the measured single-
-        program HBM ceiling, so smaller programs keep their exact unchunked
-        form (all bucket sizes are pow-2 or 1024-multiples, so the auto
-        chunk always divides)."""
+        Explicit (>0) wins; -1 disables; 0 = auto — chunk only when the
+        program's total frames exceed the measured single-program HBM
+        ceiling, so smaller programs keep their exact unchunked form.
+
+        Under vmap the chunk scan processes batch x chunk frames per step,
+        so the auto chunk budgets the PRODUCT: ~2048 frames per step
+        (3.3 GB of conv1 activations — headroom for the staged inputs that
+        share HBM; batch x chunk = 4096 measured OOM at batch 4). Bucket
+        sizes are pow-2 or 1024-multiples, so a pow-2 chunk always divides."""
         if self.backbone_chunk > 0:
             return self.backbone_chunk
         if self.backbone_chunk < 0 or batch * padded <= _AUTO_CHUNK_FRAMES:
             return 0
-        c = min(1024, padded)
-        return c if padded % c == 0 else 0
+        if self.mesh is not None:
+            # frames are sharded over the data axis: per-device activations
+            # are already total/dp, and chunk-reshaping a sharded frame axis
+            # would insert collectives. Explicit backbone_chunk still wins.
+            return 0
+        target = max(256, (_AUTO_CHUNK_FRAMES // 2) // batch)
+        c = min(padded, 1 << (target.bit_length() - 1))  # pow-2 floor
+        while c > 1 and padded % c:
+            c //= 2
+        return 0 if c >= padded or padded % c else c
 
     def _backbone_all_frames(self, bvars, frames: jax.Array,
                              chunk: int) -> jax.Array:
