@@ -142,3 +142,40 @@ def test_streaming_device_normalize_matches_host():
             np.testing.assert_array_equal(np.asarray(p_h), np.asarray(p_d))
             np.testing.assert_allclose(np.asarray(pr_h), np.asarray(pr_d),
                                        atol=2e-5, rtol=1e-4)
+
+
+def test_stream_slot_recycling():
+    """reset_streams hands a finished stream's slot to a new video without
+    disturbing the other live streams: the recycled slot's outputs must
+    equal a fresh single-stream run of the new video, and the untouched
+    slot must keep matching its own uninterrupted run."""
+    cfg = _cfg()
+    variables, extractor = _variables(cfg, key=7)
+    n = 8
+    rng = np.random.RandomState(3)
+    va = rng.rand(n, HW, HW, 3).astype(np.float32)   # slot 0, first video
+    vb = rng.rand(2 * n, HW, HW, 3).astype(np.float32)  # slot 1, long video
+    vc = rng.rand(n, HW, HW, 3).astype(np.float32)   # slot 0, second video
+
+    stream = StreamingInference(cfg, variables, extractor)
+
+    # reference runs: vc alone, vb alone
+    ref_c, st = [], stream.init_state(1)
+    for t in range(n):
+        st, p, _, v = stream.step(st, vc[t][None])
+        ref_c.append((int(p[0]), bool(v[0])))
+    ref_b, st = [], stream.init_state(1)
+    for t in range(2 * n):
+        st, p, _, v = stream.step(st, vb[t][None])
+        ref_b.append((int(p[0]), bool(v[0])))
+
+    # batched: va + vb; after va ends, recycle slot 0 for vc mid-flight
+    state = stream.init_state(2)
+    for t in range(n):
+        state, p, _, v = stream.step(state, np.stack([va[t], vb[t]]))
+        assert (int(p[1]), bool(v[1])) == ref_b[t]
+    state = stream.reset_streams(state, [True, False])
+    for t in range(n):
+        state, p, _, v = stream.step(state, np.stack([vc[t], vb[n + t]]))
+        assert (int(p[0]), bool(v[0])) == ref_c[t]      # fresh stream in slot 0
+        assert (int(p[1]), bool(v[1])) == ref_b[n + t]  # slot 1 undisturbed

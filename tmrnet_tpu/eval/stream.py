@@ -69,6 +69,7 @@ class StreamingInference:
         self._mean = jnp.asarray(cfg.data.mean, self.cdt) * 255.0
         self._std = jnp.asarray(cfg.data.std, self.cdt) * 255.0
         self._step = jax.jit(self._step_impl, donate_argnums=(0,))
+        self._reset = jax.jit(self._reset_impl, donate_argnums=(0,))
 
     def init_state(self, num_streams: int) -> StreamState:
         b = num_streams
@@ -155,7 +156,23 @@ class StreamingInference:
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         return new_state, jnp.argmax(probs, axis=-1), probs, has_clip
 
+    def _reset_impl(self, state: StreamState, mask: jax.Array):
+        def z(ring):
+            return jnp.where(mask[:, None, None], jnp.zeros_like(ring), ring)
+
+        return StreamState(
+            ext_ring=z(state.ext_ring), tmr_ring=z(state.tmr_ring),
+            bank_ring=z(state.bank_ring),
+            count=jnp.where(mask, jnp.zeros_like(state.count), state.count))
+
     # -- public -------------------------------------------------------------
+
+    def reset_streams(self, state: StreamState, mask) -> StreamState:
+        """Recycle stream slots in place (device-resident, donated): slots
+        where mask is True restart as fresh streams — rings and frame counts
+        zero — so a serving fleet can hand a finished OR's slot to a new
+        video without touching the other B-1 live streams. mask: (B,) bool."""
+        return self._reset(state, jnp.asarray(np.asarray(mask), bool))
 
     def step(self, state: StreamState, frames: np.ndarray
              ) -> Tuple[StreamState, np.ndarray, np.ndarray, np.ndarray]:
