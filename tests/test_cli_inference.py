@@ -241,6 +241,38 @@ def test_cli_stream_matches_video_engine(tmp_path, tiny_cfg_json, capsys):
     assert 0.0 <= rep["mean_accuracy"] <= 100.0
 
 
+def test_cli_stream_slot_multiplexing(tmp_path, tiny_cfg_json, capsys):
+    """`stream --max-streams 1` serves all videos sequentially through ONE
+    compiled slot (recycled via reset_streams when each video ends) and must
+    emit exactly the same rows as the default one-slot-per-video run."""
+    import json as _json
+
+    frames_dir, ann_dir = _write_frames_tree(tmp_path, n_videos=3, seconds=10)
+    manifest = tmp_path / "m.pkl"
+    main(["manifest", "--frames", str(frames_dir), "--annotations",
+          str(ann_dir), "--out", str(manifest)])
+    capsys.readouterr()
+
+    def run(extra, out_name):
+        out = tmp_path / out_name
+        assert main(["stream", "--config", tiny_cfg_json, "--manifest",
+                     str(manifest), "--out", str(out)] + extra) == 0
+        summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        rows = sorted((_json.loads(l) for l in out.read_text().splitlines()),
+                      key=lambda r: (r["video"], r["frame"]))
+        return summary, rows
+
+    ref_summary, ref_rows = run([], "wide.jsonl")
+    mux_summary, mux_rows = run(["--max-streams", "1"], "mux.jsonl")
+
+    assert ref_summary["slots"] == 3 and mux_summary["slots"] == 1
+    assert mux_rows == ref_rows
+    assert mux_summary["predictions"] == ref_summary["predictions"]
+    assert mux_summary["clip_accuracy"] == ref_summary["clip_accuracy"]
+    # one slot serving 3 equal-length videos back-to-back
+    assert mux_summary["steps"] == 3 * ref_summary["steps"]
+
+
 def test_cli_train_bank_explicit_mesh(tmp_path, tiny_cfg_json, capsys):
     """CLI builds a dp4 x tp2 mesh from --set overrides and trains through it
     (VERDICT r1 item 2: multi-device execution reachable from the CLI)."""

@@ -24,6 +24,7 @@ import dataclasses
 import json
 import os
 import sys
+from collections import deque
 from typing import Any, List, Optional
 
 import numpy as np
@@ -554,21 +555,33 @@ def cmd_stream(args) -> int:
     lengths = [v.shape[0] for v in videos]
     seq = d.sequence_length
 
+    if args.max_steps:
+        lengths = [min(n, args.max_steps) for n in lengths]
+
+    # Fixed-B slot multiplexing: videos queue for `--max-streams` compiled
+    # slots; a finished video's slot is recycled in place (reset_streams), so
+    # one program serves any number of videos and finished streams stop
+    # burning compute. Default B = all videos (everything streams at once).
+    num_slots = min(args.max_streams or len(videos), len(videos))
     engine = StreamingInference(cfg, variables, extractor)
-    state = engine.init_state(len(videos))
-    steps = min(max(lengths), args.max_steps or max(lengths))
-    correct = total = 0
+    state = engine.init_state(num_slots)
+    pending = deque(range(len(videos)))
+    slot_video = [pending.popleft() for _ in range(num_slots)]
+    slot_t = [0] * num_slots
+    blank = np.zeros_like(videos[0][0])
+    correct = total = steps = 0
     with open(args.out, "w") as f:
-        for t in range(steps):
-            # ended streams keep replaying their last frame; their rows are
-            # simply not emitted
-            frames = np.stack([v[min(t, n - 1)]
-                               for v, n in zip(videos, lengths)])
+        while any(v >= 0 for v in slot_video):
+            frames = np.stack([videos[v][slot_t[i]] if v >= 0 else blank
+                               for i, v in enumerate(slot_video)])
             state, preds, probs, valid = engine.step(state, frames)
             preds, valid = np.asarray(preds), np.asarray(valid)
-            for i, video in enumerate(m.videos):
-                if t >= lengths[i]:
+            steps += 1
+            reset = [False] * num_slots
+            for i, v in enumerate(slot_video):
+                if v < 0:
                     continue
+                t, video = slot_t[i], m.videos[v]
                 ok = bool(valid[i]) and t >= seq - 1
                 f.write(json.dumps({
                     "video": video.video_id, "frame": t,
@@ -577,8 +590,16 @@ def cmd_stream(args) -> int:
                 if ok:
                     correct += int(preds[i] == video.labels[t])
                     total += 1
+                slot_t[i] += 1
+                if slot_t[i] >= lengths[v]:  # video done -> recycle the slot
+                    reset[i] = True
+                    slot_video[i] = pending.popleft() if pending else -1
+                    slot_t[i] = 0
+            if any(reset):
+                state = engine.reset_streams(state, reset)
     acc = correct / total if total else 0.0
-    print(json.dumps({"streams": len(videos), "steps": int(steps),
+    print(json.dumps({"streams": len(videos), "slots": num_slots,
+                      "steps": int(steps),
                       "clip_accuracy": round(acc, 6),
                       "predictions": total, "out": args.out}))
     return 0
@@ -800,6 +821,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--extractor-torch-ckpt")
     sp.add_argument("--max-steps", type=int, default=0,
                     help="cap the number of streamed frames per video")
+    sp.add_argument("--max-streams", type=int, default=0,
+                    help="serve all videos through this many compiled "
+                         "stream slots, recycling a slot when its video "
+                         "ends (0 = one slot per video)")
     sp.add_argument("--out", default="./stream_preds.jsonl")
     sp.set_defaults(fn=cmd_stream)
 
