@@ -210,6 +210,8 @@ def test_cli_stream_matches_video_engine(tmp_path, tiny_cfg_json, capsys):
 
     rows = [_json.loads(l) for l in out_jsonl.read_text().splitlines()]
     assert summary["streams"] == 2
+    # 8 virtual devices -> auto dp8 mesh; slots round up to the data axis
+    assert summary["slots"] == 8
     # warmup rows (first seq-1 frames per video) are valid=False, pred=None
     seq = 4
     by_video = {}
@@ -255,8 +257,11 @@ def test_cli_stream_slot_multiplexing(tmp_path, tiny_cfg_json, capsys):
 
     def run(extra, out_name):
         out = tmp_path / out_name
+        # pin dp=1: under the auto mesh (8 CPU devices) slot counts round up
+        # to the data axis, which would hide the 1-slot multiplexing behavior
         assert main(["stream", "--config", tiny_cfg_json, "--manifest",
-                     str(manifest), "--out", str(out)] + extra) == 0
+                     str(manifest), "--set", "mesh.data_parallel=1",
+                     "--out", str(out)] + extra) == 0
         summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         rows = sorted((_json.loads(l) for l in out.read_text().splitlines()),
                       key=lambda r: (r["video"], r["frame"]))

@@ -144,6 +144,37 @@ def test_streaming_device_normalize_matches_host():
                                        atol=2e-5, rtol=1e-4)
 
 
+def test_streaming_mesh_parity():
+    """Streams sharded over a dp8 mesh (multi-chip serving) must produce the
+    same predictions as the single-device engine at every step, including
+    across a mid-flight slot reset."""
+    from tmrnet_tpu.config import MeshConfig
+    from tmrnet_tpu.parallel.mesh import make_mesh
+
+    cfg = _cfg()
+    variables, extractor = _variables(cfg, key=5)
+    B, n = 8, 7
+    frames = np.random.RandomState(11).rand(n, B, HW, HW, 3).astype(np.float32)
+
+    base = StreamingInference(cfg, variables, extractor)
+    mesh = make_mesh(MeshConfig(data_parallel=8, model_parallel=1))
+    dist = StreamingInference(cfg, variables, extractor, mesh=mesh)
+
+    sb, sm = base.init_state(B), dist.init_state(B)
+    assert len(sm.ext_ring.sharding.device_set) == 8
+    for t in range(n):
+        sb, pb, qb, vb = base.step(sb, frames[t])
+        sm, pm, qm, vm = dist.step(sm, frames[t])
+        np.testing.assert_array_equal(np.asarray(pb), np.asarray(pm))
+        np.testing.assert_allclose(np.asarray(qb), np.asarray(qm),
+                                   atol=2e-5, rtol=1e-4)
+        np.testing.assert_array_equal(np.asarray(vb), np.asarray(vm))
+        if t == 4:  # recycle alternating slots on both engines
+            mask = [i % 2 == 0 for i in range(B)]
+            sb = base.reset_streams(sb, mask)
+            sm = dist.reset_streams(sm, mask)
+
+
 def test_stream_slot_recycling():
     """reset_streams hands a finished stream's slot to a new video without
     disturbing the other live streams: the recycled slot's outputs must

@@ -105,7 +105,7 @@ def _load_manifest(path: str, split: str = "train"):
     return primary
 
 
-def _mesh_for(cfg):
+def _mesh_for(cfg, batch: Optional[int] = None, what: str = "data.batch_clips"):
     """Build the device mesh when the config or the host calls for one.
 
     Mirrors the reference drivers' default multi-GPU behavior (DataParallel
@@ -129,10 +129,13 @@ def _mesh_for(cfg):
 
     mesh = make_mesh(m)
     dp = mesh.shape[m.data_axis]
-    if cfg.data.batch_clips % dp != 0:
+    if batch is None:
+        batch = cfg.data.batch_clips
+    # batch=0: caller aligns its own batch to the axis (e.g. stream slots)
+    if batch and batch % dp != 0:
         raise SystemExit(
-            f"data.batch_clips={cfg.data.batch_clips} must be divisible by "
-            f"the data-parallel axis ({dp}); set --set data.batch_clips=...")
+            f"{what}={batch} must be divisible by "
+            f"the data-parallel axis ({dp}); adjust {what}")
     return mesh
 
 
@@ -563,10 +566,17 @@ def cmd_stream(args) -> int:
     # one program serves any number of videos and finished streams stop
     # burning compute. Default B = all videos (everything streams at once).
     num_slots = min(args.max_streams or len(videos), len(videos))
-    engine = StreamingInference(cfg, variables, extractor)
+    # Under a mesh, streams shard over the data axis: round the slot count up
+    # to the axis size — surplus slots simply sit idle (blank frames).
+    mesh = _mesh_for(cfg, batch=0)
+    if mesh is not None:
+        dp = mesh.shape[cfg.mesh.data_axis]
+        num_slots = -(-num_slots // dp) * dp
+    engine = StreamingInference(cfg, variables, extractor, mesh=mesh)
     state = engine.init_state(num_slots)
     pending = deque(range(len(videos)))
-    slot_video = [pending.popleft() for _ in range(num_slots)]
+    slot_video = [pending.popleft() if pending else -1
+                  for _ in range(num_slots)]
     slot_t = [0] * num_slots
     blank = np.zeros_like(videos[0][0])
     correct = total = steps = 0

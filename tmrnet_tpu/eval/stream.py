@@ -51,7 +51,13 @@ class StreamState:
 
 
 class StreamingInference:
-    def __init__(self, cfg: ExperimentConfig, variables, extractor_variables):
+    """`mesh`: optional jax.sharding.Mesh — streams (the B axis) shard over
+    the mesh's first (data) axis and parameters replicate, so one serving
+    fleet spans a whole slice with XLA moving nothing but the per-step frame
+    scatter/result gather over ICI. B must divide by the data-axis size."""
+
+    def __init__(self, cfg: ExperimentConfig, variables, extractor_variables,
+                 mesh=None):
         self.cfg = cfg
         self.seq = cfg.data.sequence_length
         self.window = cfg.memory.window
@@ -68,17 +74,39 @@ class StreamingInference:
         self._dev_norm = cfg.data.device_normalize
         self._mean = jnp.asarray(cfg.data.mean, self.cdt) * 255.0
         self._std = jnp.asarray(cfg.data.std, self.cdt) * 255.0
-        self._step = jax.jit(self._step_impl, donate_argnums=(0,))
-        self._reset = jax.jit(self._reset_impl, donate_argnums=(0,))
+        self.mesh = mesh
+        if mesh is None:
+            self._bsh = None
+            self._step = jax.jit(self._step_impl, donate_argnums=(0,))
+            self._reset = jax.jit(self._reset_impl, donate_argnums=(0,))
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            rep = NamedSharding(mesh, PartitionSpec())
+            bsh = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+            self._bsh = bsh
+            self.variables = jax.device_put(variables, rep)
+            self.extractor_variables = jax.device_put(extractor_variables,
+                                                      rep)
+            ssh = StreamState(ext_ring=bsh, tmr_ring=bsh, bank_ring=bsh,
+                              count=bsh)
+            self._step = jax.jit(
+                self._step_impl, donate_argnums=(0,),
+                in_shardings=(ssh, bsh), out_shardings=(ssh, bsh, bsh, bsh))
+            self._reset = jax.jit(self._reset_impl, donate_argnums=(0,),
+                                  in_shardings=(ssh, bsh), out_shardings=ssh)
 
     def init_state(self, num_streams: int) -> StreamState:
         b = num_streams
-        return StreamState(
+        state = StreamState(
             ext_ring=jnp.zeros((b, self.seq, self.feature_dim), self.cdt),
             tmr_ring=jnp.zeros((b, self.seq, self.feature_dim), self.cdt),
             bank_ring=jnp.zeros((b, self.window, self.hidden), self.cdt),
             count=jnp.zeros((b,), jnp.int32),
         )
+        if self._bsh is not None:
+            state = jax.device_put(state, self._bsh)
+        return state
 
     # -- internals ----------------------------------------------------------
 
@@ -172,7 +200,10 @@ class StreamingInference:
         where mask is True restart as fresh streams — rings and frame counts
         zero — so a serving fleet can hand a finished OR's slot to a new
         video without touching the other B-1 live streams. mask: (B,) bool."""
-        return self._reset(state, jnp.asarray(np.asarray(mask), bool))
+        mask = np.asarray(mask, bool)
+        if self._bsh is not None:
+            return self._reset(state, jax.device_put(mask, self._bsh))
+        return self._reset(state, jnp.asarray(mask))
 
     def step(self, state: StreamState, frames: np.ndarray
              ) -> Tuple[StreamState, np.ndarray, np.ndarray, np.ndarray]:
@@ -188,6 +219,8 @@ class StreamingInference:
         if isinstance(frames, jax.Array):
             return self._step(state, frames)
         frames = np.asarray(frames)
+        if self._bsh is not None:  # scatter over the data axis; cast in-jit
+            return self._step(state, jax.device_put(frames, self._bsh))
         j = (jnp.asarray(frames) if frames.dtype == np.uint8
              else jnp.asarray(frames, self.cdt))
         return self._step(state, j)
