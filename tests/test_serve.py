@@ -1,0 +1,138 @@
+"""Serving daemon protocol (eval/serve.serve_loop): JSONL in -> JSONL out,
+dynamic join/leave on fixed compiled slots, parity with solo engine runs."""
+
+import io
+import json
+
+import numpy as np
+
+from tests.test_streaming import HW, _cfg, _variables
+from tmrnet_tpu.eval.serve import serve_loop
+from tmrnet_tpu.eval.stream import StreamingInference
+
+
+def _solo(stream, video):
+    out, st = [], stream.init_state(1)
+    for t in range(len(video)):
+        st, p, _, v = stream.step(st, video[t][None])
+        out.append((int(p[0]), bool(v[0])))
+    return out
+
+
+def _protocol(lines):
+    return io.StringIO("".join(json.dumps(o) + "\n" for o in lines))
+
+
+def test_serve_loop_join_leave_recycle():
+    """Three streams through two slots: a and b join; a ends mid-run; c joins
+    (recycles a's slot). Every emitted row must match the stream's solo run,
+    and oversubscription must produce an error row, not a crash."""
+    cfg = _cfg()
+    variables, extractor = _variables(cfg, key=3)
+    engine = StreamingInference(cfg, variables, extractor)
+
+    n = 6
+    rng = np.random.RandomState(8)
+    vids = {k: rng.rand(n, HW, HW, 3).astype(np.float32) for k in "abc"}
+    ref = {k: _solo(engine, v) for k, v in vids.items()}
+
+    frames = {f"{k}{t}": vids[k][t] for k in vids for t in range(n)}
+    load = lambda key: frames[key]
+
+    lines = []
+    # phase 1: a and b run 4 ticks together; d oversubscribes on tick 0
+    for t in range(4):
+        lines.append({"id": "a", "image": f"a{t}"})
+        lines.append({"id": "b", "image": f"b{t}"})
+        if t == 0:
+            lines.append({"id": "d", "image": "a0"})
+        lines.append({"step": True})
+    # a ends; c takes its slot while b keeps going
+    lines.append({"id": "a", "end": True})
+    for t in range(2):
+        lines.append({"id": "c", "image": f"c{t}"})
+        lines.append({"id": "b", "image": f"b{4 + t}"})
+        lines.append({"step": True})
+    # b ends; c finishes alone; the last tick has no step line and must be
+    # flushed at EOF
+    lines.append({"id": "b", "end": True})
+    for t in range(2, n):
+        lines.append({"id": "c", "image": f"c{t}"})
+        if t < n - 1:
+            lines.append({"step": True})
+
+    out = io.StringIO()
+    summary = serve_loop(engine, 2, _protocol(lines), out, load)
+
+    rows = [json.loads(l) for l in out.getvalue().splitlines()]
+    errors = [r for r in rows if "error" in r]
+    assert [e["id"] for e in errors] == ["d"]
+    assert "no free slot" in errors[0]["error"]
+
+    got = {}
+    for r in rows:
+        if "error" in r:
+            continue
+        got.setdefault(r["id"], []).append(r)
+    for k in "abc":
+        served = {"a": 4, "b": 6, "c": 6}[k]
+        krows = got[k]
+        assert [r["frame"] for r in krows] == list(range(served))
+        for r in krows:
+            pred, valid = ref[k][r["frame"]]
+            assert r["valid"] == valid
+            assert r["pred"] == (pred if valid else None)
+    assert summary["rows"] == 4 + 6 + 6
+    assert summary["live_streams"] == 1  # c never sent "end"
+    assert summary["slots"] == 2
+
+
+def test_serve_loop_dropped_tick_and_errors():
+    """A stream that misses a tick is not stepped (state frozen); malformed
+    lines produce error rows; probs are emitted when requested."""
+    cfg = _cfg()
+    variables, extractor = _variables(cfg, key=3)
+    engine = StreamingInference(cfg, variables, extractor)
+
+    n = 5
+    rng = np.random.RandomState(12)
+    va = rng.rand(n, HW, HW, 3).astype(np.float32)
+    vb = rng.rand(n, HW, HW, 3).astype(np.float32)
+    ref_a = _solo(engine, va)
+
+    frames = {f"a{t}": va[t] for t in range(n)}
+    frames.update({f"b{t}": vb[t] for t in range(n)})
+
+    lines = []
+    ta = 0
+    for tick in range(n + 2):
+        if tick not in (1, 3):  # a drops ticks 1 and 3
+            lines.append({"id": "a", "image": f"a{ta}"})
+            ta += 1
+        if tick < n:
+            lines.append({"id": "b", "image": f"b{tick}"})
+        if tick == 0:
+            lines.append({"id": "a", "image": "a0"})     # dup in same tick
+            lines.append({"no_id": True})                # missing id
+            lines.append({"id": "x", "end": True})       # unknown stream
+            lines.append({"id": "a"})                    # missing image
+            lines.append({"id": "z", "image": "nope"})   # decode failure
+        lines.append({"step": True})
+    out = io.StringIO()
+    serve_loop(engine, 4, _protocol(lines), out, lambda k: frames[k],
+               emit_probs=True)
+    rows = [json.loads(l) for l in out.getvalue().splitlines()]
+
+    errs = [r.get("error", "") for r in rows if "error" in r]
+    assert any("multiple frames" in e for e in errs)
+    assert any("missing id" in e for e in errs)
+    assert any("unknown stream" in e for e in errs)
+    assert any("missing image" in e for e in errs)
+    assert any("decode failed" in e for e in errs)
+
+    a_rows = [r for r in rows if r.get("id") == "a" and "error" not in r]
+    assert [r["frame"] for r in a_rows] == list(range(n))
+    for r in a_rows:
+        pred, valid = ref_a[r["frame"]]
+        assert r["valid"] == valid and r["pred"] == (pred if valid else None)
+        assert len(r["probs"]) == cfg.model.num_classes

@@ -144,6 +144,53 @@ def test_streaming_device_normalize_matches_host():
                                        atol=2e-5, rtol=1e-4)
 
 
+def test_streaming_active_mask_freezes_state():
+    """A slot stepped with active=False ignores its (blank/garbage) frame:
+    state frozen, valid=False. Interleaving dead ticks into one stream of a
+    pair must leave both streams' outputs identical to uninterrupted runs."""
+    cfg = _cfg()
+    variables, extractor = _variables(cfg, key=9)
+    n = 8
+    rng = np.random.RandomState(4)
+    va = rng.rand(n, HW, HW, 3).astype(np.float32)
+    vb = rng.rand(n, HW, HW, 3).astype(np.float32)
+    stream = StreamingInference(cfg, variables, extractor)
+
+    def solo(video):
+        out, st = [], stream.init_state(1)
+        for t in range(len(video)):
+            st, p, _, v = stream.step(st, video[t][None])
+            out.append((int(p[0]), bool(v[0])))
+        return out
+
+    ref_a, ref_b = solo(va), solo(vb)
+
+    # stream a drops every other tick (active=False, garbage frame); stream b
+    # runs the first n ticks then goes idle. Each clock advances only on its
+    # own active ticks.
+    state = stream.init_state(2)
+    ta = tb = 0
+    garbage = np.full((HW, HW, 3), 7.7, np.float32)
+    for tick in range(2 * n):
+        a_live = tick % 2 == 0 and ta < n
+        b_live = tb < n
+        fa = va[ta] if a_live else garbage
+        fb = vb[tb] if b_live else garbage
+        state, p, _, v = stream.step(state, np.stack([fa, fb]),
+                                     active=[a_live, b_live])
+        if a_live:
+            assert (int(p[0]), bool(v[0])) == ref_a[ta]
+            ta += 1
+        else:
+            assert not bool(v[0])
+        if b_live:
+            assert (int(p[1]), bool(v[1])) == ref_b[tb]
+            tb += 1
+        else:
+            assert not bool(v[1])
+    assert ta == n and tb == n
+
+
 def test_streaming_mesh_parity():
     """Streams sharded over a dp8 mesh (multi-chip serving) must produce the
     same predictions as the single-device engine at every step, including

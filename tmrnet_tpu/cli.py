@@ -9,6 +9,7 @@ drivers (SURVEY.md section 5, config notes):
   train-tmr  stage-2 TMRNet / only-non-local training
   test       batched test inference -> predictions .npz + accuracy
   stream     online streaming inference, one frame per stream per step
+  serve      serving daemon: JSONL frame events on stdin -> preds on stdout
   parity     reference .pth + frames -> Main.m protocol table, one command
   export     predictions -> video<N>-phase.txt trees (export_phase_copy.py)
   evaluate   relaxed-boundary protocol scoring (MATLAB Main.m, in Python)
@@ -615,6 +616,55 @@ def cmd_stream(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Serving daemon: JSONL protocol on stdin/stdout over B compiled stream
+    slots (eval/serve.py). Streams join on first frame, leave on "end", and
+    any number of them multiplex onto the fixed slots; `{"step": true}`
+    runs one tick. The reference has no serving path at all."""
+    from tmrnet_tpu.data.pipeline import load_frame
+    from tmrnet_tpu.data.transforms import EvalTransform
+    from tmrnet_tpu.eval.serve import serve_loop
+    from tmrnet_tpu.eval.stream import StreamingInference
+
+    cfg = load_config(args)
+    _, variables = _restore_variables(cfg, cfg.model.head, args.ckpt,
+                                      args.torch_ckpt, cfg.data.crop_size)
+    extractor_vars = variables
+    if args.extractor_torch_ckpt or args.extractor_ckpt:
+        head = "stage1" if args.extractor_ckpt else "lfb"
+        _, extractor_vars = _restore_variables(
+            cfg, head, args.extractor_ckpt, args.extractor_torch_ckpt,
+            cfg.data.crop_size)
+    extractor = {
+        "params": {k: extractor_vars["params"][k]
+                   for k in ("backbone", "encoder")},
+        "batch_stats": {"backbone":
+                        extractor_vars["batch_stats"]["backbone"]}}
+    if cfg.data.test_crop_type in (5, 10):
+        raise SystemExit("serve does not support multi-crop eval")
+
+    d = cfg.data
+    tf = EvalTransform(d.crop_size, d.resize, d.test_crop_type, d.mean,
+                       d.std, normalize=not d.device_normalize)
+    num_slots = args.slots
+    mesh = _mesh_for(cfg, batch=0)
+    if mesh is not None:
+        dp = mesh.shape[cfg.mesh.data_axis]
+        num_slots = -(-num_slots // dp) * dp
+    engine = StreamingInference(cfg, variables, extractor, mesh=mesh)
+
+    in_f = sys.stdin if args.input == "-" else open(args.input)
+    try:
+        summary = serve_loop(engine, num_slots, in_f, sys.stdout,
+                             lambda p: tf(np.stack([load_frame(p)]))[0],
+                             emit_probs=args.probs)
+    finally:
+        if in_f is not sys.stdin:
+            in_f.close()
+    print(json.dumps({"summary": summary}), file=sys.stderr)
+    return 0
+
+
 def cmd_parity(args) -> int:
     """One command from a reference .pth + frames to the Main.m-format
     protocol table: build the bank with the (frozen) extractor weights, run
@@ -837,6 +887,21 @@ def build_parser() -> argparse.ArgumentParser:
                          "ends (0 = one slot per video)")
     sp.add_argument("--out", default="./stream_preds.jsonl")
     sp.set_defaults(fn=cmd_stream)
+
+    sp = sub.add_parser("serve", help="serving daemon: JSONL frame events "
+                                      "on stdin -> predictions on stdout")
+    _add_config_args(sp)
+    sp.add_argument("--ckpt")
+    sp.add_argument("--torch-ckpt")
+    sp.add_argument("--extractor-ckpt")
+    sp.add_argument("--extractor-torch-ckpt")
+    sp.add_argument("--slots", type=int, default=16,
+                    help="compiled stream slots (max concurrent streams)")
+    sp.add_argument("--probs", action="store_true",
+                    help="include per-class probabilities in output rows")
+    sp.add_argument("--input", default="-",
+                    help="protocol input file ('-' = stdin)")
+    sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("parity", help="reference .pth + frames -> Main.m "
                                        "protocol table in one command")

@@ -92,7 +92,8 @@ class StreamingInference:
                               count=bsh)
             self._step = jax.jit(
                 self._step_impl, donate_argnums=(0,),
-                in_shardings=(ssh, bsh), out_shardings=(ssh, bsh, bsh, bsh))
+                in_shardings=(ssh, bsh, bsh),
+                out_shardings=(ssh, bsh, bsh, bsh))
             self._reset = jax.jit(self._reset_impl, donate_argnums=(0,),
                                   in_shardings=(ssh, bsh), out_shardings=ssh)
 
@@ -139,7 +140,8 @@ class StreamingInference:
         y = jax.nn.relu(dense(params["fc_h_c"], y))
         return dense(params["fc_c"], y)
 
-    def _step_impl(self, state: StreamState, frames: jax.Array):
+    def _step_impl(self, state: StreamState, frames: jax.Array,
+                   active: jax.Array):
         if frames.dtype == jnp.uint8:
             frames = frames.astype(self.cdt)
             if self._dev_norm:
@@ -150,11 +152,17 @@ class StreamingInference:
         ft = self._trunk(self.variables, frames)
         ext_ring = jnp.concatenate([state.ext_ring[:, 1:], fe[:, None]], axis=1)
         tmr_ring = jnp.concatenate([state.tmr_ring[:, 1:], ft[:, None]], axis=1)
+        # slots with no frame this tick keep their state frozen and report
+        # valid=False (production streams drop frames; a blank must never
+        # advance a ring)
+        a3 = active[:, None, None]
+        ext_ring = jnp.where(a3, ext_ring, state.ext_ring)
+        tmr_ring = jnp.where(a3, tmr_ring, state.tmr_ring)
 
         st_e = self._clip_embed(self.extractor_variables, ext_ring)  # LFB feat
         st_t = self._clip_embed(self.variables, tmr_ring)            # St
 
-        count = state.count + 1
+        count = state.count + active.astype(state.count.dtype)
         clips_seen = count - self.seq + 1  # clip positions completed (1-based)
 
         # memory = previous clips' features, most recent first; before any
@@ -175,7 +183,7 @@ class StreamingInference:
         logits = self._head(st_t, memory)
 
         # push this clip's LFB feature once the clip is complete
-        has_clip = clips_seen >= 1
+        has_clip = (clips_seen >= 1) & active
         new_bank = jnp.concatenate([st_e[:, None], bank[:, :-1]], axis=1)
         bank_ring = jnp.where(has_clip[:, None, None], new_bank, bank)
 
@@ -205,22 +213,29 @@ class StreamingInference:
             return self._reset(state, jax.device_put(mask, self._bsh))
         return self._reset(state, jnp.asarray(mask))
 
-    def step(self, state: StreamState, frames: np.ndarray
+    def step(self, state: StreamState, frames: np.ndarray, active=None
              ) -> Tuple[StreamState, np.ndarray, np.ndarray, np.ndarray]:
         """frames: (B, H, W, 3) — normalized float, or raw uint8 with
         data.device_normalize (1 byte/pixel over PCIe, in-jit normalize).
-        Returns (state, preds (B,), probs (B, C), valid (B,)); valid is False
-        until the stream has seen seq_len frames.
+        active: optional (B,) bool — slots marked False ignore their frame
+        this tick: state frozen, valid=False (dropped-frame tolerance for
+        production feeds). Returns (state, preds (B,), probs (B, C),
+        valid (B,)); valid is False until the stream has seen seq_len frames.
 
         Device-resident frames pass straight through (dtype casts happen
         in-jit) — coercing them through numpy here would round-trip every
         frame device->host->device, which costs ~7 ms/stream-frame on a
         tunneled host (measured) and wastes PCIe both ways on any host."""
+        act = (np.ones((frames.shape[0],), bool) if active is None
+               else np.asarray(active, bool))
+        if self._bsh is not None:
+            act = jax.device_put(act, self._bsh)
+            if not isinstance(frames, jax.Array):  # scatter over data axis
+                frames = jax.device_put(np.asarray(frames), self._bsh)
+            return self._step(state, frames, act)
         if isinstance(frames, jax.Array):
-            return self._step(state, frames)
+            return self._step(state, frames, jnp.asarray(act))
         frames = np.asarray(frames)
-        if self._bsh is not None:  # scatter over the data axis; cast in-jit
-            return self._step(state, jax.device_put(frames, self._bsh))
         j = (jnp.asarray(frames) if frames.dtype == np.uint8
              else jnp.asarray(frames, self.cdt))
-        return self._step(state, j)
+        return self._step(state, j, jnp.asarray(act))
