@@ -75,6 +75,7 @@ class StreamingInference:
         self._mean = jnp.asarray(cfg.data.mean, self.cdt) * 255.0
         self._std = jnp.asarray(cfg.data.std, self.cdt) * 255.0
         self.mesh = mesh
+        self._all_active: dict = {}
         if mesh is None:
             self._bsh = None
             self._step = jax.jit(self._step_impl, donate_argnums=(0,))
@@ -226,16 +227,24 @@ class StreamingInference:
         in-jit) — coercing them through numpy here would round-trip every
         frame device->host->device, which costs ~7 ms/stream-frame on a
         tunneled host (measured) and wastes PCIe both ways on any host."""
-        act = (np.ones((frames.shape[0],), bool) if active is None
-               else np.asarray(active, bool))
+        if active is None:  # all-active: cached device mask, no per-step H2D
+            act = self._all_active.get(frames.shape[0])
+            if act is None:
+                act = jnp.ones((frames.shape[0],), bool)
+                if self._bsh is not None:
+                    act = jax.device_put(act, self._bsh)
+                self._all_active[frames.shape[0]] = act
+        else:
+            act = np.asarray(active, bool)
+            act = (jax.device_put(act, self._bsh)
+                   if self._bsh is not None else jnp.asarray(act))
         if self._bsh is not None:
-            act = jax.device_put(act, self._bsh)
             if not isinstance(frames, jax.Array):  # scatter over data axis
                 frames = jax.device_put(np.asarray(frames), self._bsh)
             return self._step(state, frames, act)
         if isinstance(frames, jax.Array):
-            return self._step(state, frames, jnp.asarray(act))
+            return self._step(state, frames, act)
         frames = np.asarray(frames)
         j = (jnp.asarray(frames) if frames.dtype == np.uint8
              else jnp.asarray(frames, self.cdt))
-        return self._step(state, j, jnp.asarray(act))
+        return self._step(state, j, act)
