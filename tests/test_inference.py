@@ -283,6 +283,35 @@ def test_batched_multi_video_inference_matches_per_video(tmp_path):
     assert ("batch", 4, 16) in engine._compiled
 
 
+def test_run_videos_shorter_than_seq(tmp_path):
+    """Videos with fewer than seq frames have zero clip positions: run_videos
+    must return empty outputs for them (like run_video's guard), not a
+    wrong-length tail slice, and a group of ALL short videos must still
+    compile a valid program."""
+    cfg = _cfg(tmp_path)
+    variables, extractor = _init_models(cfg, key=7)
+    engine = VideoInference(cfg, variables, extractor, pad_frames=32)
+
+    rng = np.random.RandomState(6)
+    short = rng.rand(SEQ - 2, HW, HW, 3).astype(np.float32)
+    normal = rng.rand(12, HW, HW, 3).astype(np.float32)
+
+    got = engine.run_videos([short, normal])
+    assert got[0][0].shape == (0,) and got[0][1].shape[0] == 0
+    p_s, pr_s = engine.run_video(normal)
+    np.testing.assert_array_equal(got[1][0], p_s)
+    np.testing.assert_allclose(got[1][1], pr_s, atol=1e-5, rtol=1e-4)
+
+    # all-short group: padded length floors at seq, outputs all empty
+    got2 = engine.run_videos([short, short[:2]])
+    assert all(p.shape == (0,) for p, _ in got2)
+
+    # run_video on a short video: empty preds AND (0, C)-shaped probs so
+    # np.concatenate with normal-video scores still works
+    p0, pr0 = engine.run_video(short)
+    assert p0.shape == (0,) and pr0.shape == (0, cfg.model.num_classes)
+
+
 def test_backbone_chunked_matches_unchunked(tmp_path):
     """eval.backbone_chunk scans the trunk over frame chunks (bounded
     activation HBM); outputs must equal the all-at-once pass for run_video

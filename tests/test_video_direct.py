@@ -109,6 +109,45 @@ def _write_mp4_tree(tmp_path, n_videos=2, seconds=12, fps=25, hw=64):
     return str(vdir), str(ann)
 
 
+def test_video_dataset_label_frame_alignment(tmp_path, capsys):
+    """_video_dataset must keep labels aligned with VideoClipReader's
+    CONTIGUOUS sampled-frame walk: a video whose annotations start late is
+    skipped (frame 0 has no label), and an annotation gap truncates the video
+    at the gap rather than silently shifting every later label."""
+    import dataclasses as dc
+
+    from tmrnet_tpu.cli import _video_dataset
+    from tmrnet_tpu.config import CHOLEC80_PHASES, ExperimentConfig
+
+    videos, _ = _write_mp4_tree(tmp_path, n_videos=2, seconds=12)
+    ann = tmp_path / "ann2"
+    ann.mkdir()
+    # video01: annotations only from frame 250 on -> sampled frame 0
+    # (source frame 0) unlabeled -> video skipped
+    with open(ann / "video01-phase.txt", "w") as f:
+        f.write("Frame\tPhase\n")
+        for k in range(250, 300):
+            f.write(f"{k}\t{CHOLEC80_PHASES[0]}\n")
+    # video02: annotated up to source frame 199 -> sampled frames 0..7 keep
+    # labels (stride 25); the 12s/300-frame video truncates to 8 samples
+    with open(ann / "video02-phase.txt", "w") as f:
+        f.write("Frame\tPhase\n")
+        for k in range(200):
+            f.write(f"{k}\t{CHOLEC80_PHASES[(k // 25) % 7]}\n")
+
+    cfg = ExperimentConfig()
+    cfg = dc.replace(cfg, data=dc.replace(cfg.data, sequence_length=3))
+    ds = _video_dataset(cfg, videos, str(ann), train=False)
+    err = capsys.readouterr().err
+    assert "video01" in err and "skipping" in err
+    assert "video02" in err and "truncating" in err
+
+    assert len(ds.labels) == 1
+    assert list(ds.reader.num_frames) == [8]
+    # label j IS the annotation at source frame j*25: ((25j)//25) % 7 = j % 7
+    np.testing.assert_array_equal(ds.labels[0], np.arange(8) % 7)
+
+
 def test_cli_video_direct_two_stage_training(tmp_path, capsys):
     """The fork's video-direct direction through the CLI (r1 verdict item 8):
     train-bank, build-lfb, and train-tmr all run one epoch straight from two

@@ -140,6 +140,29 @@ def _mesh_for(cfg, batch: Optional[int] = None, what: str = "data.batch_clips"):
     return mesh
 
 
+def _extractor_subset(variables):
+    """Slice full model variables down to the frozen extractor's tree
+    (backbone + encoder params, backbone batch_stats)."""
+    return {"params": {k: variables["params"][k]
+                       for k in ("backbone", "encoder")},
+            "batch_stats": {"backbone":
+                            variables["batch_stats"]["backbone"]}}
+
+
+def _extractor_for(cfg, args, variables):
+    """Frozen-extractor variables for inference/serving commands: restored
+    from the dedicated --extractor-(torch-)ckpt when given, else subset from
+    the main weights."""
+    ev = variables
+    e_ckpt = getattr(args, "extractor_ckpt", None)
+    e_torch = getattr(args, "extractor_torch_ckpt", None)
+    if e_ckpt or e_torch:
+        head = "stage1" if e_ckpt else "lfb"
+        _, ev = _restore_variables(cfg, head, e_ckpt, e_torch,
+                                   cfg.data.crop_size)
+    return _extractor_subset(ev)
+
+
 def _dataset(cfg, manifest, train: bool, device_normalize: bool = False):
     """device_normalize applies only to the INFERENCE datasets (test/parity):
     ClipInference and build_lfb normalize uint8 in-jit; the training/val
@@ -188,14 +211,24 @@ def _video_dataset(cfg, videos_dir: str, annotation_root: str, train: bool):
             continue
         ann = read_phase_annotation(ann_path, name_to_id)
         raw = probe_num_frames(os.path.join(videos_dir, fname))
-        # sampled frames that actually have annotations
-        ks = [k for k in range(-(-raw // stride)) if stride * k in ann]
-        n = len(ks)
+        # VideoClipReader decodes sampled frames 0..n-1 CONTIGUOUSLY, so
+        # labels must be the contiguous annotated prefix — skipping gaps
+        # (sparse ks) would silently shift every label against its frame
+        n_sampled = -(-raw // stride)
+        n = 0
+        while n < n_sampled and stride * n in ann:
+            n += 1
         if n == 0:
+            print(f"warning: {fname}: annotations do not cover frame 0; "
+                  f"skipping video", file=sys.stderr)
             continue
+        if n < n_sampled:
+            print(f"warning: {fname}: annotations end at sampled frame "
+                  f"{n}/{n_sampled}; truncating", file=sys.stderr)
         paths.append(os.path.join(videos_dir, fname))
         counts.append(n)
-        labels.append(np.asarray([ann[stride * k] for k in ks], np.int64))
+        labels.append(np.asarray([ann[stride * k] for k in range(n)],
+                                 np.int64))
     if not paths:
         raise SystemExit(f"no annotated videos found under {videos_dir}")
     reader = VideoClipReader(paths, counts, d.sequence_length, stride=stride)
@@ -347,10 +380,7 @@ def cmd_build_lfb(args) -> int:
     head = "stage1" if args.ckpt else "lfb"
     _, variables = _restore_variables(cfg, head, args.ckpt, args.torch_ckpt,
                                       cfg.data.crop_size)
-    extractor = {"params": {k: variables["params"][k]
-                            for k in ("backbone", "encoder")},
-                 "batch_stats": {"backbone":
-                                 variables["batch_stats"]["backbone"]}}
+    extractor = _extractor_subset(variables)
     bank = build_lfb(cfg, extractor, ds, cache_path=args.out, force=True)
     print(f"bank: {bank.num_rows} rows x {bank.feature_dim} -> {args.out}")
     return 0
@@ -388,9 +418,7 @@ def cmd_train_tmr(args) -> int:
                                    cfg.data.crop_size)
         _, init = _restore_variables(cfg, cfg.model.head, None, None,
                                      cfg.data.crop_size)
-        shared = {"params": {k: s1["params"][k]
-                             for k in ("backbone", "encoder")},
-                  "batch_stats": {"backbone": s1["batch_stats"]["backbone"]}}
+        shared = _extractor_subset(s1)
         init = {c: merge_variables(init[c], shared.get(c, {})) for c in init}
     log = MetricLogger(args.log_dir)
     state, hist = train_stage2(
@@ -435,17 +463,7 @@ def cmd_test(args) -> int:
         from tmrnet_tpu.data.transforms import EvalTransform
         from tmrnet_tpu.eval.infer import VideoInference
 
-        extractor_vars2 = variables
-        if args.extractor_torch_ckpt or args.extractor_ckpt:
-            head = "stage1" if args.extractor_ckpt else "lfb"
-            _, extractor_vars2 = _restore_variables(
-                cfg, head, args.extractor_ckpt, args.extractor_torch_ckpt,
-                cfg.data.crop_size)
-        extractor2 = {
-            "params": {k: extractor_vars2["params"][k]
-                       for k in ("backbone", "encoder")},
-            "batch_stats": {"backbone":
-                            extractor_vars2["batch_stats"]["backbone"]}}
+        extractor2 = _extractor_for(cfg, args, variables)
         if cfg.data.test_crop_type in (5, 10):
             raise SystemExit("--engine video does not support multi-crop "
                              "eval; use --engine clip")
@@ -455,7 +473,7 @@ def cmd_test(args) -> int:
                 "reference cross-video quirk (memory.compat_cross_video) "
                 "requires --engine clip")
         engine = VideoInference(cfg, variables, extractor2,
-                                mesh=_mesh_for(cfg))
+                                mesh=_mesh_for(cfg, batch=0))
         d = cfg.data
         tf = EvalTransform(d.crop_size, d.resize, d.test_crop_type,
                            d.mean, d.std,
@@ -499,7 +517,10 @@ def cmd_test(args) -> int:
             accuracy=float((res_preds == labels_cat).mean())
             if res_preds.size else 0.0)
     else:
-        res = ClipInference(cfg, variables, bank, mesh=_mesh_for(cfg)).run(ds)
+        res = ClipInference(
+            cfg, variables, bank,
+            mesh=_mesh_for(cfg, batch=cfg.eval.batch_clips,
+                           what="eval.batch_clips")).run(ds)
     np.savez(args.out, preds=res.preds, scores=res.scores, rows=res.rows)
     # per-class precision/recall like the reference's sklearn report
     # (`train_singlenet_phase_1fc.py:655-658`)
@@ -537,26 +558,17 @@ def cmd_stream(args) -> int:
     m = _load_manifest(args.manifest)
     _, variables = _restore_variables(cfg, cfg.model.head, args.ckpt,
                                       args.torch_ckpt, cfg.data.crop_size)
-    extractor_vars = variables
-    if args.extractor_torch_ckpt or args.extractor_ckpt:
-        head = "stage1" if args.extractor_ckpt else "lfb"
-        _, extractor_vars = _restore_variables(
-            cfg, head, args.extractor_ckpt, args.extractor_torch_ckpt,
-            cfg.data.crop_size)
-    extractor = {
-        "params": {k: extractor_vars["params"][k]
-                   for k in ("backbone", "encoder")},
-        "batch_stats": {"backbone":
-                        extractor_vars["batch_stats"]["backbone"]}}
+    extractor = _extractor_for(cfg, args, variables)
     if cfg.data.test_crop_type in (5, 10):
         raise SystemExit("stream does not support multi-crop eval")
 
     d = cfg.data
     tf = EvalTransform(d.crop_size, d.resize, d.test_crop_type, d.mean,
                        d.std, normalize=not d.device_normalize)
-    videos = [tf(np.stack([load_frame(p) for p in v.frame_paths]))
-              for v in m.videos]
-    lengths = [v.shape[0] for v in videos]
+    n_videos = len(m.videos)
+    if n_videos == 0:
+        raise SystemExit("manifest has no videos")
+    lengths = [len(v.frame_paths) for v in m.videos]
     seq = d.sequence_length
 
     if args.max_steps:
@@ -566,7 +578,7 @@ def cmd_stream(args) -> int:
     # slots; a finished video's slot is recycled in place (reset_streams), so
     # one program serves any number of videos and finished streams stop
     # burning compute. Default B = all videos (everything streams at once).
-    num_slots = min(args.max_streams or len(videos), len(videos))
+    num_slots = min(args.max_streams or n_videos, n_videos)
     # Under a mesh, streams shard over the data axis: round the slot count up
     # to the axis size — surplus slots simply sit idle (blank frames).
     mesh = _mesh_for(cfg, batch=0)
@@ -575,15 +587,27 @@ def cmd_stream(args) -> int:
         num_slots = -(-num_slots // dp) * dp
     engine = StreamingInference(cfg, variables, extractor, mesh=mesh)
     state = engine.init_state(num_slots)
-    pending = deque(range(len(videos)))
-    slot_video = [pending.popleft() if pending else -1
+
+    # Videos decode lazily as their slot starts and free when it ends, so
+    # host RAM holds at most num_slots videos (a 40-video manifest at the
+    # default one-slot-per-video still loads everything — cap it with
+    # --max-streams on small hosts).
+    loaded: dict = {}
+
+    def assign(v: int) -> int:
+        loaded[v] = tf(np.stack([load_frame(p)
+                                 for p in m.videos[v].frame_paths]))
+        return v
+
+    pending = deque(range(n_videos))
+    slot_video = [assign(pending.popleft()) if pending else -1
                   for _ in range(num_slots)]
     slot_t = [0] * num_slots
-    blank = np.zeros_like(videos[0][0])
+    blank = np.zeros_like(next(iter(loaded.values()))[0])
     correct = total = steps = 0
     with open(args.out, "w") as f:
         while any(v >= 0 for v in slot_video):
-            frames = np.stack([videos[v][slot_t[i]] if v >= 0 else blank
+            frames = np.stack([loaded[v][slot_t[i]] if v >= 0 else blank
                                for i, v in enumerate(slot_video)])
             state, preds, probs, valid = engine.step(state, frames)
             preds, valid = np.asarray(preds), np.asarray(valid)
@@ -604,12 +628,14 @@ def cmd_stream(args) -> int:
                 slot_t[i] += 1
                 if slot_t[i] >= lengths[v]:  # video done -> recycle the slot
                     reset[i] = True
-                    slot_video[i] = pending.popleft() if pending else -1
+                    del loaded[v]
+                    slot_video[i] = (assign(pending.popleft())
+                                     if pending else -1)
                     slot_t[i] = 0
             if any(reset):
                 state = engine.reset_streams(state, reset)
     acc = correct / total if total else 0.0
-    print(json.dumps({"streams": len(videos), "slots": num_slots,
+    print(json.dumps({"streams": n_videos, "slots": num_slots,
                       "steps": int(steps),
                       "clip_accuracy": round(acc, 6),
                       "predictions": total, "out": args.out}))
@@ -629,17 +655,7 @@ def cmd_serve(args) -> int:
     cfg = load_config(args)
     _, variables = _restore_variables(cfg, cfg.model.head, args.ckpt,
                                       args.torch_ckpt, cfg.data.crop_size)
-    extractor_vars = variables
-    if args.extractor_torch_ckpt or args.extractor_ckpt:
-        head = "stage1" if args.extractor_ckpt else "lfb"
-        _, extractor_vars = _restore_variables(
-            cfg, head, args.extractor_ckpt, args.extractor_torch_ckpt,
-            cfg.data.crop_size)
-    extractor = {
-        "params": {k: extractor_vars["params"][k]
-                   for k in ("backbone", "encoder")},
-        "batch_stats": {"backbone":
-                        extractor_vars["batch_stats"]["backbone"]}}
+    extractor = _extractor_for(cfg, args, variables)
     if cfg.data.test_crop_type in (5, 10):
         raise SystemExit("serve does not support multi-crop eval")
 
@@ -689,21 +705,16 @@ def cmd_parity(args) -> int:
     ds = _dataset(cfg, m, False, device_normalize=True)
     _, variables = _restore_variables(cfg, cfg.model.head, None,
                                       args.torch_ckpt, cfg.data.crop_size)
-    ext_vars = variables
-    if args.extractor_torch_ckpt:
-        _, ext_vars = _restore_variables(cfg, "lfb", None,
-                                         args.extractor_torch_ckpt,
-                                         cfg.data.crop_size)
-    extractor = {"params": {k: ext_vars["params"][k]
-                            for k in ("backbone", "encoder")},
-                 "batch_stats": {"backbone":
-                                 ext_vars["batch_stats"]["backbone"]}}
+    extractor = _extractor_for(cfg, args, variables)
     os.makedirs(args.workdir, exist_ok=True)
     bank = build_lfb(cfg, extractor, ds,
                      cache_path=args.lfb or os.path.join(args.workdir,
                                                          "lfb.npz"),
                      force=not args.load_lfb)
-    res = ClipInference(cfg, variables, bank, mesh=_mesh_for(cfg)).run(ds)
+    res = ClipInference(
+        cfg, variables, bank,
+        mesh=_mesh_for(cfg, batch=cfg.eval.batch_clips,
+                       what="eval.batch_clips")).run(ds)
     np.savez(os.path.join(args.workdir, "predictions.npz"),
              preds=res.preds, scores=res.scores, rows=res.rows)
     pred_dir = os.path.join(args.workdir, "phase")

@@ -55,3 +55,31 @@ def device_prefetch(
         except StopIteration:
             pass
         yield out
+
+
+class DevicePrep:
+    """The single in-jit wire convention, shared by every engine
+    (ClipInference, VideoInference, StreamingInference, build_lfb):
+    uint8 frames cast to the compute dtype and, under
+    data.device_normalize, get (x - mean*255)/(std*255) fused into the
+    first conv's input transform by XLA; float frames only cast. One
+    definition so a wire-format change can never skew a single engine."""
+
+    def __init__(self, data_cfg, compute_dtype):
+        import jax.numpy as jnp
+
+        self.cdt = jnp.dtype(compute_dtype)
+        self.mean = jnp.asarray(data_cfg.mean, self.cdt) * 255.0
+        self.std = jnp.asarray(data_cfg.std, self.cdt) * 255.0
+        self.dev_norm = data_cfg.device_normalize
+
+    def __call__(self, frames):
+        import jax.numpy as jnp
+
+        if frames.dtype == jnp.uint8:
+            frames = frames.astype(self.cdt)
+            if self.dev_norm:
+                frames = (frames - self.mean) / self.std
+        elif frames.dtype != self.cdt:
+            frames = frames.astype(self.cdt)
+        return frames

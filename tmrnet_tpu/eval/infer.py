@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tmrnet_tpu.config import ExperimentConfig
+from tmrnet_tpu.data.device_feed import DevicePrep
 from tmrnet_tpu.data.pipeline import ClipDataset, ClipLoader
 from tmrnet_tpu.memory.lfb import FeatureBank, gather_memory_windows
 from tmrnet_tpu.models.lstm import LSTM
@@ -62,22 +63,14 @@ class ClipInference:
         model = build_model(cfg.model)
         self.window = cfg.memory.window
         cdt = jnp.dtype(cfg.model.compute_dtype)
-        mean = jnp.asarray(cfg.data.mean, cdt) * 255.0
-        std = jnp.asarray(cfg.data.std, cdt) * 255.0
-        dev_norm = cfg.data.device_normalize
+        prep = DevicePrep(cfg.data, cdt)
 
         @jax.jit
         def infer(variables, features, clips, idx):
             # idx: (B, window) bank rows, computed host-side — either the
             # clamped windows (paper intent) or the reference-quirk table
             # (memory.compat_cross_video); the gather runs on device
-            if clips.dtype == jnp.uint8:
-                clips = clips.astype(cdt)
-                if dev_norm:
-                    # data.device_normalize: uint8 over the wire,
-                    # (x/255 - mean)/std fused into the first conv's input
-                    # transform by XLA
-                    clips = (clips - mean) / std
+            clips = prep(clips)
             memory = jnp.take(features, idx, axis=0)
             logits = model.apply(variables, clips, memory, train=False)
             probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
@@ -215,20 +208,9 @@ class VideoInference:
         cdt = jnp.dtype(mcfg.compute_dtype)
         self.lstm = LSTM(self.hidden, compute_dtype=cdt)
         self._cdt = cdt
-        # uint8-over-the-wire serving path (data.device_normalize)
-        self._dev_norm = cfg.data.device_normalize
-        self._mean = jnp.asarray(cfg.data.mean, cdt) * 255.0
-        self._std = jnp.asarray(cfg.data.std, cdt) * 255.0
+        # uint8-over-the-wire serving path: shared wire convention
+        self._prep_frames = DevicePrep(cfg.data, cdt)
         self._compiled = {}
-
-    def _prep_frames(self, frames: jax.Array) -> jax.Array:
-        """In-jit input prep: uint8 casts to the compute dtype and, under
-        data.device_normalize, gets (x-mean)/std fused into the trunk."""
-        if frames.dtype == jnp.uint8:
-            frames = frames.astype(self._cdt)
-            if self._dev_norm:
-                frames = (frames - self._mean) / self._std
-        return frames
 
     def bucket_frames(self, n: int) -> int:
         """Padded length for an n-frame video: pow-2 up to pad_frames, then
@@ -393,7 +375,9 @@ class VideoInference:
         if not frames_list:
             return []
         ns = [int(f.shape[0]) for f in frames_list]
-        padded = max(self.bucket_frames(n) for n in ns)
+        # floor at seq frames so a group of all-short videos still compiles
+        # a valid (>=1 window) program; short videos slice to empty below
+        padded = max(max(self.bucket_frames(n) for n in ns), self.seq)
         cdt = jnp.dtype(self.cfg.model.compute_dtype)
         batch = []
         for f in frames_list:
@@ -421,8 +405,10 @@ class VideoInference:
         run = self._build_batch_fn(padded, len(batch))
         preds, probs = run(self.variables, self.extractor_variables, frames)
         preds, probs = np.asarray(preds), np.asarray(probs)
-        return [(preds[i][: ns[i] - self.seq + 1],
-                 probs[i][: ns[i] - self.seq + 1])
+        # videos shorter than seq have no clip positions -> empty outputs
+        # (matching run_video's num_clips<=0 guard), never a negative slice
+        return [(preds[i][: max(0, ns[i] - self.seq + 1)],
+                 probs[i][: max(0, ns[i] - self.seq + 1)])
                 for i in range(len(ns))]
 
     def run_video(self, frames: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -431,7 +417,8 @@ class VideoInference:
         n = frames.shape[0]
         num_clips = n - self.seq + 1
         if num_clips <= 0:
-            return np.zeros(0, np.int64), np.zeros((0,), np.float32)
+            return (np.zeros(0, np.int64),
+                    np.zeros((0, self.cfg.model.num_classes), np.float32))
         # bucket-pad to limit recompilation
         padded = self.bucket_frames(n)
         pad = padded - n

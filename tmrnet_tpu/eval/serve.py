@@ -45,6 +45,10 @@ def serve_loop(engine, num_slots: int, in_f: IO[str], out_f: IO[str],
 
     def emit(obj):
         out_f.write(json.dumps(obj) + "\n")
+        # error rows arrive between ticks: flush per row so a client waiting
+        # on a join/frame response never deadlocks on the pipe buffer
+        if "error" in obj:
+            out_f.flush()
 
     def flush():
         nonlocal state, blank, ticks, emitted

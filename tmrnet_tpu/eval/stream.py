@@ -70,10 +70,10 @@ class StreamingInference:
         self.variables = variables
         self.extractor_variables = extractor_variables
         # uint8-over-the-wire serving path (data.device_normalize), same
-        # convention as the offline engines
-        self._dev_norm = cfg.data.device_normalize
-        self._mean = jnp.asarray(cfg.data.mean, self.cdt) * 255.0
-        self._std = jnp.asarray(cfg.data.std, self.cdt) * 255.0
+        # shared wire convention as the offline engines
+        from tmrnet_tpu.data.device_feed import DevicePrep
+
+        self._prep = DevicePrep(cfg.data, self.cdt)
         self.mesh = mesh
         self._all_active: dict = {}
         if mesh is None:
@@ -143,12 +143,7 @@ class StreamingInference:
 
     def _step_impl(self, state: StreamState, frames: jax.Array,
                    active: jax.Array):
-        if frames.dtype == jnp.uint8:
-            frames = frames.astype(self.cdt)
-            if self._dev_norm:
-                frames = (frames - self._mean) / self._std
-        elif frames.dtype != self.cdt:
-            frames = frames.astype(self.cdt)
+        frames = self._prep(frames)
         fe = self._trunk(self.extractor_variables, frames)   # (B, F)
         ft = self._trunk(self.variables, frames)
         ext_ring = jnp.concatenate([state.ext_ring[:, 1:], fe[:, None]], axis=1)

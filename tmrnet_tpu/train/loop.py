@@ -315,18 +315,13 @@ def build_lfb(cfg: ExperimentConfig, extractor_variables,
 
     model = build_model(dataclasses.replace(cfg.model, head="lfb"))
     cdt = jnp.dtype(cfg.model.compute_dtype)
-    mean = jnp.asarray(cfg.data.mean, cdt) * 255.0
-    std = jnp.asarray(cfg.data.std, cdt) * 255.0
-    dev_norm = cfg.data.device_normalize
+    from tmrnet_tpu.data.device_feed import DevicePrep
+
+    prep = DevicePrep(cfg.data, cdt)  # shared uint8 wire convention
 
     @jax.jit
     def extract(variables, clips):
-        if clips.dtype == jnp.uint8:
-            clips = clips.astype(cdt)
-            if dev_norm:
-                # device-side normalize (data.device_normalize serving path)
-                clips = (clips - mean) / std
-        return model.apply(variables, clips, train=False)
+        return model.apply(variables, prep(clips), train=False)
 
     lengths = ds.manifest.video_lengths
     bank = FeatureBank.create(ds.seq_len, lengths, cfg.model.hidden_dim)
