@@ -87,6 +87,30 @@ def test_serve_loop_join_leave_recycle():
     assert summary["slots"] == 2
 
 
+def test_serve_loop_warmup_does_not_perturb_streams():
+    """The startup warmup step (all-inactive, blank frames) must leave every
+    subsequent row identical to a run without warmup."""
+    cfg = _cfg()
+    variables, extractor = _variables(cfg, key=3)
+    engine = StreamingInference(cfg, variables, extractor)
+
+    n = 6
+    va = np.random.RandomState(2).rand(n, HW, HW, 3).astype(np.float32)
+    frames = {f"a{t}": va[t] for t in range(n)}
+    lines = []
+    for t in range(n):
+        lines.append({"id": "a", "image": f"a{t}"})
+        lines.append({"step": True})
+
+    outs = []
+    for shape in (None, (HW, HW, 3)):
+        out = io.StringIO()
+        serve_loop(engine, 2, _protocol(lines), out, lambda k: frames[k],
+                   warmup_shape=shape)
+        outs.append(out.getvalue())
+    assert outs[0] == outs[1]
+
+
 def test_serve_loop_dropped_tick_and_errors():
     """A stream that misses a tick is not stepped (state frozen); malformed
     lines produce error rows; probs are emitted when requested."""

@@ -670,10 +670,15 @@ def cmd_serve(args) -> int:
     engine = StreamingInference(cfg, variables, extractor, mesh=mesh)
 
     in_f = sys.stdin if args.input == "-" else open(args.input)
+    crop = cfg.data.crop_size
     try:
-        summary = serve_loop(engine, num_slots, in_f, sys.stdout,
-                             lambda p: tf(np.stack([load_frame(p)]))[0],
-                             emit_probs=args.probs)
+        summary = serve_loop(
+            engine, num_slots, in_f, sys.stdout,
+            lambda p: tf(np.stack([load_frame(p)]))[0],
+            emit_probs=args.probs,
+            # pay the first compile at startup, not on the first request
+            warmup_shape=None if args.no_warmup else (crop, crop, 3),
+            warmup_dtype=np.uint8 if d.device_normalize else np.float32)
     finally:
         if in_f is not sys.stdin:
             in_f.close()
@@ -912,6 +917,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="include per-class probabilities in output rows")
     sp.add_argument("--input", default="-",
                     help="protocol input file ('-' = stdin)")
+    sp.add_argument("--no-warmup", action="store_true",
+                    help="skip the startup compile-warmup step")
     sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("parity", help="reference .pth + frames -> Main.m "

@@ -29,13 +29,26 @@ import numpy as np
 
 def serve_loop(engine, num_slots: int, in_f: IO[str], out_f: IO[str],
                load_frame_fn: Callable[[str], np.ndarray],
-               emit_probs: bool = False) -> dict:
+               emit_probs: bool = False,
+               warmup_shape: Optional[tuple] = None,
+               warmup_dtype=np.float32) -> dict:
     """Run the protocol until EOF on in_f. Returns a summary dict.
 
     engine: StreamingInference (possibly meshed). load_frame_fn maps the
     protocol's "image" field to one (H, W, 3) frame array.
+
+    warmup_shape: per-frame (H, W, C) — when given, one ALL-INACTIVE step on
+    blank frames runs before reading stdin, so the 3-7 minute first-compile
+    cost is paid at startup instead of on the first client request; the
+    active mask freezes every slot, so warmup cannot perturb stream state.
+    warmup_dtype must match the wire dtype real frames will use (uint8 under
+    data.device_normalize, float otherwise) or a second compile happens.
     """
     state = engine.init_state(num_slots)
+    if warmup_shape is not None:
+        blank_b = np.zeros((num_slots,) + tuple(warmup_shape), warmup_dtype)
+        state, _, _, _ = engine.step(
+            state, blank_b, active=np.zeros((num_slots,), bool))
     free = list(range(num_slots - 1, -1, -1))
     slot_of: dict = {}      # stream id -> slot
     frame_idx: dict = {}    # stream id -> frames served so far
