@@ -111,6 +111,48 @@ def test_serve_loop_warmup_does_not_perturb_streams():
     assert outs[0] == outs[1]
 
 
+def test_serve_loop_state_checkpoint_resume(tmp_path):
+    """Crash recovery: a daemon killed mid-run and restarted with the same
+    --state-dir resumes every live stream mid-video — the concatenated rows
+    of the two runs must equal one uninterrupted run (bf16 state round-trips
+    through f32 losslessly; this config is f32 so equality is exact)."""
+    cfg = _cfg()
+    variables, extractor = _variables(cfg, key=3)
+
+    n = 8
+    rng = np.random.RandomState(5)
+    vids = {k: rng.rand(n, HW, HW, 3).astype(np.float32) for k in "ab"}
+    frames = {f"{k}{t}": vids[k][t] for k in vids for t in range(n)}
+    load = lambda key: frames[key]
+
+    def tick_lines(ts):
+        lines = []
+        for t in ts:
+            lines.append({"id": "a", "image": f"a{t}"})
+            lines.append({"id": "b", "image": f"b{t}"})
+            lines.append({"step": True})
+        return lines
+
+    # uninterrupted reference
+    engine = StreamingInference(cfg, variables, extractor)
+    ref_out = io.StringIO()
+    serve_loop(engine, 2, _protocol(tick_lines(range(n))), ref_out, load)
+
+    # run 1: first 5 ticks, checkpoint every tick; "crash" = EOF
+    sdir = str(tmp_path / "serving-state")
+    out1 = io.StringIO()
+    serve_loop(StreamingInference(cfg, variables, extractor), 2,
+               _protocol(tick_lines(range(5))), out1, load,
+               state_dir=sdir, checkpoint_every=1)
+    # run 2: fresh engine + restore, remaining ticks
+    out2 = io.StringIO()
+    summary = serve_loop(StreamingInference(cfg, variables, extractor), 2,
+                         _protocol(tick_lines(range(5, n))), out2, load,
+                         state_dir=sdir)
+    assert summary["resumed_at_tick"] == 5
+    assert out1.getvalue() + out2.getvalue() == ref_out.getvalue()
+
+
 def test_serve_loop_dropped_tick_and_errors():
     """A stream that misses a tick is not stepped (state frozen); malformed
     lines produce error rows; probs are emitted when requested."""

@@ -678,7 +678,9 @@ def cmd_serve(args) -> int:
             emit_probs=args.probs,
             # pay the first compile at startup, not on the first request
             warmup_shape=None if args.no_warmup else (crop, crop, 3),
-            warmup_dtype=np.uint8 if d.device_normalize else np.float32)
+            warmup_dtype=np.uint8 if d.device_normalize else np.float32,
+            state_dir=args.state_dir,
+            checkpoint_every=args.checkpoint_every)
     finally:
         if in_f is not sys.stdin:
             in_f.close()
@@ -919,6 +921,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="protocol input file ('-' = stdin)")
     sp.add_argument("--no-warmup", action="store_true",
                     help="skip the startup compile-warmup step")
+    sp.add_argument("--state-dir",
+                    help="checkpoint serving state here (crash recovery: "
+                         "a restarted daemon resumes live streams)")
+    sp.add_argument("--checkpoint-every", type=int, default=64,
+                    help="ticks between serving-state checkpoints")
     sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("parity", help="reference .pth + frames -> Main.m "

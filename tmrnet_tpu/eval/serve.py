@@ -22,16 +22,66 @@ for one stream must arrive in order; different streams are independent.
 from __future__ import annotations
 
 import json
+import os
 from typing import Callable, IO, Optional
 
 import numpy as np
+
+
+def _save_state(state_dir: str, state, slot_of: dict,
+                frame_idx: dict, ticks: int) -> None:
+    """Atomic serving-state checkpoint: rings/counts (bf16 -> f32 losslessly)
+    plus the slot map, so a restarted daemon resumes every live stream
+    mid-video instead of losing their clip rings and banks."""
+    os.makedirs(state_dir, exist_ok=True)
+    tmp = os.path.join(state_dir, "state.tmp.npz")
+    np.savez(tmp,
+             ext_ring=np.asarray(state.ext_ring, np.float32),
+             tmr_ring=np.asarray(state.tmr_ring, np.float32),
+             bank_ring=np.asarray(state.bank_ring, np.float32),
+             count=np.asarray(state.count))
+    os.replace(tmp, os.path.join(state_dir, "state.npz"))
+    meta = {"slot_of": slot_of, "frame_idx": frame_idx, "ticks": ticks}
+    mtmp = os.path.join(state_dir, "meta.tmp.json")
+    with open(mtmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(mtmp, os.path.join(state_dir, "meta.json"))
+
+
+def _load_state(state_dir: str, engine, num_slots: int):
+    """Restore a checkpoint written by _save_state, or None if absent or
+    shaped for a different slot count."""
+    spath = os.path.join(state_dir, "state.npz")
+    mpath = os.path.join(state_dir, "meta.json")
+    if not (os.path.exists(spath) and os.path.exists(mpath)):
+        return None
+    data = np.load(spath)
+    if data["count"].shape[0] != num_slots:
+        return None
+    from tmrnet_tpu.eval.stream import StreamState
+    import jax.numpy as jnp
+
+    state = StreamState(
+        ext_ring=jnp.asarray(data["ext_ring"], engine.cdt),
+        tmr_ring=jnp.asarray(data["tmr_ring"], engine.cdt),
+        bank_ring=jnp.asarray(data["bank_ring"], engine.cdt),
+        count=jnp.asarray(data["count"]))
+    if engine._bsh is not None:
+        import jax
+
+        state = jax.device_put(state, engine._bsh)
+    with open(mpath) as f:
+        meta = json.load(f)
+    return state, meta
 
 
 def serve_loop(engine, num_slots: int, in_f: IO[str], out_f: IO[str],
                load_frame_fn: Callable[[str], np.ndarray],
                emit_probs: bool = False,
                warmup_shape: Optional[tuple] = None,
-               warmup_dtype=np.float32) -> dict:
+               warmup_dtype=np.float32,
+               state_dir: Optional[str] = None,
+               checkpoint_every: int = 64) -> dict:
     """Run the protocol until EOF on in_f. Returns a summary dict.
 
     engine: StreamingInference (possibly meshed). load_frame_fn maps the
@@ -43,18 +93,30 @@ def serve_loop(engine, num_slots: int, in_f: IO[str], out_f: IO[str],
     active mask freezes every slot, so warmup cannot perturb stream state.
     warmup_dtype must match the wire dtype real frames will use (uint8 under
     data.device_normalize, float otherwise) or a second compile happens.
+
+    state_dir: when given, the serving state (rings, counts, slot map)
+    checkpoints atomically every `checkpoint_every` ticks and at EOF, and a
+    restarted daemon restores it — live streams resume mid-video with their
+    clip rings and banks intact instead of starting over.
     """
-    state = engine.init_state(num_slots)
-    if warmup_shape is not None:
+    restored = _load_state(state_dir, engine, num_slots) if state_dir else None
+    if restored is not None:
+        state, meta = restored
+        slot_of = {k: int(v) for k, v in meta["slot_of"].items()}
+        frame_idx = {k: int(v) for k, v in meta["frame_idx"].items()}
+        ticks = int(meta["ticks"])
+    else:
+        state = engine.init_state(num_slots)
+        slot_of, frame_idx, ticks = {}, {}, 0
+    if warmup_shape is not None:  # all-inactive: safe after a restore too
         blank_b = np.zeros((num_slots,) + tuple(warmup_shape), warmup_dtype)
         state, _, _, _ = engine.step(
             state, blank_b, active=np.zeros((num_slots,), bool))
-    free = list(range(num_slots - 1, -1, -1))
-    slot_of: dict = {}      # stream id -> slot
-    frame_idx: dict = {}    # stream id -> frames served so far
+    free = [s for s in range(num_slots - 1, -1, -1)
+            if s not in slot_of.values()]
     tick: dict = {}         # slot -> (stream id, frame array)
     blank: Optional[np.ndarray] = None
-    ticks = emitted = 0
+    emitted = 0
 
     def emit(obj):
         out_f.write(json.dumps(obj) + "\n")
@@ -88,6 +150,8 @@ def serve_loop(engine, num_slots: int, in_f: IO[str], out_f: IO[str],
             frame_idx[sid] += 1
         tick.clear()
         out_f.flush()
+        if state_dir and ticks % checkpoint_every == 0:
+            _save_state(state_dir, state, slot_of, frame_idx, ticks)
 
     for line in in_f:
         line = line.strip()
@@ -136,5 +200,8 @@ def serve_loop(engine, num_slots: int, in_f: IO[str], out_f: IO[str],
         except Exception as e:  # decode failure: skip frame, keep stream
             emit({"id": sid, "error": f"decode failed: {e}"})
     flush()  # trailing frames without a final step line
+    if state_dir:
+        _save_state(state_dir, state, slot_of, frame_idx, ticks)
     return {"ticks": ticks, "rows": emitted,
-            "live_streams": len(slot_of), "slots": num_slots}
+            "live_streams": len(slot_of), "slots": num_slots,
+            "resumed_at_tick": int(meta["ticks"]) if restored else 0}
