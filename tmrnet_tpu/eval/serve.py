@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from typing import Callable, IO, Optional
 
 import numpy as np
@@ -117,6 +118,7 @@ def serve_loop(engine, num_slots: int, in_f: IO[str], out_f: IO[str],
     tick: dict = {}         # slot -> (stream id, frame array)
     blank: Optional[np.ndarray] = None
     emitted = 0
+    lat_ms: list = []       # per-tick step+fetch latency
 
     def emit(obj):
         out_f.write(json.dumps(obj) + "\n")
@@ -134,9 +136,11 @@ def serve_loop(engine, num_slots: int, in_f: IO[str], out_f: IO[str],
         frames = np.stack([tick[i][1] if i in tick else blank
                            for i in range(num_slots)])
         active = np.array([i in tick for i in range(num_slots)], bool)
+        t0 = time.perf_counter()
         state, preds, probs, valid = engine.step(state, frames, active)
         preds, valid = np.asarray(preds), np.asarray(valid)
         p = np.asarray(probs) if emit_probs else None
+        lat_ms.append((time.perf_counter() - t0) * 1e3)
         ticks += 1
         for slot in sorted(tick, key=lambda s: tick[s][0]):
             sid = tick[slot][0]
@@ -202,6 +206,13 @@ def serve_loop(engine, num_slots: int, in_f: IO[str], out_f: IO[str],
     flush()  # trailing frames without a final step line
     if state_dir:
         _save_state(state_dir, state, slot_of, frame_idx, ticks)
-    return {"ticks": ticks, "rows": emitted,
-            "live_streams": len(slot_of), "slots": num_slots,
-            "resumed_at_tick": int(meta["ticks"]) if restored else 0}
+    summary = {"ticks": ticks, "rows": emitted,
+               "live_streams": len(slot_of), "slots": num_slots,
+               "resumed_at_tick": int(meta["ticks"]) if restored else 0}
+    if lat_ms:  # first tick excluded: it can carry the compile
+        steady = lat_ms[1:] or lat_ms
+        summary["latency_ms"] = {
+            "p50": round(float(np.percentile(steady, 50)), 2),
+            "p95": round(float(np.percentile(steady, 95)), 2),
+            "first": round(lat_ms[0], 2)}
+    return summary
