@@ -61,6 +61,36 @@ def test_folded_resnet_matches_bn_eval():
                                atol=2e-5, rtol=1e-4)
 
 
+def test_folded_resnest_matches_bn_eval():
+    """fold_resnest covers the deep stem, SplAt conv (bn0) and fc1 Dense
+    (bn1), conv1/conv3, and the avg_down shortcut."""
+    from tmrnet_tpu.models.resnest import ResNeSt
+
+    model = ResNeSt(stage_sizes=(1, 1), width=8, stem_width=8)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 64, 64, 3))
+    variables = _nontrivial_stats(model.init(jax.random.PRNGKey(3), x),
+                                  seed=4)
+    want = model.apply(variables, x, train=False)
+
+    from tmrnet_tpu.models.fold_bn import fold_resnest
+
+    folded_params = fold_resnest(variables["params"],
+                                 variables["batch_stats"])
+    folded_model = ResNeSt(stage_sizes=(1, 1), width=8, stem_width=8,
+                           folded=True)
+    got = folded_model.apply({"params": folded_params}, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+    # fold_variables dispatches to the ResNeSt folder by tree shape
+    fv = fold_variables({"params": {"backbone": variables["params"]},
+                         "batch_stats": {"backbone":
+                                         variables["batch_stats"]}})
+    got2 = folded_model.apply({"params": fv["params"]["backbone"]}, x,
+                              train=False)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
+
 def test_fold_variables_full_model():
     from tmrnet_tpu.config import ModelConfig
     from tmrnet_tpu.models.tmrnet import build_model

@@ -19,16 +19,19 @@ from flax import linen as nn
 Dtype = Any
 
 
-def _bn(train: bool, cdt, name: str):
+def _bn(train: bool, cdt, name: str, folded: bool = False):
+    # folded=True: BN pre-folded into the preceding conv/dense (fold_bn.py)
+    if folded:
+        return lambda y: y
     return nn.BatchNorm(use_running_average=not train, momentum=0.9,
                         epsilon=1e-5, dtype=cdt, param_dtype=jnp.float32,
                         name=name)
 
 
 def _conv(feats: int, k: int, s: int, pad: int, cdt, name: str,
-          groups: int = 1):
+          groups: int = 1, use_bias: bool = False):
     return nn.Conv(feats, (k, k), strides=(s, s), padding=[(pad, pad)] * 2,
-                   feature_group_count=groups, use_bias=False, dtype=cdt,
+                   feature_group_count=groups, use_bias=use_bias, dtype=cdt,
                    param_dtype=jnp.float32, name=name)
 
 
@@ -41,14 +44,16 @@ class SplitAttention(nn.Module):
     groups: int = 1
     reduction_factor: int = 4
     compute_dtype: Dtype = jnp.float32
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         cdt = self.compute_dtype
         c, r, g = self.channels, self.radix, self.groups
         in_channels = x.shape[-1]
-        y = _conv(c * r, 3, 1, 1, cdt, "conv", groups=g * r)(x)
-        y = _bn(train, cdt, "bn0")(y)
+        y = _conv(c * r, 3, 1, 1, cdt, "conv", groups=g * r,
+                  use_bias=self.folded)(x)
+        y = _bn(train, cdt, "bn0", self.folded)(y)
         y = nn.relu(y)                                       # (B,H,W,C*r)
 
         b, h, w, _ = y.shape
@@ -58,7 +63,7 @@ class SplitAttention(nn.Module):
 
         inter = max(in_channels * r // self.reduction_factor, 32)
         a = nn.Dense(inter, dtype=cdt, param_dtype=jnp.float32, name="fc1")(gap)
-        a = _bn(train, cdt, "bn1")(a)
+        a = _bn(train, cdt, "bn1", self.folded)(a)
         a = nn.relu(a)
         a = nn.Dense(c * r, dtype=cdt, param_dtype=jnp.float32, name="fc2")(a)
 
@@ -76,30 +81,33 @@ class ResNeStBottleneck(nn.Module):
     expansion: int = 4
     avd: bool = True  # avg-pool before the split-attention conv when strided
     compute_dtype: Dtype = jnp.float32
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         cdt = self.compute_dtype
+        fold = self.folded
         out_feats = self.planes * self.expansion
         residual = x
 
-        y = _conv(self.planes, 1, 1, 0, cdt, "conv1")(x)
-        y = nn.relu(_bn(train, cdt, "bn1")(y))
+        y = _conv(self.planes, 1, 1, 0, cdt, "conv1", use_bias=fold)(x)
+        y = nn.relu(_bn(train, cdt, "bn1", fold)(y))
         if self.avd and self.strides > 1:
             y = nn.avg_pool(y, (3, 3), strides=(self.strides,) * 2,
                             padding=[(1, 1)] * 2)
         y = SplitAttention(self.planes, radix=self.radix, compute_dtype=cdt,
-                           name="splat")(y, train)
-        y = _conv(out_feats, 1, 1, 0, cdt, "conv3")(y)
-        y = _bn(train, cdt, "bn3")(y)
+                           folded=fold, name="splat")(y, train)
+        y = _conv(out_feats, 1, 1, 0, cdt, "conv3", use_bias=fold)(y)
+        y = _bn(train, cdt, "bn3", fold)(y)
 
         if self.strides != 1 or x.shape[-1] != out_feats:
             # avg_down shortcut: stride-s avgpool then 1x1 conv (stride 1).
             if self.strides != 1:
                 residual = nn.avg_pool(residual, (self.strides,) * 2,
                                        strides=(self.strides,) * 2)
-            residual = _conv(out_feats, 1, 1, 0, cdt, "downsample_conv")(residual)
-            residual = _bn(train, cdt, "downsample_bn")(residual)
+            residual = _conv(out_feats, 1, 1, 0, cdt, "downsample_conv",
+                             use_bias=fold)(residual)
+            residual = _bn(train, cdt, "downsample_bn", fold)(residual)
         return nn.relu(y + residual)
 
 
@@ -109,6 +117,8 @@ class ResNeSt(nn.Module):
     stem_width: int = 32
     radix: int = 2
     compute_dtype: Dtype = jnp.float32
+    # BN weights pre-folded into convs (inference; models/fold_bn.py).
+    folded: bool = False
 
     @property
     def num_features(self) -> int:
@@ -117,15 +127,16 @@ class ResNeSt(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         cdt = self.compute_dtype
+        fold = self.folded
         x = x.astype(cdt)
         # Deep stem: 3x3 s2 (stem_width) -> 3x3 (stem_width) -> 3x3 (2*stem_width).
         sw = self.stem_width
-        x = _conv(sw, 3, 2, 1, cdt, "stem_conv1")(x)
-        x = nn.relu(_bn(train, cdt, "stem_bn1")(x))
-        x = _conv(sw, 3, 1, 1, cdt, "stem_conv2")(x)
-        x = nn.relu(_bn(train, cdt, "stem_bn2")(x))
-        x = _conv(sw * 2, 3, 1, 1, cdt, "stem_conv3")(x)
-        x = nn.relu(_bn(train, cdt, "stem_bn3")(x))
+        x = _conv(sw, 3, 2, 1, cdt, "stem_conv1", use_bias=fold)(x)
+        x = nn.relu(_bn(train, cdt, "stem_bn1", fold)(x))
+        x = _conv(sw, 3, 1, 1, cdt, "stem_conv2", use_bias=fold)(x)
+        x = nn.relu(_bn(train, cdt, "stem_bn2", fold)(x))
+        x = _conv(sw * 2, 3, 1, 1, cdt, "stem_conv3", use_bias=fold)(x)
+        x = nn.relu(_bn(train, cdt, "stem_bn3", fold)(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
 
         for l, n_blocks in enumerate(self.stage_sizes):
@@ -134,7 +145,8 @@ class ResNeSt(nn.Module):
                 strides = 2 if l > 0 and i == 0 else 1
                 x = ResNeStBottleneck(
                     planes=planes, strides=strides, radix=self.radix,
-                    compute_dtype=cdt, name=f"layer{l + 1}_{i}")(x, train)
+                    compute_dtype=cdt, folded=self.folded,
+                    name=f"layer{l + 1}_{i}")(x, train)
         return jnp.mean(x, axis=(1, 2))
 
 

@@ -134,10 +134,8 @@ def build_backbone(cfg: ModelConfig):
     if cfg.backbone == "resnest50":
         from tmrnet_tpu.models.resnest import ResNeSt
 
-        if folded:
-            raise NotImplementedError("BN folding: ResNet backbones only")
         return ResNeSt(stage_sizes=tuple(cfg.stage_sizes), width=cfg.width,
-                       compute_dtype=cdt)
+                       compute_dtype=cdt, folded=folded)
     if cfg.backbone == "tiny":
         return ResNet(stage_sizes=(1, 1), width=8, compute_dtype=cdt,
                       folded=folded, remat=remat)
