@@ -121,6 +121,80 @@ def _tiny_cfg(head):
                        lfb_window=5, compute_dtype="float32")
 
 
+def test_grad_accum_matches_mean_batch_step():
+    """grad_accum=k (optax.MultiSteps): params move only on the k-th micro
+    step, by exactly one step on the MEAN of the k micro gradients; the lr
+    get/set helpers must still reach the inject states through the wrapper."""
+    import dataclasses
+
+    from tmrnet_tpu.train.optim import (
+        current_learning_rate,
+        make_optimizer,
+        set_learning_rate,
+    )
+
+    base = TrainConfig(optimizer="sgd", momentum=0.0, weight_decay=0.0,
+                       lr=0.1, schedule="constant")
+    params0 = {"backbone": jnp.asarray([1.0, 2.0, 3.0]),
+               "head": jnp.asarray([1.0, -1.0, 0.5])}
+    g1 = {"backbone": jnp.asarray([0.5, -0.2, 1.0]),
+          "head": jnp.asarray([1.0, 1.0, 1.0])}
+    g2 = {"backbone": jnp.asarray([-0.1, 0.4, 0.0]),
+          "head": jnp.asarray([0.0, -2.0, 3.0])}
+
+    cfg = dataclasses.replace(base, grad_accum=2)
+    opt = make_optimizer(cfg, params0, slow_modules=("backbone",))
+    st = opt.init(params0)
+    assert current_learning_rate(st) == pytest.approx(0.1)
+    st = set_learning_rate(st, 0.05)
+    assert current_learning_rate(st) == pytest.approx(0.05)
+    st = set_learning_rate(st, 0.1)
+
+    u1, st = opt.update(g1, st, params0)
+    p1 = optax.apply_updates(params0, u1)
+    for k in params0:  # micro step 1: no movement
+        np.testing.assert_allclose(np.asarray(p1[k]), np.asarray(params0[k]))
+    u2, st = opt.update(g2, st, p1)
+    p2 = optax.apply_updates(p1, u2)
+
+    ref_opt = make_optimizer(base, params0, slow_modules=("backbone",))
+    ref_st = ref_opt.init(params0)
+    gm = jax.tree_util.tree_map(lambda a, b: (a + b) / 2.0, g1, g2)
+    ru, _ = ref_opt.update(gm, ref_st, params0)
+    want = optax.apply_updates(params0, ru)
+    for k in params0:
+        np.testing.assert_allclose(np.asarray(p2[k]), np.asarray(want[k]),
+                                   atol=1e-7)
+
+
+def test_grad_accum_state_shards_structurally():
+    """shard_state must place the MultiSteps acc_grads like their params
+    (suffix matching reaches through the wrapper state)."""
+    import dataclasses
+
+    from tmrnet_tpu.config import MeshConfig
+    from tmrnet_tpu.parallel.mesh import make_mesh, shard_state
+    from tmrnet_tpu.train.optim import make_optimizer
+    from tmrnet_tpu.train.state import TrainState
+
+    cfg = TrainConfig(optimizer="sgd", lr=0.1, grad_accum=4,
+                      schedule="constant")
+    # a param shaped to match a TP rule (nl_block query kernel, 16x16)
+    params = {"nl_block": {"query": {"kernel": jnp.ones((16, 16))}},
+              "fc": {"kernel": jnp.ones((16, 4))}}
+    opt = make_optimizer(cfg, params, slow_modules=())
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       batch_stats={}, opt_state=opt.init(params),
+                       apply_fn=lambda *a, **k: None, tx=opt)
+    mesh = make_mesh(MeshConfig(data_parallel=4, model_parallel=2))
+    sharded = shard_state(mesh, state)
+    accs = sharded.opt_state.acc_grads
+    q = accs["nl_block"]["query"]["kernel"]
+    assert q.sharding == sharded.params["nl_block"]["query"]["kernel"].sharding
+    spec = q.sharding.spec
+    assert tuple(spec) == (None, "model")
+
+
 def test_stage1_train_step_reduces_loss():
     cfg = _tiny_cfg("stage1")
     model = build_model(cfg)

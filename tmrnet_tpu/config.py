@@ -153,6 +153,12 @@ class TrainConfig:
     resume: bool = True  # resume from latest checkpoint if present
     remat: bool = False  # jax.checkpoint the backbone to trade FLOPs for HBM
     donate_state: bool = True
+    # Accumulate gradients over k micro-batches before each optimizer step
+    # (optax.MultiSteps, gradient MEAN over the k micro-batches): reaches the
+    # reference's large effective batches (bs 400,
+    # `train_non-local_mutiConv_resnest.py:29-30`) on one chip. Combine with
+    # remat for the largest effective batches.
+    grad_accum: int = 1
 
 
 @dataclass(frozen=True)

@@ -68,9 +68,16 @@ def make_optimizer(cfg: TrainConfig, params: Any,
             return optax.inject_hyperparams(make_adam)(learning_rate=cfg.lr)
         raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
 
-    return optax.multi_transform(
+    opt = optax.multi_transform(
         {"slow": make_group(cfg.trunk_lr_scale), "fast": make_group(1.0)},
         labels)
+    if cfg.grad_accum > 1:
+        # Gradient MEAN over k micro-batches, params update every k-th step:
+        # k micro-steps at lr == one k*B-batch step of the MEAN loss at lr
+        # (the summed-CE loss of a true k*B batch would be k times larger).
+        # BN running stats still update every micro-step.
+        opt = optax.MultiSteps(opt, every_k_schedule=cfg.grad_accum)
+    return opt
 
 
 # optax >= 0.2.4 uses InjectStatefulHyperparamsState; keep both for compat.
