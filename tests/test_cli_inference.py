@@ -243,6 +243,32 @@ def test_cli_stream_matches_video_engine(tmp_path, tiny_cfg_json, capsys):
     assert 0.0 <= rep["mean_accuracy"] <= 100.0
 
 
+def test_cli_video_engine_corpus_parity(tmp_path, tiny_cfg_json, capsys):
+    """`test --engine video --set eval.corpus=true` (flat-stream corpus
+    engine, lazy per-video loading) must produce the same npz as the
+    per-video engine."""
+    frames_dir, ann_dir = _write_frames_tree(tmp_path, n_videos=3, seconds=9)
+    manifest = tmp_path / "m.pkl"
+    main(["manifest", "--frames", str(frames_dir), "--annotations",
+          str(ann_dir), "--out", str(manifest)])
+    capsys.readouterr()
+
+    out_a, out_b = tmp_path / "a.npz", tmp_path / "b.npz"
+    assert main(["test", "--config", tiny_cfg_json, "--manifest",
+                 str(manifest), "--engine", "video",
+                 "--out", str(out_a)]) == 0
+    assert main(["test", "--config", tiny_cfg_json, "--manifest",
+                 str(manifest), "--engine", "video",
+                 "--set", "eval.corpus=true",
+                 "--set", "eval.corpus_chunk=16",
+                 "--out", str(out_b)]) == 0
+    capsys.readouterr()
+    a, b = np.load(out_a), np.load(out_b)
+    np.testing.assert_array_equal(a["preds"], b["preds"])
+    np.testing.assert_allclose(a["scores"], b["scores"], atol=1e-5,
+                               rtol=1e-4)
+
+
 def test_cli_stream_slot_multiplexing(tmp_path, tiny_cfg_json, capsys):
     """`stream --max-streams 1` serves all videos sequentially through ONE
     compiled slot (recycled via reset_streams when each video ends) and must

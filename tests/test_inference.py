@@ -312,6 +312,37 @@ def test_run_videos_shorter_than_seq(tmp_path):
     assert p0.shape == (0,) and pr0.shape == (0, cfg.model.num_classes)
 
 
+def test_run_corpus_matches_per_video(tmp_path):
+    """The corpus engine (flat frame stream, fixed trunk chunks crossing
+    video boundaries, per-video head over feature slices) must equal
+    per-video run_video outputs — including a short (<seq) video, lazy
+    callable videos, and a final partial chunk."""
+    cfg = _cfg(tmp_path)
+    variables, extractor = _init_models(cfg, key=11)
+    engine = VideoInference(cfg, variables, extractor, pad_frames=32)
+
+    rng = np.random.RandomState(9)
+    lens = (9, 13, SEQ - 2, 16, 7)  # 47 frames -> chunks of 16: 2 full + tail
+    frames_list = [rng.rand(n, HW, HW, 3).astype(np.float32) for n in lens]
+
+    got = engine.run_corpus(frames_list, chunk=16)
+    assert len(got) == len(lens)
+    for f, (p_c, pr_c) in zip(frames_list, got):
+        p_s, pr_s = engine.run_video(f)
+        np.testing.assert_array_equal(p_c, p_s)
+        np.testing.assert_allclose(pr_c, pr_s, atol=1e-5, rtol=1e-4)
+
+    # lazy callables (the 40-real-video path: one video in RAM at a time)
+    calls = []
+    lazy = [(lambda i=i: (calls.append(i), frames_list[i])[1])
+            for i in range(len(lens))]
+    got2 = engine.run_corpus(lazy, lengths=lens, chunk=16)
+    assert calls == list(range(len(lens)))
+    for (p_a, pr_a), (p_b, pr_b) in zip(got, got2):
+        np.testing.assert_array_equal(p_a, p_b)
+        np.testing.assert_allclose(pr_a, pr_b, atol=1e-6)
+
+
 def test_backbone_chunked_matches_unchunked(tmp_path):
     """eval.backbone_chunk scans the trunk over frame chunks (bounded
     activation HBM); outputs must equal the all-at-once pass for run_video

@@ -486,7 +486,14 @@ def cmd_test(args) -> int:
 
         results = [None] * len(m.videos)
         vb = max(1, cfg.eval.video_batch)
-        if vb > 1:
+        if cfg.eval.corpus:
+            # flat-stream corpus engine: zero per-video backbone padding,
+            # lazy loading (one video in host RAM at a time)
+            results = engine.run_corpus(
+                [(lambda v=v: load_video(v)) for v in m.videos],
+                lengths=[len(v) for v in m.videos],
+                chunk=cfg.eval.corpus_chunk)
+        elif vb > 1:
             # group same-bucket videos and run B per compiled program
             # (outputs equal per-video runs; parity-tested in run_videos)
             groups = {}

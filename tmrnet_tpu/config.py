@@ -199,6 +199,13 @@ class EvalConfig:
     # the measured safe ceiling; smaller programs run unchunked exactly as
     # before), -1 = never chunk, >0 = explicit chunk size.
     backbone_chunk: int = 0
+    # --engine video: corpus mode — ALL videos' frames run as one flat
+    # stream through fixed `corpus_chunk`-frame trunk launches (zero
+    # per-video backbone padding, one compiled trunk program; the tiny
+    # memory head still runs per video on bucketed feature slices). One
+    # video in host RAM at a time. Outputs equal per-video runs.
+    corpus: bool = False
+    corpus_chunk: int = 2048
 
 
 @dataclass(frozen=True)

@@ -365,6 +365,134 @@ class VideoInference:
         self._compiled[key] = run_many
         return run_many
 
+    # ---- corpus engine: whole-test-set inference, no backbone padding ----
+
+    def _build_trunk_chunk_fn(self, chunk: int):
+        """One trunk program for the whole corpus: both backbones over a
+        fixed-size chunk of the FLAT frame stream (chunks freely cross video
+        boundaries — the trunk is per-frame)."""
+        key = ("trunk_chunk", chunk)
+        if key in self._compiled:
+            return self._compiled[key]
+
+        @jax.jit
+        def trunk_chunk(variables, extractor_variables, frames):
+            def feats(v):
+                bvars = {"params": v["params"]["backbone"]}
+                if "batch_stats" in v and "backbone" in v["batch_stats"]:
+                    bvars["batch_stats"] = v["batch_stats"]["backbone"]
+                return self.backbone.apply(bvars, self._prep_frames(frames),
+                                           train=False)
+
+            return feats(extractor_variables), feats(variables)
+
+        self._compiled[key] = trunk_chunk
+        return trunk_chunk
+
+    def _build_head_feats_fn(self, padded: int):
+        """Head-only program (no convs -> cheap compile): per-frame features
+        of ONE video -> sliding LSTM windows, bank, memory head, probs."""
+        key = ("head_feats", padded)
+        if key in self._compiled:
+            return self._compiled[key]
+
+        @jax.jit
+        def head(variables, extractor_variables, fe, ft):
+            wb = self._window_features(fe)
+            bank = self.lstm.apply(
+                {"params": extractor_variables["params"]["encoder"]["lstm"]},
+                wb)[0][:, -1, :]
+            wt = self._window_features(ft)
+            st = self.lstm.apply(
+                {"params": variables["params"]["encoder"]["lstm"]},
+                wt)[0][:, -1, :]
+            logits = self._head(variables, st, bank, padded - self.seq + 1)
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            return jnp.argmax(probs, axis=-1), probs
+
+        self._compiled[key] = head
+        return head
+
+    def corpus_features(self, chunks, chunk: int) -> Tuple[jax.Array, jax.Array]:
+        """Run both trunks over an iterable of (chunk, H, W, 3) frame blocks
+        (host or device; the last block must also be full size — pad it) and
+        return (extractor, tmr) per-frame features, concatenated on device."""
+        fn = self._build_trunk_chunk_fn(chunk)
+        fe_parts, ft_parts = [], []
+        for block in chunks:
+            fe, ft = fn(self.variables, self.extractor_variables, block)
+            fe_parts.append(fe)
+            ft_parts.append(ft)
+        return jnp.concatenate(fe_parts), jnp.concatenate(ft_parts)
+
+    def corpus_heads(self, fe: jax.Array, ft: jax.Array, ns) -> list:
+        """Per-video memory-head passes over slices of the corpus feature
+        buffers. ns: true video lengths, in corpus order. Returns
+        [(preds, probs)] like run_videos."""
+        max_bucket = max(max(self.bucket_frames(n) for n in ns), self.seq)
+        guard = jnp.zeros((max_bucket, fe.shape[-1]), fe.dtype)
+        fe = jnp.concatenate([fe, guard])
+        ft = jnp.concatenate([ft, guard])
+        out, s = [], 0
+        for n in ns:
+            k = max(0, n - self.seq + 1)
+            if k == 0:
+                out.append((np.zeros(0, np.int64),
+                            np.zeros((0, self.cfg.model.num_classes),
+                                     np.float32)))
+                s += n
+                continue
+            b = max(self.bucket_frames(n), self.seq)
+            head = self._build_head_feats_fn(b)
+            fe_v = jax.lax.dynamic_slice_in_dim(fe, s, b, 0)
+            ft_v = jax.lax.dynamic_slice_in_dim(ft, s, b, 0)
+            preds, probs = head(self.variables, self.extractor_variables,
+                                fe_v, ft_v)
+            out.append((np.asarray(preds)[:k], np.asarray(probs)[:k]))
+            s += n
+        return out
+
+    def run_corpus(self, videos, lengths=None, chunk: int = 2048) -> list:
+        """Whole-test-set inference with ZERO per-video backbone padding.
+
+        The flat frame stream of ALL videos runs through one compiled trunk
+        program in fixed `chunk`-frame launches (padding only on the final
+        partial chunk, <=chunk-1 frames for the whole corpus vs up to
+        bucket_step-1 PER VIDEO in run_video/run_videos); the tiny LSTM +
+        memory head (<5% of FLOPs) then runs per video on its feature slice
+        with the usual cheap-compile buckets. Outputs equal per-video
+        run_video calls (parity-tested).
+
+        videos: list of (N_i, H, W, 3) arrays OR zero-arg callables
+        returning them (lazy loading: each video is materialized only while
+        the stream crosses it). lengths: required with callables.
+        """
+        if not videos:
+            return []
+        ns = [int(lengths[i]) if callable(v) else int(v.shape[0])
+              for i, v in enumerate(videos)]
+        chunk = min(chunk, sum(ns))  # tiny corpora shrink the launch
+
+        def blocks():
+            buf, have = [], 0
+            for v in videos:
+                arr = np.asarray(v() if callable(v) else v)
+                while arr.shape[0]:
+                    take = min(chunk - have, arr.shape[0])
+                    buf.append(arr[:take])
+                    arr = arr[take:]
+                    have += take
+                    if have == chunk:
+                        yield np.concatenate(buf) if len(buf) > 1 else buf[0]
+                        buf, have = [], 0
+            if have:  # final partial chunk pads with zeros
+                pad = np.zeros((chunk - have,) + buf[0].shape[1:],
+                               buf[0].dtype)
+                yield np.concatenate(buf + [pad])
+
+        fe, ft = self.corpus_features(blocks(), chunk)
+        return self.corpus_heads(fe, ft, ns)
+
     def run_videos(self, frames_list) -> list:
         """Batched multi-video inference: B videos per compiled program to
         fill the chip at serving time. All videos pad to the largest bucket;
