@@ -433,24 +433,24 @@ class VideoInference:
         guard = jnp.zeros((max_bucket, fe.shape[-1]), fe.dtype)
         fe = jnp.concatenate([fe, guard])
         ft = jnp.concatenate([ft, guard])
-        out, s = [], 0
-        for n in ns:
-            k = max(0, n - self.seq + 1)
+        raw, s = [], 0
+        for n in ns:  # dispatch every head program before fetching any:
+            k = max(0, n - self.seq + 1)  # fetches overlap later dispatches
             if k == 0:
-                out.append((np.zeros(0, np.int64),
-                            np.zeros((0, self.cfg.model.num_classes),
-                                     np.float32)))
+                raw.append((0, None, None))
                 s += n
                 continue
             b = max(self.bucket_frames(n), self.seq)
             head = self._build_head_feats_fn(b)
             fe_v = jax.lax.dynamic_slice_in_dim(fe, s, b, 0)
             ft_v = jax.lax.dynamic_slice_in_dim(ft, s, b, 0)
-            preds, probs = head(self.variables, self.extractor_variables,
-                                fe_v, ft_v)
-            out.append((np.asarray(preds)[:k], np.asarray(probs)[:k]))
+            raw.append((k,) + head(self.variables, self.extractor_variables,
+                                   fe_v, ft_v))
             s += n
-        return out
+        empty = (np.zeros(0, np.int64),
+                 np.zeros((0, self.cfg.model.num_classes), np.float32))
+        return [(np.asarray(p)[:k], np.asarray(pr)[:k]) if k else empty
+                for k, p, pr in raw]
 
     def run_corpus(self, videos, lengths=None, chunk: int = 2048) -> list:
         """Whole-test-set inference with ZERO per-video backbone padding.
