@@ -105,6 +105,140 @@ def bench_video(args):
     return 0
 
 
+def bench_cholec80(args):
+    """The north-star protocol at full scale: a simulated 40-video Cholec80
+    test pass (BASELINE.md: >=5000 frames/sec/chip over the whole set).
+
+    Realistic 1-fps lengths (1,500-5,500 frames, seeded), bucketed exactly
+    like `test --engine video` (pow-2 to 2048, then 1024-multiples) and run
+    through the batched engine at eval.video_batch videos per program with
+    uint8 wire + in-jit normalize. Frames stage on device (one shared
+    buffer per bucket; the tunneled transport is not the production feed —
+    see docs/PERFORMANCE.md), and throughput counts only the 40 videos'
+    UNIQUE frames, so all bucket/batch padding waste lands in the number.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from tmrnet_tpu.config import (
+        DataConfig,
+        EvalConfig,
+        ExperimentConfig,
+        MemoryConfig,
+        ModelConfig,
+    )
+    from tmrnet_tpu.eval.infer import VideoInference
+    from tmrnet_tpu.models.tmrnet import build_model
+
+    cfg = ExperimentConfig(
+        data=DataConfig(sequence_length=10, device_normalize=True),
+        model=ModelConfig(backbone="resnet50", head="tmr", num_classes=7,
+                          hidden_dim=512, lfb_window=args.window,
+                          compute_dtype="bfloat16",
+                          use_pallas=args.use_pallas),
+        memory=MemoryConfig(window=args.window),
+        eval=EvalConfig(backbone_chunk=args.backbone_chunk),
+    )
+    model = build_model(cfg.model)
+    clips = jnp.zeros((1, 10, 224, 224, 3), jnp.bfloat16)
+    mem = jnp.zeros((1, args.window, 512), jnp.bfloat16)
+    variables = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0),
+                                                  clips, mem))
+    variables = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), variables)
+    extractor = {"params": {"backbone": variables["params"]["backbone"],
+                            "encoder": variables["params"]["encoder"]},
+                 "batch_stats": {"backbone":
+                                 variables["batch_stats"]["backbone"]}}
+    engine = VideoInference(cfg, variables, extractor)
+
+    rng = np.random.RandomState(0)
+    lengths = sorted(int(n) for n in rng.randint(1500, 5501, size=40))
+    vb = max(1, args.video_batch)
+    groups = {}
+    for n in lengths:
+        groups.setdefault(engine.bucket_frames(n), []).append(n)
+    # remainder chunks pad to vb with dummy videos: one compiled program
+    # per bucket (their wasted compute stays in the timed pass, their
+    # frames do NOT count toward throughput)
+    chunks = []  # (bucket, [true lengths], dummy videos)
+    for bucket, ns in sorted(groups.items()):
+        for c in range(0, len(ns), vb):
+            chunk = ns[c:c + vb]
+            chunks.append((bucket, chunk, vb - len(chunk)))
+    print(f"# 40 videos, {len(groups)} buckets {sorted(groups)} -> "
+          f"{len(chunks)} batch-{vb} launches, "
+          f"{len(groups)} compiled programs", file=sys.stderr)
+
+    # one device-resident uint8 buffer per bucket, shared by that bucket's
+    # videos (compute is data-independent; staging once isolates compute
+    # from the tunneled transport, same methodology as the other modes)
+    max_bucket = max(groups)
+    host = np.frombuffer(rng.bytes(max_bucket * 224 * 224 * 3),
+                         np.uint8).reshape(max_bucket, 224, 224, 3)
+    mega = jax.device_put(host)
+    np.asarray(mega[0, 0])  # sync staging
+
+    if args.corpus:
+        # corpus engine: flat frame stream in fixed trunk chunks (zero
+        # per-video backbone padding), head per video on feature slices
+        chunk = args.corpus_chunk
+        total = sum(lengths)
+        staged = mega[:chunk]
+        n_launches = -(-total // chunk)
+
+        def corpus_pass():
+            fe, ft = engine.corpus_features(
+                (staged for _ in range(n_launches)), chunk)
+            outs = engine.corpus_heads(fe, ft, lengths)
+            np.asarray(outs[-1][1][0])
+            return total
+
+        corpus_pass()  # compile: one trunk-chunk + per-bucket head programs
+        t0 = time.perf_counter()
+        passes = max(1, args.iters // 15)
+        for _ in range(passes):
+            total = corpus_pass()
+        dt = (time.perf_counter() - t0) / passes
+        fps = total / dt
+        print(json.dumps({
+            "metric":
+                "cholec80_full_40video_test_pass_frames_per_sec_per_chip",
+            "value": round(fps, 1),
+            "unit": f"unique video-frames/sec/chip (corpus engine, {total} "
+                    f"frames, {n_launches} trunk launches, pass {dt:.1f}s)",
+            "vs_baseline": round(fps / BASELINE_FPS, 3),
+        }))
+        return 0
+
+    def run_pass():
+        total_frames = 0
+        for bucket, ns, dummies in chunks:
+            fl = [mega[:bucket] for _ in range(len(ns) + dummies)]
+            out = engine.run_videos(fl)
+            total_frames += sum(ns)
+        # fetch the last result: executions are FIFO on the chip, so this
+        # drains the queue (block_until_ready is not trusted on axon)
+        np.asarray(out[-1][0])
+        return total_frames
+
+    run_pass()  # compile every (batch, bucket) program
+    t0 = time.perf_counter()
+    passes = max(1, args.iters // 15)
+    for _ in range(passes):
+        total = run_pass()
+    dt = (time.perf_counter() - t0) / passes
+    fps = total / dt
+    print(json.dumps({
+        "metric": "cholec80_full_40video_test_pass_frames_per_sec_per_chip",
+        "value": round(fps, 1),
+        "unit": f"unique video-frames/sec/chip ({total} frames, "
+                f"{len(chunks)} programs, pass {dt:.1f}s)",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+    return 0
+
+
 def bench_e2e(args):
     """Disk -> host decode/preprocess -> device -> logits, the full serving
     path (ClipInference over a real frames-on-disk dataset). Honest host
@@ -330,7 +464,8 @@ def main():
     ap.add_argument("--stream-batch", type=int, default=16,
                     help="stream mode: parallel 1-fps video streams")
     ap.add_argument("--mode",
-                    choices=["clip", "video", "e2e", "train", "stream"],
+                    choices=["clip", "video", "e2e", "train", "stream",
+                             "cholec80"],
                     default="clip")
     ap.add_argument("--train-batch", type=int, default=16)
     ap.add_argument("--backbone", default="resnet50",
@@ -354,6 +489,11 @@ def main():
     ap.add_argument("--video-frames", type=int, default=1024)
     ap.add_argument("--video-batch", type=int, default=1,
                     help=">1: batched multi-video engine (run_videos)")
+    ap.add_argument("--corpus", action="store_true",
+                    help="cholec80 mode: flat-stream corpus engine "
+                         "(zero per-video backbone padding)")
+    ap.add_argument("--corpus-chunk", type=int, default=4096,
+                    help="corpus mode: frames per trunk launch")
     ap.add_argument("--backbone-chunk", type=int, default=0,
                     help="video mode: lax.map the trunk over frame chunks "
                          "of this size (bounds activation HBM; 0 = off)")
@@ -361,6 +501,8 @@ def main():
 
     if args.mode == "video":
         return bench_video(args)
+    if args.mode == "cholec80":
+        return bench_cholec80(args)
     if args.mode == "e2e":
         return bench_e2e(args)
     if args.mode == "train":
@@ -390,8 +532,6 @@ def main():
     firsts = jnp.zeros((b,), jnp.int32)
     memory0 = gather_memory_windows(bank, rows, firsts, args.window)
     variables = model.init(jax.random.PRNGKey(2), clips, memory0)
-    if args.backbone != "resnet50":
-        args.no_fold_bn = True  # BN folding implemented for plain ResNet only
     if not args.no_fold_bn:
         variables = fold_variables(variables)
         cfg = ModelConfig(backbone=args.backbone, head="tmr",
