@@ -343,6 +343,30 @@ def test_run_corpus_matches_per_video(tmp_path):
         np.testing.assert_allclose(pr_a, pr_b, atol=1e-6)
 
 
+def test_run_corpus_mesh_parity(tmp_path):
+    """Corpus engine under a dp8 mesh (chunk frames sharded over the data
+    axis) must equal the single-device corpus run."""
+    from tmrnet_tpu.config import MeshConfig
+    from tmrnet_tpu.parallel.mesh import make_mesh
+
+    cfg = _cfg(tmp_path)
+    variables, extractor = _init_models(cfg, key=13)
+    rng = np.random.RandomState(14)
+    lens = (12, 9, 15)
+    frames_list = [rng.rand(n, HW, HW, 3).astype(np.float32) for n in lens]
+
+    base = VideoInference(cfg, variables, extractor, pad_frames=32)
+    want = base.run_corpus(frames_list, chunk=16)
+
+    mesh = make_mesh(MeshConfig(data_parallel=8, model_parallel=1))
+    dist = VideoInference(cfg, variables, extractor, pad_frames=32,
+                          mesh=mesh)
+    got = dist.run_corpus(frames_list, chunk=16)
+    for (p_a, pr_a), (p_b, pr_b) in zip(want, got):
+        np.testing.assert_array_equal(p_a, p_b)
+        np.testing.assert_allclose(pr_a, pr_b, atol=2e-5, rtol=1e-4)
+
+
 def test_backbone_chunked_matches_unchunked(tmp_path):
     """eval.backbone_chunk scans the trunk over frame chunks (bounded
     activation HBM); outputs must equal the all-at-once pass for run_video

@@ -416,10 +416,22 @@ class VideoInference:
     def corpus_features(self, chunks, chunk: int) -> Tuple[jax.Array, jax.Array]:
         """Run both trunks over an iterable of (chunk, H, W, 3) frame blocks
         (host or device; the last block must also be full size — pad it) and
-        return (extractor, tmr) per-frame features, concatenated on device."""
+        return (extractor, tmr) per-frame features, concatenated on device.
+
+        Under a mesh, each block's frame dim shards over the data axis
+        (sequence parallelism for the trunk — the chunk must divide by the
+        axis size); the per-frame features gather for the head stage."""
         fn = self._build_trunk_chunk_fn(chunk)
+        frame_sh = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            if chunk % self.mesh.shape.get("data", 1) == 0:
+                frame_sh = NamedSharding(self.mesh, P("data"))
         fe_parts, ft_parts = [], []
         for block in chunks:
+            if frame_sh is not None and not isinstance(block, jax.Array):
+                block = jax.device_put(np.asarray(block), frame_sh)
             fe, ft = fn(self.variables, self.extractor_variables, block)
             fe_parts.append(fe)
             ft_parts.append(ft)
