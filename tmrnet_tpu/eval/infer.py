@@ -389,15 +389,16 @@ class VideoInference:
         self._compiled[key] = trunk_chunk
         return trunk_chunk
 
-    def _build_head_feats_fn(self, padded: int):
+    def _build_head_feats_fn(self, padded: int, batch: int = 1):
         """Head-only program (no convs -> cheap compile): per-frame features
-        of ONE video -> sliding LSTM windows, bank, memory head, probs."""
-        key = ("head_feats", padded)
+        of `batch` videos -> sliding LSTM windows, bank, memory head, probs.
+        Vmapped over the video dim so same-bucket videos share one launch
+        with the LSTM/head batched."""
+        key = ("head_feats", padded, batch)
         if key in self._compiled:
             return self._compiled[key]
 
-        @jax.jit
-        def head(variables, extractor_variables, fe, ft):
+        def one(variables, extractor_variables, fe, ft):
             wb = self._window_features(fe)
             bank = self.lstm.apply(
                 {"params": extractor_variables["params"]["encoder"]["lstm"]},
@@ -410,6 +411,7 @@ class VideoInference:
             probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
             return jnp.argmax(probs, axis=-1), probs
 
+        head = jax.jit(jax.vmap(one, in_axes=(None, None, 0, 0)))
         self._compiled[key] = head
         return head
 
@@ -445,24 +447,41 @@ class VideoInference:
         guard = jnp.zeros((max_bucket, fe.shape[-1]), fe.dtype)
         fe = jnp.concatenate([fe, guard])
         ft = jnp.concatenate([ft, guard])
-        raw, s = [], 0
-        for n in ns:  # dispatch every head program before fetching any:
-            k = max(0, n - self.seq + 1)  # fetches overlap later dispatches
-            if k == 0:
-                raw.append((0, None, None))
-                s += n
-                continue
-            b = max(self.bucket_frames(n), self.seq)
-            head = self._build_head_feats_fn(b)
-            fe_v = jax.lax.dynamic_slice_in_dim(fe, s, b, 0)
-            ft_v = jax.lax.dynamic_slice_in_dim(ft, s, b, 0)
-            raw.append((k,) + head(self.variables, self.extractor_variables,
-                                   fe_v, ft_v))
+        # group same-bucket videos: one vmapped head launch per group of up
+        # to 8, LSTM/head batched over videos, and no fetch until every
+        # launch is dispatched (fetches overlap later dispatches)
+        starts, groups = [], {}
+        s = 0
+        for i, n in enumerate(ns):
+            starts.append(s)
             s += n
+            if n - self.seq + 1 > 0:
+                groups.setdefault(max(self.bucket_frames(n), self.seq),
+                                  []).append(i)
+        raw = [None] * len(ns)
+        for b, vids in sorted(groups.items()):
+            for c in range(0, len(vids), 8):
+                chunk_vids = vids[c:c + 8]
+                fe_b = jnp.stack([jax.lax.dynamic_slice_in_dim(
+                    fe, starts[i], b, 0) for i in chunk_vids])
+                ft_b = jnp.stack([jax.lax.dynamic_slice_in_dim(
+                    ft, starts[i], b, 0) for i in chunk_vids])
+                head = self._build_head_feats_fn(b, len(chunk_vids))
+                preds, probs = head(self.variables,
+                                    self.extractor_variables, fe_b, ft_b)
+                for j, i in enumerate(chunk_vids):
+                    raw[i] = (preds[j], probs[j])
         empty = (np.zeros(0, np.int64),
                  np.zeros((0, self.cfg.model.num_classes), np.float32))
-        return [(np.asarray(p)[:k], np.asarray(pr)[:k]) if k else empty
-                for k, p, pr in raw]
+        out = []
+        for i, n in enumerate(ns):
+            k = max(0, n - self.seq + 1)
+            if k == 0 or raw[i] is None:
+                out.append(empty)
+            else:
+                out.append((np.asarray(raw[i][0])[:k],
+                            np.asarray(raw[i][1])[:k]))
+        return out
 
     def run_corpus(self, videos, lengths=None, chunk: int = 2048) -> list:
         """Whole-test-set inference with ZERO per-video backbone padding.
