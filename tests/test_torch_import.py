@@ -209,3 +209,44 @@ def test_export_import_roundtrip():
     for path, leaf in sa:
         np.testing.assert_allclose(np.asarray(leaf), np.asarray(sb[path]),
                                    atol=1e-6, err_msg=str(path))
+
+
+def test_resnest_export_import_roundtrip():
+    """ResNeSt variables -> reference (resnest-pkg) state_dict -> back:
+    every param and stat leaf survives, and convert_reference_checkpoint
+    dispatches the trunk family from the deep-stem key names (the CLI path
+    for the reference's best-accuracy ResNeSt checkpoints)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tmrnet_tpu.config import ModelConfig
+    from tmrnet_tpu.models.tmrnet import build_model
+    from tmrnet_tpu.models.torch_import import (
+        convert_reference_checkpoint,
+        export_reference_checkpoint,
+    )
+
+    cfg = ModelConfig(backbone="resnest50", stage_sizes=(1, 1), width=8,
+                      hidden_dim=32, num_classes=7, head="tmr",
+                      lfb_window=6, compute_dtype="float32")
+    model = build_model(cfg)
+    variables = model.init(jax.random.PRNGKey(4),
+                           jnp.ones((1, 4, 32, 32, 3)),
+                           jnp.ones((1, 6, 32)))
+    sd = export_reference_checkpoint(variables, head="tmr",
+                                     stage_sizes=(1, 1))
+    assert "share.conv1.0.weight" in sd          # deep stem, torch naming
+    assert "share.layer1.0.conv2.fc1.weight" in sd
+    assert sd["share.layer1.0.conv2.fc1.weight"].ndim == 4  # 1x1 conv
+
+    back = convert_reference_checkpoint(sd, head="tmr", stage_sizes=(1, 1))
+    flat_a = jax.tree_util.tree_leaves_with_path(variables["params"])
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(back["params"]))
+    for path, leaf in flat_a:
+        np.testing.assert_allclose(np.asarray(leaf), np.asarray(flat_b[path]),
+                                   atol=1e-6, err_msg=str(path))
+    sa = jax.tree_util.tree_leaves_with_path(variables["batch_stats"])
+    sb = dict(jax.tree_util.tree_leaves_with_path(back["batch_stats"]))
+    for path, leaf in sa:
+        np.testing.assert_allclose(np.asarray(leaf), np.asarray(sb[path]),
+                                   atol=1e-6, err_msg=str(path))

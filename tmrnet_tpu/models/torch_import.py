@@ -153,9 +153,14 @@ def convert_reference_checkpoint(
     The reference loads stage-1 weights into stage-2 models with strict=False
     (`train_non-local_mutiConv_resnet.py:707,774`); the analogue here is
     converting whatever subset of keys exists and merging over a fresh init
-    (see merge_variables).
+    (see merge_variables). The trunk family dispatches on the key names:
+    a deep stem (`share.conv1.0.weight`) means the resnest-package ResNeSt
+    (`train_non-local_mutiConv_resnest.py:24,207-210`).
     """
-    trunk_params, trunk_stats = convert_resnet_trunk(sd, stage_sizes)
+    if "share.conv1.0.weight" in sd:
+        trunk_params, trunk_stats = convert_resnest_trunk(sd, stage_sizes)
+    else:
+        trunk_params, trunk_stats = convert_resnet_trunk(sd, stage_sizes)
     params: Tree = {"backbone": trunk_params,
                     "encoder": {"lstm": lstm_params(sd, "lstm")}}
     stats: Tree = {"backbone": trunk_stats}
@@ -262,21 +267,54 @@ def export_reference_checkpoint(variables: Mapping[str, Any], head: str,
         if "bias" in p:
             sd[f"{name}.bias"] = _np(p["bias"])
 
+    def put_1x1(name, p):
+        # Dense (in, out) -> torch 1x1 conv (out, in, 1, 1)
+        sd[f"{name}.weight"] = _np(p["kernel"]).T[..., None, None]
+        sd[f"{name}.bias"] = _np(p["bias"])
+
     trunk = params["backbone"]
     tstats = stats.get("backbone", {})
-    put_conv("share.conv1", trunk["conv1"])
-    put_bn("share.bn1", trunk["bn1"], tstats["bn1"])
-    for l, n_blocks in enumerate(stage_sizes, start=1):
-        for i in range(n_blocks):
-            f = f"layer{l}_{i}"
-            t = f"share.layer{l}.{i}"
-            for c in (1, 2, 3):
-                put_conv(f"{t}.conv{c}", trunk[f][f"conv{c}"])
-                put_bn(f"{t}.bn{c}", trunk[f][f"bn{c}"], tstats[f][f"bn{c}"])
-            if "downsample_conv" in trunk[f]:
-                put_conv(f"{t}.downsample.0", trunk[f]["downsample_conv"])
-                put_bn(f"{t}.downsample.1", trunk[f]["downsample_bn"],
-                       tstats[f]["downsample_bn"])
+    if "stem_conv1" in trunk:
+        # ResNeSt (resnest-pkg naming; inverse of convert_resnest_trunk)
+        put_conv("share.conv1.0", trunk["stem_conv1"])
+        put_bn("share.conv1.1", trunk["stem_bn1"], tstats["stem_bn1"])
+        put_conv("share.conv1.3", trunk["stem_conv2"])
+        put_bn("share.conv1.4", trunk["stem_bn2"], tstats["stem_bn2"])
+        put_conv("share.conv1.6", trunk["stem_conv3"])
+        put_bn("share.bn1", trunk["stem_bn3"], tstats["stem_bn3"])
+        for l, n_blocks in enumerate(stage_sizes, start=1):
+            for i in range(n_blocks):
+                b, bs = trunk[f"layer{l}_{i}"], tstats[f"layer{l}_{i}"]
+                t = f"share.layer{l}.{i}"
+                put_conv(f"{t}.conv1", b["conv1"])
+                put_bn(f"{t}.bn1", b["bn1"], bs["bn1"])
+                sp, ss = b["splat"], bs["splat"]
+                put_conv(f"{t}.conv2.conv", sp["conv"])
+                put_bn(f"{t}.conv2.bn0", sp["bn0"], ss["bn0"])
+                put_1x1(f"{t}.conv2.fc1", sp["fc1"])
+                put_bn(f"{t}.conv2.bn1", sp["bn1"], ss["bn1"])
+                put_1x1(f"{t}.conv2.fc2", sp["fc2"])
+                put_conv(f"{t}.conv3", b["conv3"])
+                put_bn(f"{t}.bn3", b["bn3"], bs["bn3"])
+                if "downsample_conv" in b:
+                    put_conv(f"{t}.downsample.1", b["downsample_conv"])
+                    put_bn(f"{t}.downsample.2", b["downsample_bn"],
+                           bs["downsample_bn"])
+    else:
+        put_conv("share.conv1", trunk["conv1"])
+        put_bn("share.bn1", trunk["bn1"], tstats["bn1"])
+        for l, n_blocks in enumerate(stage_sizes, start=1):
+            for i in range(n_blocks):
+                f = f"layer{l}_{i}"
+                t = f"share.layer{l}.{i}"
+                for c in (1, 2, 3):
+                    put_conv(f"{t}.conv{c}", trunk[f][f"conv{c}"])
+                    put_bn(f"{t}.bn{c}", trunk[f][f"bn{c}"],
+                           tstats[f][f"bn{c}"])
+                if "downsample_conv" in trunk[f]:
+                    put_conv(f"{t}.downsample.0", trunk[f]["downsample_conv"])
+                    put_bn(f"{t}.downsample.1", trunk[f]["downsample_bn"],
+                           tstats[f]["downsample_bn"])
 
     lstm = params["encoder"]["lstm"]
     sd["lstm.weight_ih_l0"] = _np(lstm["weight_ih"])
