@@ -157,55 +157,59 @@ def serve_loop(engine, num_slots: int, in_f: IO[str], out_f: IO[str],
         if state_dir and ticks % checkpoint_every == 0:
             _save_state(state_dir, state, slot_of, frame_idx, ticks)
 
-    for line in in_f:
-        line = line.strip()
-        if not line:
-            continue
-        try:
-            obj = json.loads(line)
-        except json.JSONDecodeError as e:
-            emit({"error": f"bad json: {e}"})
-            continue
-        if obj.get("step"):
-            flush()
-            continue
-        sid = obj.get("id")
-        if sid is None:
-            emit({"error": "missing id"})
-            continue
-        if obj.get("end"):
-            slot = slot_of.pop(sid, None)
-            if slot is None:
-                emit({"id": sid, "error": "unknown stream"})
+    try:
+        for line in in_f:
+            line = line.strip()
+            if not line:
                 continue
-            frame_idx.pop(sid, None)
-            tick.pop(slot, None)
-            free.append(slot)
-            continue
-        if "image" not in obj:
-            emit({"id": sid, "error": "missing image"})
-            continue
-        if sid not in slot_of:
-            if not free:
-                emit({"id": sid, "error": "no free slot"})
+            try:
+                obj = json.loads(line)
+            except json.JSONDecodeError as e:
+                emit({"error": f"bad json: {e}"})
                 continue
-            slot = free.pop()
-            slot_of[sid] = slot
-            frame_idx[sid] = 0
-            mask = np.zeros((num_slots,), bool)
-            mask[slot] = True
-            state = engine.reset_streams(state, mask)  # fresh stream
-        slot = slot_of[sid]
-        if slot in tick:
-            emit({"id": sid, "error": "multiple frames in one tick"})
-            continue
-        try:
-            tick[slot] = (sid, load_frame_fn(obj["image"]))
-        except Exception as e:  # decode failure: skip frame, keep stream
-            emit({"id": sid, "error": f"decode failed: {e}"})
-    flush()  # trailing frames without a final step line
-    if state_dir:
-        _save_state(state_dir, state, slot_of, frame_idx, ticks)
+            if obj.get("step"):
+                flush()
+                continue
+            sid = obj.get("id")
+            if sid is None:
+                emit({"error": "missing id"})
+                continue
+            if obj.get("end"):
+                slot = slot_of.pop(sid, None)
+                if slot is None:
+                    emit({"id": sid, "error": "unknown stream"})
+                    continue
+                frame_idx.pop(sid, None)
+                tick.pop(slot, None)
+                free.append(slot)
+                continue
+            if "image" not in obj:
+                emit({"id": sid, "error": "missing image"})
+                continue
+            if sid not in slot_of:
+                if not free:
+                    emit({"id": sid, "error": "no free slot"})
+                    continue
+                slot = free.pop()
+                slot_of[sid] = slot
+                frame_idx[sid] = 0
+                mask = np.zeros((num_slots,), bool)
+                mask[slot] = True
+                state = engine.reset_streams(state, mask)  # fresh stream
+            slot = slot_of[sid]
+            if slot in tick:
+                emit({"id": sid, "error": "multiple frames in one tick"})
+                continue
+            try:
+                tick[slot] = (sid, load_frame_fn(obj["image"]))
+            except Exception as e:  # decode failure: skip frame, keep stream
+                emit({"id": sid, "error": f"decode failed: {e}"})
+        flush()  # trailing frames without a final step line
+    finally:
+        # checkpoint on EVERY exit path — EOF, SIGINT, a crashed tick —
+        # so the restarted daemon resumes from the last completed tick
+        if state_dir:
+            _save_state(state_dir, state, slot_of, frame_idx, ticks)
     summary = {"ticks": ticks, "rows": emitted,
                "live_streams": len(slot_of), "slots": num_slots,
                "resumed_at_tick": int(meta["ticks"]) if restored else 0}
