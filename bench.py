@@ -30,8 +30,9 @@ import numpy as np
 BASELINE_FPS = 5000.0
 
 
-def bench_video(args):
-    """End-to-end video inference (LFB build fused) on synthetic frames."""
+def _make_video_engine(args, device_normalize: bool = False):
+    """Shared cfg/model/zero-weights/extractor setup for the video-protocol
+    benches (bench_video, bench_cholec80)."""
     import jax
     import jax.numpy as jnp
 
@@ -43,10 +44,10 @@ def bench_video(args):
         ModelConfig,
     )
     from tmrnet_tpu.eval.infer import VideoInference
+    from tmrnet_tpu.models.tmrnet import build_model
 
-    n = args.video_frames
     cfg = ExperimentConfig(
-        data=DataConfig(sequence_length=10),
+        data=DataConfig(sequence_length=10, device_normalize=device_normalize),
         model=ModelConfig(backbone="resnet50", head="tmr", num_classes=7,
                           hidden_dim=512, lfb_window=args.window,
                           compute_dtype="bfloat16",
@@ -54,8 +55,6 @@ def bench_video(args):
         memory=MemoryConfig(window=args.window),
         eval=EvalConfig(backbone_chunk=args.backbone_chunk),
     )
-    from tmrnet_tpu.models.tmrnet import build_model
-
     model = build_model(cfg.model)
     clips = jnp.zeros((1, 10, 224, 224, 3), jnp.bfloat16)
     mem = jnp.zeros((1, args.window, 512), jnp.bfloat16)
@@ -65,8 +64,18 @@ def bench_video(args):
         lambda s: jnp.zeros(s.shape, s.dtype), variables)
     extractor = {"params": {"backbone": variables["params"]["backbone"],
                             "encoder": variables["params"]["encoder"]},
-                 "batch_stats": {"backbone": variables["batch_stats"]["backbone"]}}
+                 "batch_stats": {"backbone":
+                                 variables["batch_stats"]["backbone"]}}
+    return cfg, variables, extractor, VideoInference
 
+
+def bench_video(args):
+    """End-to-end video inference (LFB build fused) on synthetic frames."""
+    import jax
+    import jax.numpy as jnp
+
+    n = args.video_frames
+    cfg, variables, extractor, VideoInference = _make_video_engine(args)
     engine = VideoInference(cfg, variables, extractor, pad_frames=n)
     # Stage frames on device once: this benchmark isolates the compute path
     # (in production the host->HBM feed is double-buffered behind compute;
@@ -120,36 +129,8 @@ def bench_cholec80(args):
     import jax
     import jax.numpy as jnp
 
-    from tmrnet_tpu.config import (
-        DataConfig,
-        EvalConfig,
-        ExperimentConfig,
-        MemoryConfig,
-        ModelConfig,
-    )
-    from tmrnet_tpu.eval.infer import VideoInference
-    from tmrnet_tpu.models.tmrnet import build_model
-
-    cfg = ExperimentConfig(
-        data=DataConfig(sequence_length=10, device_normalize=True),
-        model=ModelConfig(backbone="resnet50", head="tmr", num_classes=7,
-                          hidden_dim=512, lfb_window=args.window,
-                          compute_dtype="bfloat16",
-                          use_pallas=args.use_pallas),
-        memory=MemoryConfig(window=args.window),
-        eval=EvalConfig(backbone_chunk=args.backbone_chunk),
-    )
-    model = build_model(cfg.model)
-    clips = jnp.zeros((1, 10, 224, 224, 3), jnp.bfloat16)
-    mem = jnp.zeros((1, args.window, 512), jnp.bfloat16)
-    variables = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0),
-                                                  clips, mem))
-    variables = jax.tree_util.tree_map(
-        lambda s: jnp.zeros(s.shape, s.dtype), variables)
-    extractor = {"params": {"backbone": variables["params"]["backbone"],
-                            "encoder": variables["params"]["encoder"]},
-                 "batch_stats": {"backbone":
-                                 variables["batch_stats"]["backbone"]}}
+    cfg, variables, extractor, VideoInference = _make_video_engine(
+        args, device_normalize=True)
     engine = VideoInference(cfg, variables, extractor)
 
     rng = np.random.RandomState(0)
@@ -182,7 +163,9 @@ def bench_cholec80(args):
     if args.corpus:
         # corpus engine: flat frame stream in fixed trunk chunks (zero
         # per-video backbone padding), head per video on feature slices
-        chunk = args.corpus_chunk
+        # the staged buffer holds max_bucket frames; a larger chunk would
+        # silently run short blocks and inflate the frames/sec accounting
+        chunk = min(args.corpus_chunk, max_bucket)
         total = sum(lengths)
         staged = mega[:chunk]
         n_launches = -(-total // chunk)
@@ -190,8 +173,8 @@ def bench_cholec80(args):
         def corpus_pass():
             fe, ft = engine.corpus_features(
                 (staged for _ in range(n_launches)), chunk)
-            outs = engine.corpus_heads(fe, ft, lengths)
-            np.asarray(outs[-1][1][0])
+            # corpus_heads fetches every result to host numpy (the sync)
+            engine.corpus_heads(fe, ft, lengths)
             return total
 
         corpus_pass()  # compile: one trunk-chunk + per-bucket head programs
@@ -215,11 +198,9 @@ def bench_cholec80(args):
         total_frames = 0
         for bucket, ns, dummies in chunks:
             fl = [mega[:bucket] for _ in range(len(ns) + dummies)]
-            out = engine.run_videos(fl)
+            # run_videos fetches its results to host numpy (the sync)
+            engine.run_videos(fl)
             total_frames += sum(ns)
-        # fetch the last result: executions are FIFO on the chip, so this
-        # drains the queue (block_until_ready is not trusted on axon)
-        np.asarray(out[-1][0])
         return total_frames
 
     run_pass()  # compile every (batch, bucket) program

@@ -202,3 +202,42 @@ def test_serve_loop_dropped_tick_and_errors():
         pred, valid = ref_a[r["frame"]]
         assert r["valid"] == valid and r["pred"] == (pred if valid else None)
         assert len(r["probs"]) == cfg.model.num_classes
+
+
+def test_serve_loop_numeric_ids_and_stale_checkpoint(tmp_path):
+    """Numeric JSON ids coerce to strings (so they survive the JSON-keyed
+    state checkpoint), and a checkpoint from a different model config is
+    discarded instead of crash-looping the recovery path."""
+    cfg = _cfg()
+    variables, extractor = _variables(cfg, key=3)
+    engine = StreamingInference(cfg, variables, extractor)
+
+    n = 5
+    va = np.random.RandomState(7).rand(n, HW, HW, 3).astype(np.float32)
+    frames = {f"a{t}": va[t] for t in range(n)}
+    lines = []
+    for t in range(n):
+        lines.append({"id": 7, "image": f"a{t}"})   # numeric id
+        lines.append({"step": True})
+
+    sdir = str(tmp_path / "sd")
+    out = io.StringIO()
+    serve_loop(engine, 2, _protocol(lines), out, lambda k: frames[k],
+               state_dir=sdir, checkpoint_every=1)
+    rows = [json.loads(l) for l in out.getvalue().splitlines()]
+    assert all(r["id"] == "7" for r in rows)
+    ref = _solo(engine, va)
+    assert [(r["pred"], r["valid"]) for r in rows] == \
+        [(p if v else None, v) for p, v in ref]
+
+    # a different sequence_length changes the ring shapes and must
+    # invalidate the checkpoint -> fresh start, not a jit shape crash
+    import dataclasses
+
+    cfg2 = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, sequence_length=6))
+    out2 = io.StringIO()
+    summary = serve_loop(StreamingInference(cfg2, variables, extractor), 2,
+                         _protocol(lines), out2, lambda k: frames[k],
+                         state_dir=sdir)
+    assert summary["resumed_at_tick"] == 0  # stale checkpoint discarded

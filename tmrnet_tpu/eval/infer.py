@@ -506,8 +506,14 @@ class VideoInference:
 
         def blocks():
             buf, have = [], 0
-            for v in videos:
+            for i, v in enumerate(videos):
                 arr = np.asarray(v() if callable(v) else v)
+                if arr.shape[0] != ns[i]:
+                    # a silent mismatch would shift every later video's
+                    # feature slice — fail loudly instead
+                    raise ValueError(
+                        f"corpus video {i}: loader returned {arr.shape[0]} "
+                        f"frames, declared {ns[i]}")
                 while arr.shape[0]:
                     take = min(chunk - have, arr.shape[0])
                     buf.append(arr[:take])

@@ -32,32 +32,35 @@ import numpy as np
 def _save_state(state_dir: str, state, slot_of: dict,
                 frame_idx: dict, ticks: int) -> None:
     """Atomic serving-state checkpoint: rings/counts (bf16 -> f32 losslessly)
-    plus the slot map, so a restarted daemon resumes every live stream
-    mid-video instead of losing their clip rings and banks."""
+    AND the slot map in one file replaced with one os.replace, so a crash
+    can never leave the arrays and the metadata from different ticks."""
     os.makedirs(state_dir, exist_ok=True)
     tmp = os.path.join(state_dir, "state.tmp.npz")
+    meta = {"slot_of": slot_of, "frame_idx": frame_idx, "ticks": ticks}
     np.savez(tmp,
              ext_ring=np.asarray(state.ext_ring, np.float32),
              tmr_ring=np.asarray(state.tmr_ring, np.float32),
              bank_ring=np.asarray(state.bank_ring, np.float32),
-             count=np.asarray(state.count))
+             count=np.asarray(state.count),
+             meta=np.asarray(json.dumps(meta)))
     os.replace(tmp, os.path.join(state_dir, "state.npz"))
-    meta = {"slot_of": slot_of, "frame_idx": frame_idx, "ticks": ticks}
-    mtmp = os.path.join(state_dir, "meta.tmp.json")
-    with open(mtmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(mtmp, os.path.join(state_dir, "meta.json"))
 
 
 def _load_state(state_dir: str, engine, num_slots: int):
-    """Restore a checkpoint written by _save_state, or None if absent or
-    shaped for a different slot count."""
+    """Restore a checkpoint written by _save_state, or None (fresh start)
+    if absent or shaped for a different slot count / model config — a stale
+    checkpoint must never crash-loop the recovery path."""
     spath = os.path.join(state_dir, "state.npz")
-    mpath = os.path.join(state_dir, "meta.json")
-    if not (os.path.exists(spath) and os.path.exists(mpath)):
+    if not os.path.exists(spath):
         return None
     data = np.load(spath)
-    if data["count"].shape[0] != num_slots:
+    want = {
+        "ext_ring": (num_slots, engine.seq, engine.feature_dim),
+        "tmr_ring": (num_slots, engine.seq, engine.feature_dim),
+        "bank_ring": (num_slots, engine.window, engine.hidden),
+        "count": (num_slots,),
+    }
+    if any(data[k].shape != shape for k, shape in want.items()):
         return None
     from tmrnet_tpu.eval.stream import StreamState
     import jax.numpy as jnp
@@ -71,8 +74,7 @@ def _load_state(state_dir: str, engine, num_slots: int):
         import jax
 
         state = jax.device_put(state, engine._bsh)
-    with open(mpath) as f:
-        meta = json.load(f)
+    meta = json.loads(str(data["meta"]))
     return state, meta
 
 
@@ -96,9 +98,10 @@ def serve_loop(engine, num_slots: int, in_f: IO[str], out_f: IO[str],
     data.device_normalize, float otherwise) or a second compile happens.
 
     state_dir: when given, the serving state (rings, counts, slot map)
-    checkpoints atomically every `checkpoint_every` ticks and at EOF, and a
-    restarted daemon restores it — live streams resume mid-video with their
-    clip rings and banks intact instead of starting over.
+    checkpoints atomically every `checkpoint_every` ticks (<=0: only at
+    exit) and on every exit path, and a restarted daemon restores it —
+    live streams resume mid-video with their clip rings and banks intact
+    instead of starting over.
     """
     restored = _load_state(state_dir, engine, num_slots) if state_dir else None
     if restored is not None:
@@ -154,7 +157,8 @@ def serve_loop(engine, num_slots: int, in_f: IO[str], out_f: IO[str],
             frame_idx[sid] += 1
         tick.clear()
         out_f.flush()
-        if state_dir and ticks % checkpoint_every == 0:
+        if state_dir and checkpoint_every > 0 \
+                and ticks % checkpoint_every == 0:
             _save_state(state_dir, state, slot_of, frame_idx, ticks)
 
     try:
@@ -174,6 +178,9 @@ def serve_loop(engine, num_slots: int, in_f: IO[str], out_f: IO[str],
             if sid is None:
                 emit({"error": "missing id"})
                 continue
+            # ids are strings everywhere (JSON keys stringify in the state
+            # checkpoint — a numeric id would stop matching after a resume)
+            sid = str(sid)
             if obj.get("end"):
                 slot = slot_of.pop(sid, None)
                 if slot is None:
