@@ -304,6 +304,46 @@ def test_cli_stream_slot_multiplexing(tmp_path, tiny_cfg_json, capsys):
     assert mux_summary["steps"] == 3 * ref_summary["steps"]
 
 
+def test_cli_serve_daemon(tmp_path, tiny_cfg_json, capsys):
+    """`serve` end to end through the CLI: a protocol file with join, tick,
+    end, and recycle events produces prediction rows on stdout and a summary
+    (with latency stats) on stderr; state checkpoints land in --state-dir."""
+    import json as _json
+
+    from pathlib import Path
+
+    frames_dir, _ = _write_frames_tree(tmp_path, n_videos=2, seconds=8)
+    vids = sorted(p for p in Path(frames_dir).iterdir() if p.is_dir())
+    v0 = sorted(vids[0].glob("*"))
+    v1 = sorted(vids[1].glob("*"))
+
+    proto = tmp_path / "events.jsonl"
+    with open(proto, "w") as f:
+        for t in range(6):
+            f.write(_json.dumps({"id": "or-1", "image": str(v0[t])}) + "\n")
+            if t < 4:
+                f.write(_json.dumps({"id": "or-2",
+                                     "image": str(v1[t])}) + "\n")
+            if t == 4:
+                f.write(_json.dumps({"id": "or-2", "end": True}) + "\n")
+                f.write(_json.dumps({"id": "or-3",
+                                     "image": str(v1[0])}) + "\n")
+            f.write(_json.dumps({"step": True}) + "\n")
+
+    sdir = tmp_path / "sstate"
+    assert main(["serve", "--config", tiny_cfg_json, "--input", str(proto),
+                 "--slots", "2", "--probs", "--state-dir", str(sdir),
+                 "--set", "mesh.data_parallel=1"]) == 0
+    cap = capsys.readouterr()
+    rows = [_json.loads(l) for l in cap.out.splitlines()]
+    ids = sorted({r["id"] for r in rows if "error" not in r})
+    assert ids == ["or-1", "or-2", "or-3"]
+    assert any(r["valid"] and len(r["probs"]) == 7 for r in rows)
+    summary = _json.loads(cap.err.strip().splitlines()[-1])["summary"]
+    assert summary["ticks"] == 6 and "latency_ms" in summary
+    assert (sdir / "state.npz").exists()
+
+
 def test_cli_train_bank_explicit_mesh(tmp_path, tiny_cfg_json, capsys):
     """CLI builds a dp4 x tp2 mesh from --set overrides and trains through it
     (VERDICT r1 item 2: multi-device execution reachable from the CLI)."""
