@@ -241,3 +241,41 @@ def test_serve_loop_numeric_ids_and_stale_checkpoint(tmp_path):
                          _protocol(lines), out2, lambda k: frames[k],
                          state_dir=sdir)
     assert summary["resumed_at_tick"] == 0  # stale checkpoint discarded
+
+
+def test_serve_loop_checkpoints_on_abrupt_exit(tmp_path):
+    """SystemExit mid-protocol (what the CLI's SIGTERM handler raises) must
+    still write the state checkpoint via the finally path, and a restart
+    resumes from the last completed tick."""
+    import json as _json
+
+    import pytest
+
+    cfg = _cfg()
+    variables, extractor = _variables(cfg, key=3)
+    engine = StreamingInference(cfg, variables, extractor)
+    va = np.random.RandomState(1).rand(3, HW, HW, 3).astype(np.float32)
+    frames = {f"a{t}": va[t] for t in range(3)}
+
+    def dying_input():
+        yield _json.dumps({"id": "a", "image": "a0"}) + "\n"
+        yield _json.dumps({"step": True}) + "\n"
+        raise SystemExit(0)
+
+    sdir = str(tmp_path / "sd")
+    out = io.StringIO()
+    with pytest.raises(SystemExit):
+        serve_loop(engine, 2, dying_input(), out, lambda k: frames[k],
+                   state_dir=sdir, checkpoint_every=0)
+    data = np.load(sdir + "/state.npz")
+    meta = json.loads(str(data["meta"]))
+    assert meta["ticks"] == 1 and meta["slot_of"] == {"a": 0}
+
+    out2 = io.StringIO()
+    summary = serve_loop(StreamingInference(cfg, variables, extractor), 2,
+                         _protocol([{"id": "a", "image": "a1"},
+                                    {"step": True}]), out2,
+                         lambda k: frames[k], state_dir=sdir)
+    assert summary["resumed_at_tick"] == 1
+    row = json.loads(out2.getvalue().splitlines()[0])
+    assert row["frame"] == 1  # stream clock resumed, not restarted

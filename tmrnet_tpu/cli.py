@@ -676,6 +676,12 @@ def cmd_serve(args) -> int:
         num_slots = -(-num_slots // dp) * dp
     engine = StreamingInference(cfg, variables, extractor, mesh=mesh)
 
+    # SIGTERM (the standard daemon shutdown) must unwind through
+    # serve_loop's finally so the state checkpoint is written
+    import signal
+
+    signal.signal(signal.SIGTERM, lambda *_: sys.exit(0))
+
     in_f = sys.stdin if args.input == "-" else open(args.input)
     crop = cfg.data.crop_size
     try:
