@@ -375,14 +375,17 @@ class VideoInference:
         if key in self._compiled:
             return self._compiled[key]
 
+        # oversize launches scan internally (auto-chunk policy) instead of
+        # blowing the ~4096-frame activation ceiling of a 16 GB v5e
+        inner = self._effective_chunk(1, chunk)
+
         @jax.jit
         def trunk_chunk(variables, extractor_variables, frames):
             def feats(v):
                 bvars = {"params": v["params"]["backbone"]}
                 if "batch_stats" in v and "backbone" in v["batch_stats"]:
                     bvars["batch_stats"] = v["batch_stats"]["backbone"]
-                return self.backbone.apply(bvars, self._prep_frames(frames),
-                                           train=False)
+                return self._backbone_all_frames(bvars, frames, inner)
 
             return feats(extractor_variables), feats(variables)
 
