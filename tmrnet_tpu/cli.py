@@ -436,6 +436,10 @@ def cmd_test(args) -> int:
     from tmrnet_tpu.train.loop import build_lfb
 
     cfg = load_config(args)
+    if args.engine == "corpus":  # first-class alias for the corpus engine
+        cfg = dataclasses.replace(
+            cfg, eval=dataclasses.replace(cfg.eval, corpus=True))
+        args.engine = "video"
     m = _load_manifest(args.manifest)
     ds = _dataset(cfg, m, False, device_normalize=True)
     _, variables = _restore_variables(cfg, cfg.model.head, args.ckpt,
@@ -896,9 +900,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--extractor-torch-ckpt")
     sp.add_argument("--lfb", help="test-set bank cache path")
     sp.add_argument("--load-lfb", action="store_true")
-    sp.add_argument("--engine", choices=["clip", "video"], default="clip",
+    sp.add_argument("--engine", choices=["clip", "video", "corpus"],
+                    default="clip",
                     help="'video' = full-video engine (backbone once per "
-                         "frame, LFB build fused)")
+                         "frame, LFB build fused); 'corpus' = video engine "
+                         "with the whole-set flat-stream trunk "
+                         "(eval.corpus=true; fastest for many videos)")
     sp.add_argument("--out", default="./predictions.npz")
     sp.set_defaults(fn=cmd_test)
 
