@@ -97,3 +97,27 @@ def test_gather_is_jittable_with_static_window():
     out = fn(feats, jnp.asarray([50, 60], jnp.int32),
              jnp.asarray([47, 47], jnp.int32))
     assert out.shape == (2, 30, 4)
+
+
+def test_video_engine_bank_matches_clip_build(tmp_path):
+    """build_lfb(engine='video') — backbone once per frame via the video
+    engine — must produce the same bank as the clip-wise build."""
+    import numpy as np
+
+    from tests.test_inference import _cfg, _init_models, _synthetic
+    from tmrnet_tpu.data.pipeline import ClipDataset, array_frame_loader
+    from tmrnet_tpu.train.loop import build_lfb
+
+    cfg = _cfg(tmp_path)
+    manifest, store = _synthetic(n_videos=3, frames=14)
+    ds = ClipDataset(manifest, cfg.data.sequence_length,
+                     frame_loader=array_frame_loader(store))
+    _, extractor = _init_models(cfg, key=21)
+
+    a = build_lfb(cfg, extractor, ds, cache_path=None)
+    b = build_lfb(cfg, extractor, ds, cache_path=None, engine="video")
+    assert a.num_rows == b.num_rows
+    np.testing.assert_allclose(np.asarray(a.features),
+                               np.asarray(b.features), atol=2e-5, rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(a.first_rows),
+                                  np.asarray(b.first_rows))

@@ -381,7 +381,11 @@ def cmd_build_lfb(args) -> int:
     _, variables = _restore_variables(cfg, head, args.ckpt, args.torch_ckpt,
                                       cfg.data.crop_size)
     extractor = _extractor_subset(variables)
-    bank = build_lfb(cfg, extractor, ds, cache_path=args.out, force=True)
+    engine = args.engine
+    if engine == "video" and args.videos:
+        raise SystemExit("build-lfb --engine video needs a frame manifest")
+    bank = build_lfb(cfg, extractor, ds, cache_path=args.out, force=True,
+                     engine=engine)
     print(f"bank: {bank.num_rows} rows x {bank.feature_dim} -> {args.out}")
     return 0
 
@@ -873,6 +877,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--annotations")
     sp.add_argument("--ckpt", help="stage-1 orbax checkpoint dir")
     sp.add_argument("--torch-ckpt", help="stage-1 reference .pth")
+    sp.add_argument("--engine", choices=["clip", "video"], default="clip",
+                    help="'video' builds the bank at one backbone pass per "
+                         "frame (seq_len x less compute, identical "
+                         "features; frame manifests, crop types 1/2)")
     sp.add_argument("--out", required=True)
     sp.set_defaults(fn=cmd_build_lfb)
 

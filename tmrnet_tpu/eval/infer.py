@@ -365,6 +365,41 @@ class VideoInference:
         self._compiled[key] = run_many
         return run_many
 
+    def _build_bank_fn(self, padded: int):
+        """Bank-features-only program: extractor backbone once per frame +
+        sliding LSTM windows (the LFB build at 1/seq_len of the clip-wise
+        backbone cost)."""
+        key = ("bank", padded)
+        if key in self._compiled:
+            return self._compiled[key]
+        chunk = self._effective_chunk(1, padded)
+
+        @jax.jit
+        def run(extractor_variables, frames):
+            return self._clip_embeddings(extractor_variables, frames,
+                                         "lfb", chunk)
+
+        self._compiled[key] = run
+        return run
+
+    def bank_features(self, frames: np.ndarray) -> jax.Array:
+        """One video's per-clip LFB features, (N-seq+1, hidden), computed
+        with one backbone pass per frame. Equals the clip-wise extractor
+        output (parity-tested)."""
+        n = int(frames.shape[0])
+        k = n - self.seq + 1
+        if k <= 0:
+            return jnp.zeros((0, self.hidden), self._cdt)
+        padded = max(self.bucket_frames(n), self.seq)
+        f = np.asarray(frames)
+        pad = padded - n
+        if pad:
+            f = np.concatenate([f, np.repeat(f[-1:], pad, axis=0)])
+        f = jnp.asarray(f) if f.dtype == np.uint8 else jnp.asarray(f,
+                                                                   self._cdt)
+        vals = self._build_bank_fn(padded)(self.extractor_variables, f)
+        return vals[:k]
+
     # ---- corpus engine: whole-test-set inference, no backbone padding ----
 
     def _build_trunk_chunk_fn(self, chunk: int):

@@ -306,12 +306,22 @@ def train_stage1(cfg: ExperimentConfig, train_ds: ClipDataset,
 
 def build_lfb(cfg: ExperimentConfig, extractor_variables,
               ds: ClipDataset, cache_path: Optional[str] = None,
-              force: bool = False) -> FeatureBank:
+              force: bool = False, engine: str = "clip") -> FeatureBank:
     """Run the frozen extractor over every clip (eval transforms) and fill the
-    HBM bank; load from the .npz cache when present (--load_LFB semantics)."""
+    HBM bank; load from the .npz cache when present (--load_LFB semantics).
+
+    engine='video': build at ONE backbone pass per frame (the video
+    engine's clip-overlap dedup — consecutive clips share seq_len-1
+    frames, so the clip-wise build recomputes the backbone seq_len times
+    per frame). Identical features (parity-tested); requires a
+    deterministic frame-wise transform (crop types 1/2) and a frame
+    manifest."""
     path = cache_path or cfg.memory.cache_path
     if path and os.path.exists(path) and cfg.memory.load_cached and not force:
         return load_bank(path)
+
+    if engine == "video":
+        return _build_lfb_video(cfg, extractor_variables, ds, path)
 
     model = build_model(dataclasses.replace(cfg.model, head="lfb"))
     cdt = jnp.dtype(cfg.model.compute_dtype)
@@ -335,6 +345,42 @@ def build_lfb(cfg: ExperimentConfig, extractor_variables,
         b = len(rows) - pad
         feats = update_bank(feats, jnp.asarray(rows[:b], jnp.int32),
                             values[:b])
+    bank = FeatureBank(features=feats, first_rows=bank.first_rows)
+    if path:
+        save_bank(path, bank)
+    return bank
+
+
+def _build_lfb_video(cfg: ExperimentConfig, extractor_variables, ds,
+                     path: Optional[str]) -> FeatureBank:
+    """Video-engine LFB build: backbone once per unique frame, sliding LSTM
+    windows -> one bank row per clip position (seq_len x less backbone work
+    than the clip-wise build at identical features)."""
+    from tmrnet_tpu.eval.infer import VideoInference
+
+    if not hasattr(ds, "manifest"):
+        raise ValueError("engine='video' needs a frame-manifest dataset")
+    tf = ds.transform
+    if tf is not None and getattr(tf, "crop_type", 1) not in (1, 2):
+        raise ValueError(
+            "engine='video' needs a deterministic frame-wise transform "
+            f"(crop types 1/2); got crop_type={tf.crop_type}")
+
+    eng = VideoInference(cfg, extractor_variables, extractor_variables)
+    lengths = ds.manifest.video_lengths
+    bank = FeatureBank.create(ds.seq_len, lengths, cfg.model.hidden_dim)
+    feats = bank.features
+    row = 0
+    for video in ds.manifest.videos:
+        frames = np.stack([ds.frame_loader(p) for p in video.frame_paths])
+        if tf is not None:
+            frames = tf(frames)
+        vals = eng.bank_features(frames)            # (clips, hidden), device
+        k = vals.shape[0]
+        if k:
+            feats = update_bank(
+                feats, jnp.arange(row, row + k, dtype=jnp.int32), vals)
+        row += k
     bank = FeatureBank(features=feats, first_rows=bank.first_rows)
     if path:
         save_bank(path, bank)
