@@ -220,6 +220,42 @@ def bench_cholec80(args):
     return 0
 
 
+def bench_lfb(args):
+    """LFB build throughput with the video engine (build-lfb --engine
+    video): extractor backbone once per frame + sliding LSTM windows ->
+    bank rows. The clip-wise build costs seq_len (10x) more backbone
+    passes for identical features."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg, variables, extractor, VideoInference = _make_video_engine(
+        args, device_normalize=True)
+    engine = VideoInference(cfg, variables, extractor)
+    n = args.video_frames
+    rng = np.random.RandomState(0)
+    host = np.frombuffer(rng.bytes(n * 224 * 224 * 3),
+                         np.uint8).reshape(n, 224, 224, 3)
+    frames = jax.device_put(host)
+    np.asarray(frames[0, 0])  # sync staging
+
+    np.asarray(engine.bank_features(frames))  # compile
+    iters = max(3, args.iters // 5)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = engine.bank_features(frames)
+    np.asarray(out)  # FIFO chip: fetching the last result drains the queue
+    dt = time.perf_counter() - t0
+    fps = iters * n / dt
+    print(json.dumps({
+        "metric": "lfb_build_frames_per_sec_per_chip",
+        "value": round(fps, 1),
+        "unit": f"frames/sec/chip (video-engine build, {n}-frame videos; "
+                f"clip-wise build runs seq_len x more backbone passes)",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+    return 0
+
+
 def bench_e2e(args):
     """Disk -> host decode/preprocess -> device -> logits, the full serving
     path (ClipInference over a real frames-on-disk dataset). Honest host
@@ -446,7 +482,7 @@ def main():
                     help="stream mode: parallel 1-fps video streams")
     ap.add_argument("--mode",
                     choices=["clip", "video", "e2e", "train", "stream",
-                             "cholec80"],
+                             "cholec80", "lfb"],
                     default="clip")
     ap.add_argument("--train-batch", type=int, default=16)
     ap.add_argument("--backbone", default="resnet50",
@@ -484,6 +520,8 @@ def main():
         return bench_video(args)
     if args.mode == "cholec80":
         return bench_cholec80(args)
+    if args.mode == "lfb":
+        return bench_lfb(args)
     if args.mode == "e2e":
         return bench_e2e(args)
     if args.mode == "train":

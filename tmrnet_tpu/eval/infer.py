@@ -391,12 +391,18 @@ class VideoInference:
         if k <= 0:
             return jnp.zeros((0, self.hidden), self._cdt)
         padded = max(self.bucket_frames(n), self.seq)
-        f = np.asarray(frames)
         pad = padded - n
-        if pad:
-            f = np.concatenate([f, np.repeat(f[-1:], pad, axis=0)])
-        f = jnp.asarray(f) if f.dtype == np.uint8 else jnp.asarray(f,
-                                                                   self._cdt)
+        if pad == 0 and isinstance(frames, jax.Array):
+            # device-resident frames pass straight through — np.asarray here
+            # would silently round-trip the whole video device->host->device
+            f = (frames if frames.dtype == jnp.uint8
+                 else frames.astype(self._cdt))
+        else:
+            f = np.asarray(frames)
+            if pad:
+                f = np.concatenate([f, np.repeat(f[-1:], pad, axis=0)])
+            f = (jnp.asarray(f) if f.dtype == np.uint8
+                 else jnp.asarray(f, self._cdt))
         vals = self._build_bank_fn(padded)(self.extractor_variables, f)
         return vals[:k]
 
