@@ -121,3 +121,24 @@ def test_video_engine_bank_matches_clip_build(tmp_path):
                                np.asarray(b.features), atol=2e-5, rtol=1e-4)
     np.testing.assert_array_equal(np.asarray(a.first_rows),
                                   np.asarray(b.first_rows))
+
+
+def test_video_engine_bank_rejects_random_transform(tmp_path):
+    """engine='video' must reject transforms without a deterministic
+    frame-wise guarantee (e.g. TrainTransform) instead of silently
+    diverging from the clip-wise bank."""
+    import pytest
+
+    from tests.test_inference import _cfg, _init_models, _synthetic
+    from tmrnet_tpu.data.pipeline import ClipDataset, array_frame_loader
+    from tmrnet_tpu.data.transforms import TrainTransform
+    from tmrnet_tpu.train.loop import build_lfb
+
+    cfg = _cfg(tmp_path)
+    manifest, store = _synthetic(n_videos=1, frames=8)
+    ds = ClipDataset(manifest, cfg.data.sequence_length,
+                     transform=TrainTransform(crop_size=24, resize=24),
+                     frame_loader=array_frame_loader(store))
+    _, extractor = _init_models(cfg, key=2)
+    with pytest.raises(ValueError, match="deterministic"):
+        build_lfb(cfg, extractor, ds, cache_path=None, engine="video")

@@ -279,3 +279,29 @@ def test_serve_loop_checkpoints_on_abrupt_exit(tmp_path):
     assert summary["resumed_at_tick"] == 1
     row = json.loads(out2.getvalue().splitlines()[0])
     assert row["frame"] == 1  # stream clock resumed, not restarted
+
+
+def test_serve_loop_deferred_stop_exits_at_tick_boundary(tmp_path):
+    """A stop requested while a tick is in flight (the CLI's deferred
+    SIGTERM) exits AFTER the tick completes: its rows are emitted and the
+    checkpoint reflects the full tick."""
+    import pytest
+
+    cfg = _cfg()
+    variables, extractor = _variables(cfg, key=3)
+    engine = StreamingInference(cfg, variables, extractor)
+    va = np.random.RandomState(6).rand(2, HW, HW, 3).astype(np.float32)
+    frames = {f"a{t}": va[t] for t in range(2)}
+
+    guard = {"busy": False, "stop": True}  # stop already requested
+    sdir = str(tmp_path / "sd")
+    out = io.StringIO()
+    lines = [{"id": "a", "image": "a0"}, {"step": True},
+             {"id": "a", "image": "a1"}, {"step": True}]
+    with pytest.raises(SystemExit):
+        serve_loop(engine, 2, _protocol(lines), out, lambda k: frames[k],
+                   state_dir=sdir, term_guard=guard)
+    rows = [json.loads(l) for l in out.getvalue().splitlines()]
+    assert len(rows) == 1 and rows[0]["frame"] == 0  # tick 1 completed
+    meta = json.loads(str(np.load(sdir + "/state.npz")["meta"]))
+    assert meta["ticks"] == 1 and meta["frame_idx"] == {"a": 1}

@@ -369,6 +369,9 @@ def cmd_build_lfb(args) -> int:
     from tmrnet_tpu.train.loop import build_lfb
 
     cfg = load_config(args)
+    if args.engine == "video" and args.videos:
+        # fail before the (slow) dataset probe and checkpoint restore
+        raise SystemExit("build-lfb --engine video needs a frame manifest")
     if args.videos:
         ds = _video_dataset(cfg, args.videos, args.annotations, False)
     elif args.manifest:
@@ -381,11 +384,8 @@ def cmd_build_lfb(args) -> int:
     _, variables = _restore_variables(cfg, head, args.ckpt, args.torch_ckpt,
                                       cfg.data.crop_size)
     extractor = _extractor_subset(variables)
-    engine = args.engine
-    if engine == "video" and args.videos:
-        raise SystemExit("build-lfb --engine video needs a frame manifest")
     bank = build_lfb(cfg, extractor, ds, cache_path=args.out, force=True,
-                     engine=engine)
+                     engine=args.engine)
     print(f"bank: {bank.num_rows} rows x {bank.feature_dim} -> {args.out}")
     return 0
 
@@ -685,10 +685,20 @@ def cmd_serve(args) -> int:
     engine = StreamingInference(cfg, variables, extractor, mesh=mesh)
 
     # SIGTERM (the standard daemon shutdown) must unwind through
-    # serve_loop's finally so the state checkpoint is written
+    # serve_loop's finally so the state checkpoint is written — but never
+    # mid-tick, where it would checkpoint half-updated bookkeeping; the
+    # guard defers the exit to the tick boundary
     import signal
 
-    signal.signal(signal.SIGTERM, lambda *_: sys.exit(0))
+    guard = {"busy": False, "stop": False}
+
+    def _on_term(*_):
+        if guard["busy"]:
+            guard["stop"] = True
+        else:
+            sys.exit(0)
+
+    signal.signal(signal.SIGTERM, _on_term)
 
     in_f = sys.stdin if args.input == "-" else open(args.input)
     crop = cfg.data.crop_size
@@ -701,7 +711,8 @@ def cmd_serve(args) -> int:
             warmup_shape=None if args.no_warmup else (crop, crop, 3),
             warmup_dtype=np.uint8 if d.device_normalize else np.float32,
             state_dir=args.state_dir,
-            checkpoint_every=args.checkpoint_every)
+            checkpoint_every=args.checkpoint_every,
+            term_guard=guard)
     finally:
         if in_f is not sys.stdin:
             in_f.close()

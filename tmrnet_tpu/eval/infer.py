@@ -392,11 +392,15 @@ class VideoInference:
             return jnp.zeros((0, self.hidden), self._cdt)
         padded = max(self.bucket_frames(n), self.seq)
         pad = padded - n
-        if pad == 0 and isinstance(frames, jax.Array):
-            # device-resident frames pass straight through — np.asarray here
-            # would silently round-trip the whole video device->host->device
+        if isinstance(frames, jax.Array):
+            # device-resident frames stay on device — np.asarray here would
+            # silently round-trip the whole video device->host->device
+            # (measured 253x slower over this tunnel); bucket padding
+            # happens on device too
             f = (frames if frames.dtype == jnp.uint8
                  else frames.astype(self._cdt))
+            if pad:
+                f = jnp.concatenate([f, jnp.repeat(f[-1:], pad, axis=0)])
         else:
             f = np.asarray(frames)
             if pad:
@@ -417,8 +421,12 @@ class VideoInference:
             return self._compiled[key]
 
         # oversize launches scan internally (auto-chunk policy) instead of
-        # blowing the ~4096-frame activation ceiling of a 16 GB v5e
+        # blowing the ~4096-frame activation ceiling of a 16 GB v5e; the
+        # policy assumes pow-2/1024-multiple lengths, so guard against an
+        # arbitrary chunk collapsing the inner scan to degenerate sizes
         inner = self._effective_chunk(1, chunk)
+        if inner and (chunk % inner or inner < 512):
+            inner = 0
 
         @jax.jit
         def trunk_chunk(variables, extractor_variables, frames):
@@ -547,6 +555,11 @@ class VideoInference:
         ns = [int(lengths[i]) if callable(v) else int(v.shape[0])
               for i, v in enumerate(videos)]
         chunk = min(chunk, sum(ns))  # tiny corpora shrink the launch
+        if chunk > _AUTO_CHUNK_FRAMES:
+            # oversize launches scan internally by 2048: keep the launch a
+            # multiple so the inner scan divides cleanly (see
+            # _build_trunk_chunk_fn)
+            chunk = (chunk // 2048) * 2048
 
         def blocks():
             buf, have = [], 0

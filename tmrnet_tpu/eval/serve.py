@@ -84,7 +84,8 @@ def serve_loop(engine, num_slots: int, in_f: IO[str], out_f: IO[str],
                warmup_shape: Optional[tuple] = None,
                warmup_dtype=np.float32,
                state_dir: Optional[str] = None,
-               checkpoint_every: int = 64) -> dict:
+               checkpoint_every: int = 64,
+               term_guard: Optional[dict] = None) -> dict:
     """Run the protocol until EOF on in_f. Returns a summary dict.
 
     engine: StreamingInference (possibly meshed). load_frame_fn maps the
@@ -102,6 +103,12 @@ def serve_loop(engine, num_slots: int, in_f: IO[str], out_f: IO[str],
     exit) and on every exit path, and a restarted daemon restores it —
     live streams resume mid-video with their clip rings and banks intact
     instead of starting over.
+
+    term_guard: optional {'busy': bool, 'stop': bool} shared with a signal
+    handler — 'busy' is True while a tick mutates state (the handler should
+    defer instead of raising mid-tick, keeping the exit checkpoint
+    tick-consistent), and 'stop' requests a clean exit at the next tick
+    boundary.
     """
     restored = _load_state(state_dir, engine, num_slots) if state_dir else None
     if restored is not None:
@@ -134,6 +141,18 @@ def serve_loop(engine, num_slots: int, in_f: IO[str], out_f: IO[str],
         nonlocal state, blank, ticks, emitted
         if not tick:
             return
+        if term_guard is not None:
+            term_guard["busy"] = True
+        try:
+            _flush_tick()
+        finally:
+            if term_guard is not None:
+                term_guard["busy"] = False
+        if term_guard is not None and term_guard.get("stop"):
+            raise SystemExit(0)  # deferred SIGTERM: exit at tick boundary
+
+    def _flush_tick():
+        nonlocal state, blank, ticks, emitted
         if blank is None:
             blank = np.zeros_like(next(iter(tick.values()))[1])
         frames = np.stack([tick[i][1] if i in tick else blank

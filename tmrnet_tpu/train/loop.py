@@ -361,10 +361,32 @@ def _build_lfb_video(cfg: ExperimentConfig, extractor_variables, ds,
     if not hasattr(ds, "manifest"):
         raise ValueError("engine='video' needs a frame-manifest dataset")
     tf = ds.transform
-    if tf is not None and getattr(tf, "crop_type", 1) not in (1, 2):
+    # getattr default None: an unknown transform (e.g. a random
+    # TrainTransform, which has no crop_type) must be rejected loudly —
+    # per-video vs per-clip randomness would silently diverge the banks
+    if tf is not None and getattr(tf, "crop_type", None) not in (1, 2):
         raise ValueError(
             "engine='video' needs a deterministic frame-wise transform "
-            f"(crop types 1/2); got crop_type={tf.crop_type}")
+            f"(EvalTransform crop types 1/2); got {type(tf).__name__}")
+
+    def load_video_frames(video):
+        # same decode-failure policy as ClipDataset.get_clip: zero-fill
+        # under error_policy='zeros' so one corrupt frame doesn't abort a
+        # multi-hour build the clip engine would survive
+        out = []
+        for p in video.frame_paths:
+            try:
+                out.append(ds.frame_loader(p))
+            except Exception:
+                if getattr(ds, "error_policy", "raise") != "zeros":
+                    raise
+                out.append(None)
+        shape = next((f.shape for f in out if f is not None), None)
+        if shape is None:
+            raise ValueError(f"video {video.video_id}: every frame failed "
+                             f"to decode")
+        return np.stack([f if f is not None
+                         else np.zeros(shape, np.uint8) for f in out])
 
     eng = VideoInference(cfg, extractor_variables, extractor_variables)
     lengths = ds.manifest.video_lengths
@@ -372,7 +394,7 @@ def _build_lfb_video(cfg: ExperimentConfig, extractor_variables, ds,
     feats = bank.features
     row = 0
     for video in ds.manifest.videos:
-        frames = np.stack([ds.frame_loader(p) for p in video.frame_paths])
+        frames = load_video_frames(video)
         if tf is not None:
             frames = tf(frames)
         vals = eng.bank_features(frames)            # (clips, hidden), device
