@@ -374,7 +374,8 @@ def bench_train(args):
                                    window)
     labels = jnp.zeros((b,), jnp.int32)
     variables = model.init(jax.random.PRNGKey(2), clips, memory)
-    tx = make_optimizer(TrainConfig(optimizer="sgd", lr=1e-3),
+    tx = make_optimizer(TrainConfig(optimizer="sgd", lr=1e-3,
+                                    grad_accum=args.train_accum),
                         variables["params"],
                         slow_modules=("backbone", "encoder"))
     state = create_train_state(model, variables, tx)
@@ -485,6 +486,9 @@ def main():
                              "cholec80", "lfb"],
                     default="clip")
     ap.add_argument("--train-batch", type=int, default=16)
+    ap.add_argument("--train-accum", type=int, default=1,
+                    help="train mode: gradient-accumulation micro-steps "
+                         "(train.grad_accum)")
     ap.add_argument("--backbone", default="resnet50",
                     choices=["resnet50", "resnest50"],
                     help="clip-mode backbone (resnest50 = best-accuracy cfg)")
