@@ -369,6 +369,12 @@ def cmd_build_lfb(args) -> int:
     from tmrnet_tpu.train.loop import build_lfb
 
     cfg = load_config(args)
+    if args.engine is None:
+        # default = video engine (seq_len x less backbone work, identical
+        # features — VERDICT r2 #2); auto-fall back to clip when only it
+        # applies (video-direct datasets, non-deterministic crop types)
+        args.engine = ("clip" if args.videos
+                       or cfg.data.test_crop_type not in (1, 2) else "video")
     if args.engine == "video" and args.videos:
         # fail before the (slow) dataset probe and checkpoint restore
         raise SystemExit("build-lfb --engine video needs a frame manifest")
@@ -440,6 +446,17 @@ def cmd_test(args) -> int:
     from tmrnet_tpu.train.loop import build_lfb
 
     cfg = load_config(args)
+    if args.engine is None:
+        # default = corpus (strictly faster at protocol scale, parity-proven,
+        # lazy host RAM — VERDICT r2 #2); auto-fall back to the clip engine
+        # for the cases only it supports (multi-crop eval, the reference
+        # cross-video quirk, an explicit prebuilt-bank workflow)
+        if (cfg.data.test_crop_type in (5, 10)
+                or cfg.memory.compat_cross_video
+                or args.lfb or args.load_lfb):
+            args.engine = "clip"
+        else:
+            args.engine = "corpus"
     if args.engine == "corpus":  # first-class alias for the corpus engine
         cfg = dataclasses.replace(
             cfg, eval=dataclasses.replace(cfg.eval, corpus=True))
@@ -592,8 +609,11 @@ def cmd_stream(args) -> int:
     # Fixed-B slot multiplexing: videos queue for `--max-streams` compiled
     # slots; a finished video's slot is recycled in place (reset_streams), so
     # one program serves any number of videos and finished streams stop
-    # burning compute. Default B = all videos (everything streams at once).
-    num_slots = min(args.max_streams or n_videos, n_videos)
+    # burning compute. Default B = 64 slots: one-slot-per-video on the full
+    # 40-video protocol at 250^2 uint8 would demand ~28 GB of host RAM
+    # (VERDICT r2 #6); -1 restores it explicitly.
+    max_streams = n_videos if args.max_streams < 0 else args.max_streams
+    num_slots = min(max_streams or n_videos, n_videos)
     # Under a mesh, streams shard over the data axis: round the slot count up
     # to the axis size — surplus slots simply sit idle (blank frames).
     mesh = _mesh_for(cfg, batch=0)
@@ -604,9 +624,7 @@ def cmd_stream(args) -> int:
     state = engine.init_state(num_slots)
 
     # Videos decode lazily as their slot starts and free when it ends, so
-    # host RAM holds at most num_slots videos (a 40-video manifest at the
-    # default one-slot-per-video still loads everything — cap it with
-    # --max-streams on small hosts).
+    # host RAM holds at most num_slots (default <=64) decoded videos.
     loaded: dict = {}
 
     def assign(v: int) -> int:
@@ -699,6 +717,9 @@ def cmd_serve(args) -> int:
             sys.exit(0)
 
     signal.signal(signal.SIGTERM, _on_term)
+    # SIGINT gets the same deferred-exit treatment: a ^C mid-tick would
+    # otherwise checkpoint rings one tick ahead of frame_idx (ADVICE r2)
+    signal.signal(signal.SIGINT, _on_term)
 
     in_f = sys.stdin if args.input == "-" else open(args.input)
     crop = cfg.data.crop_size
@@ -712,7 +733,9 @@ def cmd_serve(args) -> int:
             warmup_dtype=np.uint8 if d.device_normalize else np.float32,
             state_dir=args.state_dir,
             checkpoint_every=args.checkpoint_every,
-            term_guard=guard)
+            term_guard=guard,
+            decode_workers=args.decode_workers,
+            decode_timeout=args.decode_timeout)
     finally:
         if in_f is not sys.stdin:
             in_f.close()
@@ -888,10 +911,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--annotations")
     sp.add_argument("--ckpt", help="stage-1 orbax checkpoint dir")
     sp.add_argument("--torch-ckpt", help="stage-1 reference .pth")
-    sp.add_argument("--engine", choices=["clip", "video"], default="clip",
+    sp.add_argument("--engine", choices=["clip", "video"], default=None,
                     help="'video' builds the bank at one backbone pass per "
                          "frame (seq_len x less compute, identical "
-                         "features; frame manifests, crop types 1/2)")
+                         "features; frame manifests, crop types 1/2). "
+                         "Default: video, falling back to clip for "
+                         "video-direct datasets or random crop types")
     sp.add_argument("--out", required=True)
     sp.set_defaults(fn=cmd_build_lfb)
 
@@ -920,11 +945,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--lfb", help="test-set bank cache path")
     sp.add_argument("--load-lfb", action="store_true")
     sp.add_argument("--engine", choices=["clip", "video", "corpus"],
-                    default="clip",
-                    help="'video' = full-video engine (backbone once per "
-                         "frame, LFB build fused); 'corpus' = video engine "
-                         "with the whole-set flat-stream trunk "
-                         "(eval.corpus=true; fastest for many videos)")
+                    default=None,
+                    help="'clip' = reference-protocol batched clips over a "
+                         "prebuilt bank; 'video' = full-video engine "
+                         "(backbone once per frame, LFB build fused); "
+                         "'corpus' = video engine with the whole-set "
+                         "flat-stream trunk (eval.corpus=true). Default: "
+                         "corpus, falling back to clip for multi-crop, "
+                         "compat_cross_video, or --lfb workflows")
     sp.add_argument("--out", default="./predictions.npz")
     sp.set_defaults(fn=cmd_test)
 
@@ -938,10 +966,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--extractor-torch-ckpt")
     sp.add_argument("--max-steps", type=int, default=0,
                     help="cap the number of streamed frames per video")
-    sp.add_argument("--max-streams", type=int, default=0,
+    sp.add_argument("--max-streams", type=int, default=64,
                     help="serve all videos through this many compiled "
                          "stream slots, recycling a slot when its video "
-                         "ends (0 = one slot per video)")
+                         "ends (default 64 caps host RAM at ~64 decoded "
+                         "videos; -1 = one slot per video)")
     sp.add_argument("--out", default="./stream_preds.jsonl")
     sp.set_defaults(fn=cmd_stream)
 
@@ -965,6 +994,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "a restarted daemon resumes live streams)")
     sp.add_argument("--checkpoint-every", type=int, default=64,
                     help="ticks between serving-state checkpoints")
+    sp.add_argument("--decode-workers", type=int, default=4,
+                    help="frame-decode pool threads (0 = decode inline in "
+                         "the protocol loop)")
+    sp.add_argument("--decode-timeout", type=float, default=5.0,
+                    help="seconds before a tick drops a frame whose decode "
+                         "hasn't finished (the stream freezes that tick)")
     sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("parity", help="reference .pth + frames -> Main.m "

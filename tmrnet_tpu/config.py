@@ -148,6 +148,10 @@ class TrainConfig:
     # (0 = off), like the reference's valMinibatch scalars
     # (`train_only_non-local_pretrained.py:418-457,746-757`).
     val_minibatch_every: int = 0
+    # Log the first clip of every Nth train batch as images (TensorBoard +
+    # PNG dump), like the reference's Comet input-sequence logging
+    # (`test-resnet.py:737-746`); 0 = off.
+    log_images_every: int = 0
     checkpoint_dir: str = "./checkpoints"
     keep_checkpoints: int = 3
     resume: bool = True  # resume from latest checkpoint if present

@@ -252,6 +252,15 @@ class VideoInference:
         c = min(padded, 1 << (target.bit_length() - 1))  # pow-2 floor
         while c > 1 and padded % c:
             c //= 2
+        if c < max(256, target // 2):
+            # pow-2 halving degenerated (non-default pad_frames/bucket_step
+            # can yield lengths like 3000 whose pow-2 divisors are tiny —
+            # hundreds of sequential scan steps, ADVICE r2). Take the
+            # smallest exact divisor >= target instead; if only oversized
+            # divisors exist (> 2x target: would blow the per-step frame
+            # budget at batch > 1) run unchunked.
+            c = next((d for d in range(target, 2 * target)
+                      if padded % d == 0), padded)
         return 0 if c >= padded or padded % c else c
 
     def _backbone_all_frames(self, bvars, frames: jax.Array,
@@ -287,10 +296,15 @@ class VideoInference:
         ys, _ = self.lstm.apply({"params": params["encoder"]["lstm"]}, windows)
         return ys[:, -1, :]                                          # (C, H)
 
-    def _head(self, variables, st: jax.Array, bank_feats: jax.Array,
-              num_clips: jax.Array) -> jax.Array:
+    def _head(self, variables, st: jax.Array, bank_feats: jax.Array
+              ) -> jax.Array:
         """TimeConv + NLBlock + classifier over all clip positions, reading
-        the per-video bank with start-clamped windows."""
+        the per-video bank with start-clamped windows.
+
+        Contract for padded videos: bucket padding is TRAILING and memory
+        windows only look BACK, so rows < true clip count are exact; callers
+        slice `[:k]` afterwards to drop the padded tail (they all do — this
+        fn computes every padded row and relies on that slice)."""
         c = st.shape[0]
         rows = jnp.arange(c, dtype=jnp.int32)
         firsts = jnp.zeros((c,), jnp.int32)
@@ -332,8 +346,7 @@ class VideoInference:
             # 2) TMR encoder -> St per clip position
             st = self._clip_embeddings(variables, frames, "tmr", chunk)
             # 3) memory head batched over all clip positions
-            logits = self._head(variables, st, bank_feats,
-                                frames.shape[0] - self.seq + 1)
+            logits = self._head(variables, st, bank_feats)
             probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
             return jnp.argmax(probs, axis=-1), probs
 
@@ -355,8 +368,7 @@ class VideoInference:
                 bank_feats = self._clip_embeddings(extractor_variables, fr,
                                                    "lfb", chunk)
                 st = self._clip_embeddings(variables, fr, "tmr", chunk)
-                logits = self._head(variables, st, bank_feats,
-                                    fr.shape[0] - self.seq + 1)
+                logits = self._head(variables, st, bank_feats)
                 probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
                 return jnp.argmax(probs, axis=-1), probs
 
@@ -459,7 +471,7 @@ class VideoInference:
             st = self.lstm.apply(
                 {"params": variables["params"]["encoder"]["lstm"]},
                 wt)[0][:, -1, :]
-            logits = self._head(variables, st, bank, padded - self.seq + 1)
+            logits = self._head(variables, st, bank)
             probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
             return jnp.argmax(probs, axis=-1), probs
 

@@ -108,12 +108,20 @@ def _make_memory_fn(cfg: ExperimentConfig, ds: Optional[ClipDataset],
     return fn
 
 
+@jax.jit
+def _accumulate_metrics(acc, m):
+    """Device-side running (loss_sum, correct, count) — one tiny dispatched
+    add per step instead of a blocking device->host fetch (a fetch costs up
+    to ~30 ms on a tunneled host against a ~72 ms step; VERDICT r2 #4)."""
+    return (acc[0] + m["loss"], acc[1] + m["correct"], acc[2] + m["count"])
+
+
 def _run_epoch_train(train_step, state, loader, epoch, rng,
                      memory_fn: Optional[Callable] = None, mesh=None,
                      log: Optional[MetricLogger] = None, log_every: int = 50,
                      minibatch_val: Optional[Callable] = None,
-                     minibatch_val_every: int = 0):
-    loss_sum, correct, count = 0.0, 0, 0
+                     minibatch_val_every: int = 0, log_images_every: int = 0):
+    acc = None  # device-resident (loss_sum, correct, count)
     timer = Timer()
     for i, (clips, labels, rows, pad) in enumerate(loader.epoch(epoch)):
         step_rng = jax.random.fold_in(rng, epoch * 100003 + i)
@@ -127,20 +135,29 @@ def _run_epoch_train(train_step, state, loader, epoch, rng,
         else:
             state, m = train_step(state, jnp.asarray(clips),
                                   jnp.asarray(labels), step_rng)
-        b = len(rows) - pad  # valid (non-padded) samples this batch
-        loss_sum += float(m["loss"])  # loss already masks padding (label -1)
-        correct += int(m["correct"])
-        count += b
-        timer.add_frames(b * clips.shape[1])
+        # loss already masks padding (label -1); m["count"] == len(rows)-pad
+        acc = ((m["loss"], m["correct"], m["count"]) if acc is None
+               else _accumulate_metrics(acc, m))
+        timer.add_frames((len(rows) - pad) * clips.shape[1])
+        if (log is not None and log_images_every
+                and i % log_images_every == 0):
+            # first clip of the batch as an input-sequence snapshot
+            # (reference Comet log_image, `test-resnet.py:737-746`)
+            log.log_images(int(state.step), "train/input_sequence",
+                           np.asarray(clips[0]))
         if log is not None and (i + 1) % log_every == 0:
-            log.log(int(state.step), {"loss": float(m["loss"]) / max(b, 1),
+            n = max(int(acc[2]), 1)  # the only host sync between logs
+            log.log(int(state.step), {"loss": float(acc[0]) / n,
                                       "fps": timer.fps}, prefix="train/")
         if (minibatch_val is not None and minibatch_val_every
                 and (i + 1) % minibatch_val_every == 0):
             vm = minibatch_val(state)
             if log is not None:
                 log.log(int(state.step), vm, prefix="val_minibatch/")
-    return state, loss_sum / max(count, 1), correct / max(count, 1)
+    if acc is None:
+        return state, 0.0, 0.0
+    count = max(int(acc[2]), 1)
+    return state, float(acc[0]) / count, int(acc[1]) / count
 
 
 def _run_epoch_eval(eval_step, state, loader,
@@ -256,7 +273,8 @@ def _fit(cfg: ExperimentConfig, model, train_ds: ClipDataset,
         t0 = time.time()
         state, tr_loss, tr_acc = _run_epoch_train(
             train_step, state, train_loader, epoch, rng, memory_fn,
-            mesh, log, t.log_every, minibatch_val, t.val_minibatch_every)
+            mesh, log, t.log_every, minibatch_val, t.val_minibatch_every,
+            t.log_images_every)
         if val_loader is not None:
             va_loss, va_acc, va_preds, va_labels, _ = _run_epoch_eval(
                 eval_step, state, val_loader, val_memory_fn)

@@ -46,17 +46,36 @@ class MetricLogger:
                 self._tb.add_scalar(k, v, step)
 
     def log_images(self, step: int, tag: str, images) -> None:
-        """Log sample frames (e.g. augmented clips) to TensorBoard, covering
-        the reference's Comet log_image debugging (`test-resnet.py:737-746`).
-        images: (N, H, W, 3) float in [0,1] or uint8; no-op without TB."""
-        if self._tb is None:
+        """Log sample frames (e.g. augmented clips) to TensorBoard AND as a
+        PNG strip under <log_dir>/images/, covering the reference's Comet
+        log_image debugging (`test-resnet.py:737-746`). images: (N, H, W, 3)
+        uint8, float in [0,1], or normalized float (min-max rescaled for
+        viewing). No-op without a log_dir."""
+        if self.log_dir is None:
             return
         import numpy as np
 
-        arr = np.asarray(images)
+        arr = np.asarray(images, dtype=None)
         if arr.dtype != np.uint8:
+            arr = arr.astype(np.float32)
+            lo, hi = float(arr.min()), float(arr.max())
+            if lo < 0.0 or hi > 1.0:  # normalized input: rescale for viewing
+                arr = (arr - lo) / max(hi - lo, 1e-9)
             arr = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
-        self._tb.add_images(tag, arr, step, dataformats="NHWC")
+        if self._tb is not None:
+            self._tb.add_images(tag, arr, step, dataformats="NHWC")
+        try:
+            from PIL import Image
+
+            img_dir = os.path.join(self.log_dir, "images")
+            os.makedirs(img_dir, exist_ok=True)
+            strip = arr.transpose(1, 0, 2, 3).reshape(
+                arr.shape[1], arr.shape[0] * arr.shape[2], arr.shape[3])
+            safe = tag.replace("/", "_")
+            Image.fromarray(strip).save(
+                os.path.join(img_dir, f"{safe}_{step:08d}.png"))
+        except Exception:
+            pass  # image dump is best-effort observability
 
     def log_confusion_matrix(self, step: int, labels, preds,
                              num_classes: int, tag: str = "confusion") -> None:
