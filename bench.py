@@ -565,7 +565,7 @@ def main():
         model = build_model(cfg)
 
     if args.fused or args.fused_tiled:
-        from tmrnet_tpu.models.fused_resnet import fused_tmr_apply
+        from tmrnet_tpu.experimental.fused_resnet import fused_tmr_apply
 
         kern = "tiled" if args.fused_tiled else "block"
 

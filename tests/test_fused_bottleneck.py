@@ -6,7 +6,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from tmrnet_tpu.ops.fused_bottleneck import (
+from tmrnet_tpu.experimental.fused_bottleneck import (
     fused_bottleneck,
     fused_bottleneck_reference,
 )
@@ -62,7 +62,7 @@ def test_fused_bottleneck_matches_folded_flax_block():
 
 
 def test_tiled_fused_bottleneck_matches_oracle():
-    from tmrnet_tpu.ops.fused_bottleneck_tiled import fused_bottleneck_tiled
+    from tmrnet_tpu.experimental.fused_bottleneck_tiled import fused_bottleneck_tiled
 
     c, p = 64, 16
     x = jax.random.normal(jax.random.PRNGKey(3), (4, 8, 8, c))
@@ -74,7 +74,7 @@ def test_tiled_fused_bottleneck_matches_oracle():
 
 
 def test_tiled_fused_bottleneck_single_tile():
-    from tmrnet_tpu.ops.fused_bottleneck_tiled import fused_bottleneck_tiled
+    from tmrnet_tpu.experimental.fused_bottleneck_tiled import fused_bottleneck_tiled
 
     c, p = 32, 8
     x = jax.random.normal(jax.random.PRNGKey(4), (2, 6, 6, c))

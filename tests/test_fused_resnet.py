@@ -8,7 +8,7 @@ import jax.numpy as jnp
 
 from tests.test_fold_bn import _nontrivial_stats
 from tmrnet_tpu.models.fold_bn import fold_resnet
-from tmrnet_tpu.models.fused_resnet import apply_fused_resnet
+from tmrnet_tpu.experimental.fused_resnet import apply_fused_resnet
 from tmrnet_tpu.models.resnet import ResNet
 
 
@@ -27,10 +27,10 @@ def test_fused_path_matches_folded_module(stage_sizes, width):
     # fused-kernel path (interpret on CPU happens inside pallas? no — force)
     import functools
 
-    import tmrnet_tpu.models.fused_resnet as fr
+    import tmrnet_tpu.experimental.fused_resnet as fr
     import sys
 
-    fb_mod = sys.modules["tmrnet_tpu.ops.fused_bottleneck"]
+    fb_mod = sys.modules["tmrnet_tpu.experimental.fused_bottleneck"]
     orig = fr.fused_bottleneck
     try:
         fr.fused_bottleneck = functools.partial(fb_mod.fused_bottleneck,
@@ -47,7 +47,7 @@ def test_tiled_fused_path_matches_folded_module():
     interpret mode on CPU."""
     import functools
 
-    import tmrnet_tpu.models.fused_resnet as fr
+    import tmrnet_tpu.experimental.fused_resnet as fr
 
     stage_sizes, width = (2, 2), 8
     model = ResNet(stage_sizes=stage_sizes, width=width)

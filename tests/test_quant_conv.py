@@ -7,7 +7,7 @@ import jax
 import jax.numpy as jnp
 
 from tmrnet_tpu.ops.quant import quantize_per_channel, quantize_per_tensor
-from tmrnet_tpu.ops.quant_conv import int8_conv3x3, int8_conv3x3_reference
+from tmrnet_tpu.experimental.quant_conv import int8_conv3x3, int8_conv3x3_reference
 
 
 def test_int8_conv3x3_exact_vs_oracle():

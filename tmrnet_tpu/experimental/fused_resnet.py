@@ -17,8 +17,8 @@ from typing import Dict, Sequence
 import jax
 import jax.numpy as jnp
 
-from tmrnet_tpu.ops.fused_bottleneck import fused_bottleneck
-from tmrnet_tpu.ops.fused_bottleneck_tiled import fused_bottleneck_tiled
+from tmrnet_tpu.experimental.fused_bottleneck import fused_bottleneck
+from tmrnet_tpu.experimental.fused_bottleneck_tiled import fused_bottleneck_tiled
 
 
 def _conv(x, kernel, bias, stride=1, pad=0):
