@@ -1,0 +1,209 @@
+"""WHOLE-PIPELINE parity against the reference eval path (VERDICT r2 #3).
+
+A torch oracle implementing the reference test driver end-to-end — frozen
+extractor LFB build in SeqSampler order, the `get_long_feature` dict walk
+(incl. cross-video lookback), TMRNet forward, softmax/argmax, and the
+`export_phase_copy.py` txt export with its phase-0 padding and 25k framing
+(`code/eval/python/test_singlenet_phase_non-local_pretrained_2fc_copy.py:273-457`,
+`export_phase_copy.py:43-77`) — runs on a tiny synthetic dataset with shared
+random weights. The framework consumes the SAME weights through its .pth
+converter and the real CLI (`test` -> `export` -> `evaluate`), and every seam
+is diffed: logits, predictions, exported txt trees, protocol tables.
+
+This is the one test that crosses every component boundary at once; the
+component-wise oracles elsewhere can't catch a disagreement in how the
+pieces are wired (clip order, bank rows, window walk, export framing)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tests.test_cli import _write_frames_tree
+from tests.test_e2e_logits_parity import SEQ, TorchTMRNet
+from tests.test_torch_import import _randomize_bn_stats
+from tmrnet_tpu.cli import main
+
+torch = pytest.importorskip("torch")
+
+HID, NCLS, WIN = 32, 7, 6   # must match test_e2e_logits_parity's oracle
+CROP, RESIZE = 64, 64  # oracle's trunk hardcodes 64
+
+
+def _reference_eval(tm, manifest, transform):
+    """The reference test driver, faithfully: returns (logits, preds) in
+    clip order. tm: TorchTMRNet oracle (eval mode)."""
+    videos = manifest.videos
+    lengths = [len(v.frame_paths) for v in videos]
+
+    # frames -> normalized tensors via the SAME transform as the framework
+    # (PIL/resize parity is component-tested elsewhere; this test targets
+    # the model + protocol wiring)
+    from tmrnet_tpu.data.pipeline import load_frame
+
+    frames = []
+    for v in videos:
+        arr = transform(np.stack([load_frame(p) for p in v.frame_paths]))
+        frames.append(arr)                              # (n, H, W, 3) f32
+    flat = np.concatenate(frames)                        # global frame index
+
+    # clip starts: `get_useful_start_idx` semantics (no clip crosses a
+    # video boundary), global flat-frame indices
+    starts = []
+    count = 0
+    for n in lengths:
+        starts.extend(range(count, count + n - SEQ + 1))
+        count += n
+    dict_start_idx = {s: i for i, s in enumerate(starts)}
+
+    def clips_tensor(idx):
+        c = np.stack([flat[s:s + SEQ] for s in idx])     # (b, SEQ, H, W, 3)
+        return torch.from_numpy(c.transpose(0, 1, 4, 2, 3).copy())
+
+    with torch.no_grad():
+        # test-set LFB build: frozen trunk+LSTM, last-step hidden per clip
+        feats = []
+        for i in range(0, len(starts), 8):
+            x = clips_tensor(starts[i:i + 8])
+            b, t = x.shape[:2]
+            f = tm.share(x.reshape(b * t, 3, CROP, CROP)).reshape(b, t, -1)
+            y, _ = tm.lstm(f)
+            feats.append(y[:, -1, :].numpy())
+        g_lfb_test = np.concatenate(feats)               # (num_clips, HID)
+
+        # per-clip forward with the reference memory walk
+        logits_all = []
+        for i in range(0, len(starts), 8):
+            batch = starts[i:i + 8]
+            long_feature = []
+            for s in batch:                              # get_long_feature
+                rows = []
+                last_valid = dict_start_idx[s]
+                for k in range(WIN):
+                    frame = s - k - 1
+                    row = dict_start_idx.get(frame)
+                    if row is not None:
+                        rows.append(row)
+                        last_valid = row
+                    else:
+                        rows.append(last_valid)
+                long_feature.append(g_lfb_test[rows])
+            lt = torch.from_numpy(np.stack(long_feature))
+            logits = tm(clips_tensor(batch), lt)
+            logits_all.append(logits.numpy())
+    logits = np.concatenate(logits_all)
+    return logits, logits.argmax(axis=1)
+
+
+def _reference_export(manifest, preds, pred_dir, gt_dir):
+    """export_phase_copy.py semantics: per video, pad the first SEQ-1
+    predictions with phase 0, rows '25*k <tab> <pred>', parallel gt files."""
+    os.makedirs(pred_dir), os.makedirs(gt_dir)
+    count = 0
+    for v in manifest.videos:
+        n = len(v.frame_paths)
+        with open(os.path.join(pred_dir, f"{v.video_id}-phase.txt"),
+                  "w") as f, \
+             open(os.path.join(gt_dir, f"{v.video_id}-phase.txt"),
+                  "w") as f2:
+            vid_preds = [0] * (SEQ - 1) + \
+                [int(p) for p in preds[count:count + n - SEQ + 1]]
+            for k, p in enumerate(vid_preds):
+                f.write(f"{25 * k}\t{p}\n")
+                f2.write(f"{25 * k}\t{int(v.labels[k])}\n")
+        count += n - SEQ + 1
+
+
+def _read_tree(d):
+    return {f: open(os.path.join(d, f)).read()
+            for f in sorted(os.listdir(d))}
+
+
+def test_whole_pipeline_matches_reference_eval(tmp_path, capsys):
+    frames_dir, ann_dir = _write_frames_tree(tmp_path, n_videos=2,
+                                             seconds=20)
+    manifest_path = tmp_path / "test_paths.pkl"
+    assert main(["manifest", "--frames", str(frames_dir),
+                 "--annotations", str(ann_dir),
+                 "--out", str(manifest_path)]) == 0
+    capsys.readouterr()
+
+    from tmrnet_tpu.data.manifests import load_pickle_manifest
+    from tmrnet_tpu.data.transforms import EvalTransform
+
+    manifest, _ = load_pickle_manifest(str(manifest_path))
+    from tmrnet_tpu.config import CHOLEC80_MEAN, CHOLEC80_STD
+
+    tf = EvalTransform(CROP, RESIZE, 1, CHOLEC80_MEAN, CHOLEC80_STD)
+
+    # shared random weights, saved in the reference .pth format
+    tm = TorchTMRNet().eval()
+    _randomize_bn_stats(tm, np.random.RandomState(13))
+    ckpt = tmp_path / "oracle.pth"
+    torch.save(tm.state_dict(), str(ckpt))
+
+    # ---- reference side: eval loop + export, all torch/numpy ----
+    ref_logits, ref_preds = _reference_eval(tm, manifest, tf)
+    ref_pred_dir = tmp_path / "ref-phase"
+    ref_gt_dir = tmp_path / "ref-gt-phase"
+    _reference_export(manifest, ref_preds, str(ref_pred_dir),
+                      str(ref_gt_dir))
+
+    # ---- framework side: the real CLI, reference-quirk memory mode ----
+    cfg_over = [
+        "--set", "model.backbone=tiny", "--set", "model.stage_sizes=1,1",
+        "--set", "model.width=8", "--set", f"model.hidden_dim={HID}",
+        "--set", f"model.num_classes={NCLS}", "--set", "model.head=tmr",
+        "--set", f"model.lfb_window={WIN}",
+        "--set", "model.compute_dtype=float32",
+        "--set", f"memory.window={WIN}",
+        "--set", "memory.compat_cross_video=true",
+        "--set", "memory.load_cached=false",
+        "--set", f"data.sequence_length={SEQ}",
+        "--set", f"data.crop_size={CROP}", "--set", f"data.resize={RESIZE}",
+        "--set", "data.test_crop_type=1", "--set", "data.batch_clips=8",
+        "--set", "data.num_workers=2",
+        "--set", f"data.num_classes={NCLS}",
+    ]
+    preds_path = tmp_path / "preds.npz"
+    assert main(["test", *cfg_over, "--manifest", str(manifest_path),
+                 "--torch-ckpt", str(ckpt),
+                 "--lfb", str(tmp_path / "lfb.npz"),
+                 "--out", str(preds_path)]) == 0
+    capsys.readouterr()
+
+    got = np.load(preds_path)
+    # seam 1: logits/probs within f32 tolerance
+    def softmax(x):
+        e = np.exp(x - x.max(axis=1, keepdims=True))
+        return e / e.sum(axis=1, keepdims=True)
+
+    np.testing.assert_allclose(got["scores"], softmax(ref_logits),
+                               atol=2e-4, rtol=1e-3)
+    # seam 2: predictions identical
+    np.testing.assert_array_equal(got["preds"], ref_preds)
+
+    pred_dir, gt_dir = tmp_path / "phase", tmp_path / "gt-phase"
+    assert main(["export", "--manifest", str(manifest_path),
+                 "--preds", str(preds_path), "--pred-dir", str(pred_dir),
+                 "--gt-dir", str(gt_dir),
+                 "--set", f"data.sequence_length={SEQ}"]) == 0
+    capsys.readouterr()
+
+    # seam 3: exported txt trees byte-identical (framing, padding, labels)
+    assert _read_tree(pred_dir) == _read_tree(ref_pred_dir)
+    assert _read_tree(gt_dir) == _read_tree(ref_gt_dir)
+
+    # seam 4: the protocol table over the reference's own export equals the
+    # table over the framework's export (the full Main.m chain both ways)
+    reports = []
+    for pd, gd, name in ((pred_dir, gt_dir, "fw"),
+                         (ref_pred_dir, ref_gt_dir, "ref")):
+        out = tmp_path / f"report-{name}.json"
+        assert main(["evaluate", "--pred-dir", str(pd), "--gt-dir", str(gd),
+                     "--fps", "1", "--json-out", str(out)]) == 0
+        capsys.readouterr()
+        reports.append(json.loads(out.read_text()))
+    assert reports[0] == reports[1]
+    assert 0.0 <= reports[0]["mean_accuracy"] <= 100.0
