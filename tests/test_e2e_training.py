@@ -184,3 +184,30 @@ def test_train_stage1_with_mesh(tmp_path):
     state, hist = train_stage1(cfg, ds, ds, mesh=mesh)
     assert len(hist) == 1
     assert np.isfinite(hist[0].val_loss)
+
+
+def test_input_sequence_image_logging(tmp_path):
+    """train.log_images_every snapshots the first clip of every Nth batch
+    as a PNG strip (+ TB when available), covering the reference's Comet
+    input-sequence logging (`test-resnet.py:737-746`)."""
+    import dataclasses as dc
+    import os
+
+    manifest, store = _synthetic(n_videos=2)
+    ds = ClipDataset(manifest, SEQ, frame_loader=array_frame_loader(store))
+    cfg = _cfg(tmp_path, "stage1", epochs=1)
+    cfg = dc.replace(cfg, train=dc.replace(cfg.train, log_images_every=1))
+
+    from tmrnet_tpu.utils.logging import MetricLogger
+
+    log_dir = str(tmp_path / "imlogs")
+    log = MetricLogger(log_dir, use_tensorboard=False, quiet=True)
+    train_stage1(cfg, ds, None, log=log)
+    log.close()
+    pngs = os.listdir(os.path.join(log_dir, "images"))
+    assert pngs and all(p.endswith(".png") for p in pngs)
+    from PIL import Image
+
+    img = Image.open(os.path.join(log_dir, "images", sorted(pngs)[0]))
+    # a horizontal strip of the clip's SEQ frames
+    assert img.size[0] == SEQ * img.size[1]
