@@ -391,12 +391,60 @@ def bench_train(args):
     np.asarray(m["loss"])  # drain the FIFO queue
     dt = time.perf_counter() - t0
     fps = iters * b * seq / dt
-    print(json.dumps({
+    out = {
         "metric": "tmrnet_stage2_train_frames_per_sec_per_chip",
         "value": round(fps, 1),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
-    }))
+    }
+    if args.mfu:
+        # exact FLOPs from the compiled programs -> MFU, fwd/bwd split, and
+        # the epoch-loop host-sync comparison (docs/PERFORMANCE.md
+        # "Training MFU" reproduction recipe)
+        _, eval_step = make_stage2_steps(class_weights=np.ones(7))
+        peak = 197.0  # v5e bf16 TFLOP/s
+        cost = train_step.lower(state, clips, memory, labels,
+                                jax.random.PRNGKey(3)).compile()             .cost_analysis()
+        tr_flops = float((cost or {}).get("flops", 0.0))
+        ev_cost = eval_step.lower(state, clips, memory,
+                                  labels).compile().cost_analysis()
+        ev_flops = float((ev_cost or {}).get("flops", 0.0))
+        ev = eval_step(state, clips, memory, labels)
+        np.asarray(ev["loss"])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            ev = eval_step(state, clips, memory, labels)
+        np.asarray(ev["loss"])
+        dt_ev = (time.perf_counter() - t0) / iters
+
+        from tmrnet_tpu.train.loop import _accumulate_metrics
+
+        t0 = time.perf_counter()  # old loop style: blocking per-step fetch
+        for i in range(iters):
+            state, m = train_step(state, clips, memory, labels,
+                                  jax.random.PRNGKey(50 + i))
+            _ = float(m["loss"]), int(m["correct"])
+        dt_fetch = (time.perf_counter() - t0) / iters
+        t0 = time.perf_counter()  # new loop style: device accumulators
+        acc = None
+        for i in range(iters):
+            state, m = train_step(state, clips, memory, labels,
+                                  jax.random.PRNGKey(90 + i))
+            acc = ((m["loss"], m["correct"], m["count"]) if acc is None
+                   else _accumulate_metrics(acc, m))
+        _ = float(acc[0])
+        dt_acc = (time.perf_counter() - t0) / iters
+        out["mfu"] = {
+            "train_step_ms": round(dt / iters * 1e3, 2),
+            "eval_step_ms": round(dt_ev * 1e3, 2),
+            "train_tflops": round(tr_flops * iters / dt / 1e12, 1),
+            "eval_tflops": round(ev_flops / dt_ev / 1e12, 1),
+            "train_mfu_pct": round(100 * tr_flops * iters / dt / 1e12
+                                   / peak, 1),
+            "epoch_loop_fetch_ms": round(dt_fetch * 1e3, 2),
+            "epoch_loop_accum_ms": round(dt_acc * 1e3, 2),
+        }
+    print(json.dumps(out))
     return 0
 
 
@@ -505,6 +553,9 @@ def main():
                          "Pallas block kernel")
     ap.add_argument("--fused-tiled", action="store_true",
                     help="fused path with the H-tiled, DMA-pipelined kernel")
+    ap.add_argument("--mfu", action="store_true",
+                    help="train mode: add exact-FLOPs MFU, fwd/bwd split, "
+                         "and the epoch-loop host-sync comparison")
     ap.add_argument("--profile", metavar="DIR",
                     help="capture a jax.profiler trace of the timed loop")
     ap.add_argument("--video-frames", type=int, default=1024)

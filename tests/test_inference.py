@@ -437,6 +437,14 @@ def test_effective_chunk_policy(tmp_path):
     assert auto._effective_chunk(16, 512) == 256   # floor 256/stream
     assert auto._effective_chunk(1, 6144) == 2048  # 1024-multiple bucket
     assert auto._effective_chunk(64, 128) == 0     # chunk >= padded: no-op
+    # ADVICE r2: non-default pad/bucket lengths whose pow-2 divisors are
+    # tiny must NOT collapse to degenerate scan chunks — take the smallest
+    # exact divisor >= target instead (2x3000: divisors of 3000 below 512
+    # bottom out at 8 -> use 600), or run unchunked when only oversized
+    # divisors exist (4099 is prime)
+    assert auto._effective_chunk(2, 3000) == 1000   # 2x1000/step, in budget
+    assert auto._effective_chunk(4, 1750) == 350    # 4x350/step, in budget
+    assert auto._effective_chunk(1, 4099 * 2) == 0  # prime-ish: unchunked
     never = VideoInference(cfg, variables, extractor, backbone_chunk=-1)
     assert never._effective_chunk(4, 2048) == 0
     explicit = VideoInference(cfg, variables, extractor, backbone_chunk=256)

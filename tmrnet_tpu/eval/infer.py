@@ -255,12 +255,15 @@ class VideoInference:
         if c < max(256, target // 2):
             # pow-2 halving degenerated (non-default pad_frames/bucket_step
             # can yield lengths like 3000 whose pow-2 divisors are tiny —
-            # hundreds of sequential scan steps, ADVICE r2). Take the
-            # smallest exact divisor >= target instead; if only oversized
-            # divisors exist (> 2x target: would blow the per-step frame
-            # budget at batch > 1) run unchunked.
-            c = next((d for d in range(target, 2 * target)
-                      if padded % d == 0), padded)
+            # hundreds of sequential scan steps, ADVICE r2). Take the exact
+            # divisor closest to target from [target/2, 2*target),
+            # preferring <= target so batch x chunk stays within the
+            # measured per-step frame budget; if no such divisor exists
+            # (e.g. prime-ish lengths) run unchunked.
+            cands = [d for d in range(max(1, target // 2), 2 * target)
+                     if padded % d == 0]
+            c = (min(cands, key=lambda d: (d > target, abs(d - target)))
+                 if cands else padded)
         return 0 if c >= padded or padded % c else c
 
     def _backbone_all_frames(self, bvars, frames: jax.Array,
