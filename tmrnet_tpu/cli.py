@@ -451,9 +451,12 @@ def cmd_test(args) -> int:
         # lazy host RAM — VERDICT r2 #2); auto-fall back to the clip engine
         # for the cases only it supports (multi-crop eval, the reference
         # cross-video quirk, an explicit prebuilt-bank workflow)
-        if (cfg.data.test_crop_type in (5, 10)
+        if (cfg.data.test_crop_type not in (1, 2)
                 or cfg.memory.compat_cross_video
                 or args.lfb or args.load_lfb):
+            # multi-crop (5/10) and random-crop (0) protocols need the
+            # per-clip transform path; corpus/video transform once per
+            # video, which would silently change crop-type-0 outputs
             args.engine = "clip"
         else:
             args.engine = "corpus"

@@ -126,6 +126,8 @@ def serve_loop(engine, num_slots: int, in_f: IO[str], out_f: IO[str],
         state, meta = restored
         slot_of = {k: int(v) for k, v in meta["slot_of"].items()}
         frame_idx = {k: int(v) for k, v in meta["frame_idx"].items()}
+        for sid in slot_of:   # tolerate a checkpoint from a torn join
+            frame_idx.setdefault(sid, 0)
         ticks = int(meta["ticks"])
     else:
         state = engine.init_state(num_slots)
@@ -142,6 +144,7 @@ def serve_loop(engine, num_slots: int, in_f: IO[str], out_f: IO[str],
     lat_ms: list = []       # per-tick decode-wait+step+fetch latency
     step_ms: list = []      # model step+fetch only
     pool = None
+    inflight: dict = {}     # stream id -> last submitted decode Future
     if decode_workers > 0:
         from concurrent.futures import ThreadPoolExecutor
 
@@ -253,6 +256,7 @@ def serve_loop(engine, num_slots: int, in_f: IO[str], out_f: IO[str],
                     continue
                 frame_idx.pop(sid, None)
                 tick.pop(slot, None)
+                inflight.pop(sid, None)
                 free.append(slot)
                 continue
             if "image" not in obj:
@@ -265,19 +269,33 @@ def serve_loop(engine, num_slots: int, in_f: IO[str], out_f: IO[str],
                 slot = free.pop()
                 mask = np.zeros((num_slots,), bool)
                 mask[slot] = True
-                # reset BEFORE publishing the slot: a signal landing between
-                # these lines checkpoints either a reset-but-unmapped slot
-                # (harmless — it stays free and reset is idempotent) or the
-                # fully-joined state, never a mapped-but-stale ring
+                # publish order is signal-safety-critical: reset the ring
+                # first (a checkpoint of a reset-but-unmapped slot is
+                # harmless — it stays free and reset is idempotent), then
+                # frame_idx BEFORE slot_of so a checkpoint can never hold a
+                # mapped stream without a frame counter (resume would
+                # KeyError on its first row)
                 state = engine.reset_streams(state, mask)  # fresh stream
-                slot_of[sid] = slot
                 frame_idx[sid] = 0
+                slot_of[sid] = slot
             slot = slot_of[sid]
             if slot in tick:
                 emit({"id": sid, "error": "multiple frames in one tick"})
                 continue
             if pool is not None:
-                tick[slot] = (sid, pool.submit(load_frame_fn, obj["image"]))
+                # per-stream backpressure: a timed-out decode keeps running
+                # (ThreadPoolExecutor can't cancel started work), so never
+                # stack a second decode for the same stream — otherwise one
+                # chronically slow feed accumulates stale futures until all
+                # workers starve every healthy stream
+                prev = inflight.get(sid)
+                if prev is not None and not prev.done():
+                    emit({"id": sid, "error": "decode busy: previous frame "
+                                              "still decoding, dropped"})
+                    continue
+                fut = pool.submit(load_frame_fn, obj["image"])
+                inflight[sid] = fut
+                tick[slot] = (sid, fut)
                 continue
             try:
                 tick[slot] = (sid, load_frame_fn(obj["image"]))

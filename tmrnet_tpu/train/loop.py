@@ -122,6 +122,7 @@ def _run_epoch_train(train_step, state, loader, epoch, rng,
                      minibatch_val: Optional[Callable] = None,
                      minibatch_val_every: int = 0, log_images_every: int = 0):
     acc = None  # device-resident (loss_sum, correct, count)
+    prev_loss, prev_count = 0.0, 0   # last log snapshot (host floats)
     timer = Timer()
     for i, (clips, labels, rows, pad) in enumerate(loader.epoch(epoch)):
         step_rng = jax.random.fold_in(rng, epoch * 100003 + i)
@@ -146,9 +147,15 @@ def _run_epoch_train(train_step, state, loader, epoch, rng,
             log.log_images(int(state.step), "train/input_sequence",
                            np.asarray(clips[0]))
         if log is not None and (i + 1) % log_every == 0:
-            n = max(int(acc[2]), 1)  # the only host sync between logs
-            log.log(int(state.step), {"loss": float(acc[0]) / n,
-                                      "fps": timer.fps}, prefix="train/")
+            # the only host sync between logs; report the SINCE-LAST-LOG
+            # window so the curve keeps per-batch resolution instead of an
+            # epoch-cumulative average that dilutes late-epoch spikes
+            tot_loss, tot_count = float(acc[0]), int(acc[2])
+            n = max(tot_count - prev_count, 1)
+            log.log(int(state.step),
+                    {"loss": (tot_loss - prev_loss) / n,
+                     "fps": timer.fps}, prefix="train/")
+            prev_loss, prev_count = tot_loss, tot_count
         if (minibatch_val is not None and minibatch_val_every
                 and (i + 1) % minibatch_val_every == 0):
             vm = minibatch_val(state)
