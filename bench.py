@@ -496,9 +496,44 @@ def bench_stream(args):
         jax.random.PRNGKey(1), (b, 224, 224, 3), 0, 255, jnp.uint8))
     state, preds, _, _ = engine.step(state, frames)   # compile
     np.asarray(preds)
+
+    decode_fn = None
+    if args.stream_decode:
+        # decode-in-the-loop variant (VERDICT r2 #5): each tick reads +
+        # eval-transforms B PNGs from disk on a serve-style worker pool,
+        # so the number includes the host decode path a real deployment
+        # pays. Wire dtype stays uint8 (device_normalize).
+        import os
+        import tempfile
+        from concurrent.futures import ThreadPoolExecutor
+
+        import cv2
+
+        from tmrnet_tpu.config import CHOLEC80_MEAN, CHOLEC80_STD
+        from tmrnet_tpu.data.pipeline import load_frame
+        from tmrnet_tpu.data.transforms import EvalTransform
+
+        tf = EvalTransform(224, 250, 1, CHOLEC80_MEAN, CHOLEC80_STD,
+                           normalize=False)
+        d = tempfile.mkdtemp(prefix="bench_stream_png_")
+        rng = np.random.RandomState(0)
+        paths = []
+        for i in range(b):
+            path = os.path.join(d, f"s{i}.png")
+            cv2.imwrite(path, rng.randint(0, 255, (250, 250, 3), np.uint8))
+            paths.append(path)
+        pool = ThreadPoolExecutor(max_workers=args.stream_decode)
+
+        def decode_fn():
+            frs = list(pool.map(lambda pth: tf(
+                np.stack([load_frame(pth)]))[0], paths))
+            return np.stack(frs)
+
     lat = []
     for _ in range(args.iters):
         t0 = time.perf_counter()
+        if decode_fn is not None:
+            frames = decode_fn()
         state, preds, probs, valid = engine.step(state, frames)
         np.asarray(preds)   # online: every step's prediction is consumed
         lat.append(time.perf_counter() - t0)
@@ -510,7 +545,9 @@ def bench_stream(args):
         "value": round(p50, 2),
         "unit": f"ms/step p50 ({b} streams; p95 "
                 f"{float(np.percentile(lat, 95)):.2f} ms; "
-                f"{fps:.0f} frames/sec)",
+                f"{fps:.0f} frames/sec"
+                + (f"; decode-in-loop x{args.stream_decode} workers"
+                   if args.stream_decode else "") + ")",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
     }))
     return 0
@@ -529,6 +566,10 @@ def main():
                     help="route NLBlock attention through the Pallas kernel")
     ap.add_argument("--stream-batch", type=int, default=16,
                     help="stream mode: parallel 1-fps video streams")
+    ap.add_argument("--stream-decode", type=int, default=0, metavar="W",
+                    help="stream mode: decode B PNGs from disk per tick on "
+                         "W pool threads (serve-style decode in the loop; "
+                         "0 = device-staged frames, compute only)")
     ap.add_argument("--mode",
                     choices=["clip", "video", "e2e", "train", "stream",
                              "cholec80", "lfb"],

@@ -459,3 +459,44 @@ def test_cli_test_video_engine_batched_matches_sequential(tmp_path,
     np.testing.assert_allclose(np.load(out_seq)["scores"],
                                np.load(out_bat)["scores"],
                                atol=1e-5, rtol=1e-4)
+
+
+def test_cli_ref_pickle_roundtrip(tmp_path, tiny_cfg_json, capsys):
+    """Reference prediction-pickle interop: `test --ref-pickle` writes the
+    reference's pickle pair (`test_..._2fc_copy.py:443-450`), and `export`
+    consumes a reference-format .pkl, producing the same txt tree as the
+    npz path."""
+    import pickle
+
+    frames_dir, ann_dir = _write_frames_tree(tmp_path, n_videos=2, seconds=12)
+    manifest = tmp_path / "tp.pkl"
+    assert main(["manifest", "--frames", str(frames_dir),
+                 "--annotations", str(ann_dir), "--out", str(manifest)]) == 0
+    capsys.readouterr()
+
+    preds_path = tmp_path / "preds.npz"
+    ref_pkl = tmp_path / "model_test.pkl"
+    assert main(["test", "--config", tiny_cfg_json,
+                 "--manifest", str(manifest), "--lfb",
+                 str(tmp_path / "lfb.npz"), "--out", str(preds_path),
+                 "--ref-pickle", str(ref_pkl)]) == 0
+    capsys.readouterr()
+    with open(ref_pkl, "rb") as f:
+        ref_preds = pickle.load(f)
+    npz = np.load(preds_path)
+    assert ref_preds == [int(x) for x in npz["preds"]]
+    with open(str(ref_pkl) + ".score.pkl", "rb") as f:
+        np.testing.assert_allclose(pickle.load(f), npz["scores"])
+
+    def run_export(preds_file, tag):
+        pd, gd = tmp_path / f"p{tag}", tmp_path / f"g{tag}"
+        assert main(["export", "--config", tiny_cfg_json,
+                     "--manifest", str(manifest), "--preds", str(preds_file),
+                     "--pred-dir", str(pd), "--gt-dir", str(gd)]) == 0
+        capsys.readouterr()
+        import os
+
+        return {f: open(os.path.join(pd, f)).read()
+                for f in sorted(os.listdir(pd))}
+
+    assert run_export(preds_path, "npz") == run_export(ref_pkl, "pkl")

@@ -557,6 +557,16 @@ def cmd_test(args) -> int:
             mesh=_mesh_for(cfg, batch=cfg.eval.batch_clips,
                            what="eval.batch_clips")).run(ds)
     np.savez(args.out, preds=res.preds, scores=res.scores, rows=res.rows)
+    if args.ref_pickle:
+        # reference prediction-pickle pair (<name>.pkl + <name>.score.pkl,
+        # `test_..._2fc_copy.py:443-450`) so reference tooling
+        # (export_phase_copy.py) can consume predictions made here
+        import pickle
+
+        with open(args.ref_pickle, "wb") as f:
+            pickle.dump([int(x) for x in res.preds], f)
+        with open(args.ref_pickle + ".score.pkl", "wb") as f:
+            pickle.dump(np.asarray(res.scores), f)
     # per-class precision/recall like the reference's sklearn report
     # (`train_singlenet_phase_1fc.py:655-658`)
     from tmrnet_tpu.eval.metrics import classification_metrics
@@ -829,6 +839,14 @@ def cmd_export(args) -> int:
             parts.append(np.asarray([p for _, p in rows], np.int64))
         preds = (np.concatenate(parts) if parts
                  else np.zeros(0, np.int64))
+    elif args.preds.endswith((".pkl", ".pickle")):
+        # reference test-driver output: a pickled list/array of per-clip
+        # argmax predictions (`test_..._2fc_copy.py:443-450`) — score
+        # reference-produced predictions through this exporter/scorer
+        import pickle
+
+        with open(args.preds, "rb") as f:
+            preds = np.asarray(pickle.load(f), np.int64).ravel()
     else:
         preds = np.load(args.preds)["preds"]
     stats = export_predictions(m, preds, cfg.data.sequence_length,
@@ -957,6 +975,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "corpus, falling back to clip for multi-crop, "
                          "compat_cross_video, or --lfb workflows")
     sp.add_argument("--out", default="./predictions.npz")
+    sp.add_argument("--ref-pickle",
+                    help="also write predictions in the reference's pickle "
+                         "format (<path> + <path>.score.pkl) for its "
+                         "export_phase_copy.py tooling")
     sp.set_defaults(fn=cmd_test)
 
     sp = sub.add_parser("stream", help="online streaming inference "
