@@ -500,3 +500,13 @@ def test_cli_ref_pickle_roundtrip(tmp_path, tiny_cfg_json, capsys):
                 for f in sorted(os.listdir(pd))}
 
     assert run_export(preds_path, "npz") == run_export(ref_pkl, "pkl")
+
+    # the REAL reference on-disk format holds 0-d torch tensors
+    # (`test_..._2fc_copy.py:424`: preds.append(preds[i].data.cpu())) —
+    # export must consume that too
+    import torch
+
+    torch_pkl = tmp_path / "model_test_torch.pkl"
+    with open(torch_pkl, "wb") as f:
+        pickle.dump([torch.tensor(int(x)) for x in npz["preds"]], f)
+    assert run_export(torch_pkl, "tpkl") == run_export(preds_path, "npz")

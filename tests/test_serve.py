@@ -313,7 +313,8 @@ def test_serve_loop_slow_decode_dropped_not_stalling():
     timeout error, its LATER frames busy-drop while the stale decode still
     occupies the worker (per-stream backpressure — stale futures must not
     accumulate and starve healthy streams), every other stream's rows are
-    unaffected, and the stream recovers once the decode finishes."""
+    unaffected, and the stream recovers IN the same loop once the decode
+    drains (inflight release path)."""
     import time as _time
 
     cfg = _cfg()
@@ -345,36 +346,32 @@ def test_serve_loop_slow_decode_dropped_not_stalling():
                 np.zeros((2, HW, HW, 3), np.float32),
                 active=np.zeros((2,), bool))
 
+    times = {}
+
+    def lines_gen():
+        # phase 1: tick 0 = slow frame + b0; tick 1 = a1 (busy-drops while
+        # the stale decode still runs) + b1
+        for o in [{"id": "a", "image": "slow"}, {"id": "b", "image": "b0"},
+                  {"step": True},
+                  {"id": "a", "image": "a1"}, {"id": "b", "image": "b1"},
+                  {"step": True}]:
+            yield json.dumps(o) + "\n"
+        times["phase1"] = _time.perf_counter()
+        _time.sleep(SLEEP)   # let the stale decode drain INSIDE the loop
+        for o in [{"id": "a", "image": "a2"}, {"id": "b", "image": "b2"},
+                  {"step": True},
+                  {"id": "a", "image": "a3"}, {"id": "b", "image": "b3"},
+                  {"step": True}]:
+            yield json.dumps(o) + "\n"
+
     out = io.StringIO()
-    state_box = {}
-
-    def run_phase(lines, **kw):
-        summary = serve_loop(engine, 2, _protocol(lines), out, load,
-                             decode_workers=2, decode_timeout=0.15,
-                             state_dir=state_box.get("dir"), **kw)
-        return summary
-
-    # phase 1 (timed): tick 0 = slow frame, tick 1 = next frame while the
-    # stale decode still runs. Must complete far before the 4 s sleep.
-    import tempfile
-
-    state_box["dir"] = tempfile.mkdtemp()
     t0 = _time.perf_counter()
-    run_phase([{"id": "a", "image": "slow"}, {"id": "b", "image": "b0"},
-               {"step": True},
-               {"id": "a", "image": "a1"}, {"id": "b", "image": "b1"},
-               {"step": True}])
-    elapsed = _time.perf_counter() - t0
-    # the loop never waited out the 4 s sleep (wide margin: this 1-core
+    serve_loop(engine, 2, lines_gen(), out, load,
+               decode_workers=2, decode_timeout=0.15)
+    # phase 1 never waited out the 4 s sleep (wide margin: this 1-core
     # host's load can stretch tick wall-clock — CLAUDE.md testing notes)
+    elapsed = times["phase1"] - t0
     assert elapsed < 2.5, f"tick stalled on the slow decode: {elapsed:.2f}s"
-
-    # phase 2: after the stale decode drains, the stream recovers
-    _time.sleep(SLEEP)
-    run_phase([{"id": "a", "image": "a2"}, {"id": "b", "image": "b2"},
-               {"step": True},
-               {"id": "a", "image": "a3"}, {"id": "b", "image": "b3"},
-               {"step": True}])
 
     rows = [json.loads(l) for l in out.getvalue().splitlines()]
     errs = [r for r in rows if "error" in r]
@@ -387,9 +384,46 @@ def test_serve_loop_slow_decode_dropped_not_stalling():
     for r in b_rows:
         pred, valid = ref_b[r["frame"]]
         assert r["valid"] == valid and r["pred"] == (pred if valid else None)
-    # a froze ticks 0-1, then ran va[2:] as frames 0..1
+    # a froze ticks 0-1, then recovered in-loop and ran va[2:] as 0..1
     a_rows = [r for r in rows if r.get("id") == "a" and "error" not in r]
     assert [r["frame"] for r in a_rows] == [0, 1]
     for r in a_rows:
         pred, valid = ref_a[r["frame"]]
         assert r["valid"] == valid and r["pred"] == (pred if valid else None)
+
+
+def test_serve_loop_stale_saturation_survives_rejoin_churn():
+    """The per-stream backpressure is keyed by protocol id, which an
+    end/rejoin cycle resets — the stale-decode cap must still refuse new
+    submissions once timed-out decodes occupy every worker, so id churn
+    cannot starve the pool (review r3 finding)."""
+    import time as _time
+
+    cfg = _cfg()
+    variables, extractor = _variables(cfg, key=3)
+    engine = StreamingInference(cfg, variables, extractor)
+
+    def load(key):
+        if key.startswith("hang"):
+            _time.sleep(5.0)
+        return np.zeros((HW, HW, 3), np.float32)
+
+    # x hangs, times out, ends, rejoins under a new id, hangs again...
+    lines = [{"id": "x1", "image": "hang1"}, {"step": True},
+             {"id": "x1", "end": True},
+             {"id": "x2", "image": "hang2"}, {"step": True},
+             {"id": "x2", "end": True},
+             {"id": "x3", "image": "hang3"}, {"step": True}]
+    out = io.StringIO()
+    t0 = _time.perf_counter()
+    serve_loop(engine, 2, _protocol(lines), out, load,
+               decode_workers=2, decode_timeout=0.1)
+    elapsed = _time.perf_counter() - t0
+    rows = [json.loads(l) for l in out.getvalue().splitlines()]
+    errs = [r["error"] for r in rows if "error" in r]
+    assert len(errs) == 3
+    assert "decode timeout" in errs[0] and "decode timeout" in errs[1]
+    # the third hang is refused at submit time: both workers are already
+    # occupied by stale decodes
+    assert "pool saturated" in errs[2]
+    assert elapsed < 4.0  # never waited on any 5 s sleep

@@ -492,9 +492,15 @@ def cmd_test(args) -> int:
         from tmrnet_tpu.eval.infer import VideoInference
 
         extractor2 = _extractor_for(cfg, args, variables)
-        if cfg.data.test_crop_type in (5, 10):
-            raise SystemExit("--engine video does not support multi-crop "
-                             "eval; use --engine clip")
+        if cfg.data.test_crop_type not in (1, 2):
+            # crop 5/10 (multi-crop) and crop 0 (per-clip random crops)
+            # both need the per-clip transform path; the video engines
+            # transform once per whole video, which would silently change
+            # crop-0 outputs vs the reference protocol
+            raise SystemExit(
+                f"--engine video/corpus needs a deterministic frame-wise "
+                f"crop (test_crop_type 1/2, got "
+                f"{cfg.data.test_crop_type}); use --engine clip")
         if cfg.memory.compat_cross_video:
             raise SystemExit(
                 "--engine video builds per-video memory windows; the "
@@ -840,13 +846,21 @@ def cmd_export(args) -> int:
         preds = (np.concatenate(parts) if parts
                  else np.zeros(0, np.int64))
     elif args.preds.endswith((".pkl", ".pickle")):
-        # reference test-driver output: a pickled list/array of per-clip
-        # argmax predictions (`test_..._2fc_copy.py:443-450`) — score
-        # reference-produced predictions through this exporter/scorer
+        # reference test-driver output: a pickled list of per-clip argmax
+        # predictions (`test_..._2fc_copy.py:424,443-450`). The real files
+        # hold 0-d torch TENSORS (preds[i].data.cpu()), so unpickling
+        # needs torch importable — fail with a hint, not a stack trace.
         import pickle
 
-        with open(args.preds, "rb") as f:
-            preds = np.asarray(pickle.load(f), np.int64).ravel()
+        try:
+            with open(args.preds, "rb") as f:
+                obj = pickle.load(f)
+        except ModuleNotFoundError as e:
+            raise SystemExit(
+                f"unpickling {args.preds} needs the '{e.name}' package "
+                f"(reference prediction pickles store torch tensors): "
+                f"pip install {e.name}")
+        preds = np.asarray([int(np.asarray(v)) for v in obj], np.int64)
     else:
         preds = np.load(args.preds)["preds"]
     stats = export_predictions(m, preds, cfg.data.sequence_length,

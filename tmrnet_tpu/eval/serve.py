@@ -145,6 +145,7 @@ def serve_loop(engine, num_slots: int, in_f: IO[str], out_f: IO[str],
     step_ms: list = []      # model step+fetch only
     pool = None
     inflight: dict = {}     # stream id -> last submitted decode Future
+    stale: list = []        # timed-out decodes still occupying workers
     if decode_workers > 0:
         from concurrent.futures import ThreadPoolExecutor
 
@@ -190,6 +191,7 @@ def serve_loop(engine, num_slots: int, in_f: IO[str], out_f: IO[str],
                     emit({"id": sid, "error":
                           f"decode timeout (>{decode_timeout}s): frame "
                           f"dropped, stream frozen this tick"})
+                    stale.append(fut)
                     del tick[slot]
                     continue
                 except Exception as e:
@@ -292,6 +294,16 @@ def serve_loop(engine, num_slots: int, in_f: IO[str], out_f: IO[str],
                 if prev is not None and not prev.done():
                     emit({"id": sid, "error": "decode busy: previous frame "
                                               "still decoding, dropped"})
+                    continue
+                # the per-stream check is keyed by protocol id, which an
+                # end/rejoin cycle resets — also cap STALE decodes (timed
+                # out but still running: started threads can't be
+                # cancelled) so id churn can't occupy every worker with
+                # hung decodes and starve healthy streams
+                stale[:] = [f for f in stale if not f.done()]
+                if len(stale) >= decode_workers:
+                    emit({"id": sid, "error": "decode busy: pool saturated "
+                                              "by stalled decodes, dropped"})
                     continue
                 fut = pool.submit(load_frame_fn, obj["image"])
                 inflight[sid] = fut
