@@ -92,11 +92,14 @@ class MetricLogger:
             self._jsonl.write(json.dumps(
                 {"step": step, tag: cm.tolist()}) + "\n")
             self._jsonl.flush()
-        if self._tb is not None:
-            row = cm.astype(np.float64)
-            row /= np.maximum(row.sum(axis=1, keepdims=True), 1)
-            img = (row * 255).astype("uint8")[..., None].repeat(3, axis=-1)
-            self._tb.add_images(tag, img[None], step, dataformats="NHWC")
+        # render through log_images: TB when available AND a PNG dump, the
+        # counterpart of the reference's Comet confusion-matrix images
+        row = cm.astype(np.float64)
+        row /= np.maximum(row.sum(axis=1, keepdims=True), 1)
+        img = (row * 255).astype("uint8")[..., None].repeat(3, axis=-1)
+        # upscale 16x so the PNG is inspectable (num_classes is tiny)
+        img = img.repeat(16, axis=0).repeat(16, axis=1)
+        self.log_images(step, tag, img[None])
 
     def close(self) -> None:
         if self._jsonl:
