@@ -238,3 +238,51 @@ def test_quirk_default_is_matlab_behavior():
     pred = np.array([0] * 25 + [1] * 35)
     assert relaxed_evaluate(gt, pred).accuracy == relaxed_evaluate(
         gt, pred, quirk_compat=True).accuracy
+
+
+def test_phase_file_m2cai_names_map_to_m2cai_ids(tmp_path):
+    """M2CAI name-labeled files must decode with M2CAI ids — the 7 shared
+    names map to DIFFERENT ids there (Preparation is 1 after
+    TrocarPlacement=0), so the default cholec80-first mapping would shift
+    every shared phase by one (review r3 finding)."""
+    from tmrnet_tpu.config import M2CAI_PHASES
+
+    p = str(tmp_path / "gt.txt")
+    with open(p, "w") as f:
+        f.write("Frame\tPhase\n0\tTrocarPlacement\n25\tPreparation\n"
+                "50\tCalotTriangleDissection\n75\tGallbladderRetraction\n")
+    _, labs = read_phase_file(p, phase_names=M2CAI_PHASES)
+    np.testing.assert_array_equal(labs, [0, 1, 2, 7])
+
+
+def test_phase_file_matlab_compat_drops_first_row(tmp_path):
+    """ReadPhaseLabel.m does fgets() before textscan, dropping line 1 even
+    of headerless files (the reference's exports ARE headerless); the
+    matlab_compat flag reproduces that."""
+    labels = np.array([3, 1, 2, 0])
+    p = str(tmp_path / "video41-phase.txt")
+    write_phase_file(p, labels, fps=25, header=False)
+    _, labs = read_phase_file(p)                       # default: keep row 0
+    np.testing.assert_array_equal(labs, labels)
+    _, labs = read_phase_file(p, matlab_compat=True)   # MATLAB: lose row 0
+    np.testing.assert_array_equal(labs, labels[1:])
+    # with a header both agree
+    write_phase_file(p, labels, fps=25, header=True)
+    _, labs = read_phase_file(p, matlab_compat=True)
+    np.testing.assert_array_equal(labs, labels)
+
+
+def test_relaxed_evaluate_empty_video_yields_nan():
+    from tmrnet_tpu.eval.metrics import relaxed_evaluate
+
+    sc = relaxed_evaluate(np.zeros(0, np.int64), np.zeros(0, np.int64))
+    assert np.isnan(sc.accuracy) and np.isnan(sc.jaccard).all()
+
+
+def test_classification_metrics_rejects_out_of_range():
+    from tmrnet_tpu.eval.metrics import classification_metrics
+
+    with pytest.raises(ValueError, match="labels outside"):
+        classification_metrics(np.array([0, -1]), np.array([0, 1]), 7)
+    with pytest.raises(ValueError, match="preds outside"):
+        classification_metrics(np.array([0, 1]), np.array([0, 7]), 7)

@@ -804,7 +804,8 @@ def cmd_parity(args) -> int:
                        pred_dir=pred_dir, gt_dir=gt_dir,
                        fps=cfg.eval.export_fps)
     gts, preds = load_exported(pred_dir, gt_dir,
-                               [v.video_id for v in m.videos])
+                               [v.video_id for v in m.videos],
+                               phase_names=_phase_names(args.protocol))
     rep = evaluate_protocol(gts, preds, protocol=args.protocol,
                             quirk_compat=True)
     print(rep.format_table())
@@ -877,7 +878,9 @@ def cmd_evaluate(args) -> int:
     video_ids = args.videos or sorted(
         f[: -len("-phase.txt")] for f in os.listdir(args.gt_dir)
         if f.endswith("-phase.txt"))
-    gts, preds = load_exported(args.pred_dir, args.gt_dir, video_ids)
+    gts, preds = load_exported(args.pred_dir, args.gt_dir, video_ids,
+                               phase_names=_phase_names(args.protocol),
+                               matlab_compat=args.matlab_compat)
     rep = evaluate_protocol(gts, preds, protocol=args.protocol,
                             fps=args.fps,
                             quirk_compat=not args.no_quirk)
@@ -1079,6 +1082,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--no-quirk", action="store_true",
                     help="use intended (non-MATLAB-quirk) early relaxation")
     sp.add_argument("--json-out")
+    sp.add_argument("--matlab-compat", action="store_true",
+                    help="drop each phase file's first row like "
+                         "ReadPhaseLabel.m's unconditional fgets (reference "
+                         "exports are headerless, so Main.m silently loses "
+                         "frame 0 per video)")
     sp.set_defaults(fn=cmd_evaluate)
 
     return p

@@ -62,6 +62,8 @@ def clips_per_video(seq_len: int, video_lengths: Sequence[int]) -> np.ndarray:
 def video_first_rows(seq_len: int, video_lengths: Sequence[int]) -> np.ndarray:
     """First LFB row index of each video (exclusive cumsum of clips_per_video)."""
     cpv = clips_per_video(seq_len, video_lengths)
+    if cpv.size == 0:   # np.concatenate([[0], ...]) would yield length 1
+        return np.zeros(0, dtype=np.int64)
     return np.concatenate([[0], np.cumsum(cpv)[:-1]]).astype(np.int64)
 
 

@@ -30,8 +30,10 @@ def export_predictions(
     """clip_preds: concatenated per-clip predictions in bank-row order
     (video-major). Writes one txt per video; returns summary stats including
     the recomputed frame accuracy (reference `:83-89`)."""
+    from tmrnet_tpu.data.indexing import clips_per_video
+
     lengths = manifest.video_lengths
-    num_clips = [max(0, n + 1 - seq_len) for n in lengths]
+    num_clips = clips_per_video(seq_len, lengths).tolist()
     expected = sum(num_clips)
     if len(clip_preds) != expected:
         raise ValueError(
@@ -65,16 +67,23 @@ def export_predictions(
 
 def load_exported(pred_dir: str, gt_dir: str,
                   video_ids: Sequence[str],
-                  video_name_fmt: str = "{vid}-phase.txt"
+                  video_name_fmt: str = "{vid}-phase.txt",
+                  phase_names: Optional[Sequence[str]] = None,
+                  matlab_compat: bool = False
                   ) -> Tuple[List[np.ndarray], List[np.ndarray]]:
-    """Read back exported pred/gt txt pairs for scoring."""
+    """Read back exported pred/gt txt pairs for scoring. phase_names: the
+    protocol's name->id order for name-labeled gt files (pass M2CAI_PHASES
+    for m2cai — shared names map to different ids there); matlab_compat
+    drops each file's first row like `ReadPhaseLabel.m:8`."""
     from tmrnet_tpu.eval.metrics import read_phase_file
 
     gts, preds = [], []
     for vid in video_ids:
         name = video_name_fmt.format(vid=vid)
-        _, g = read_phase_file(os.path.join(gt_dir, name))
-        _, p = read_phase_file(os.path.join(pred_dir, name))
+        _, g = read_phase_file(os.path.join(gt_dir, name), phase_names,
+                               matlab_compat)
+        _, p = read_phase_file(os.path.join(pred_dir, name), phase_names,
+                               matlab_compat)
         if g.shape != p.shape:
             raise ValueError(f"gt/pred length mismatch for {vid}")
         gts.append(g)

@@ -102,6 +102,12 @@ def relaxed_evaluate(
     if gt.shape != pred.shape or gt.ndim != 1:
         raise ValueError(f"shape mismatch: gt {gt.shape} vs pred {pred.shape}")
     n = gt.size
+    if n == 0:
+        # MATLAB sum([])/0 yields NaN; surface the same instead of a
+        # ZeroDivisionError for a header-only / empty phase file
+        return VideoScores(jaccard=np.full(nph, np.nan),
+                           precision=np.full(nph, np.nan),
+                           recall=np.full(nph, np.nan), accuracy=np.nan)
     ori_t = relaxed_seconds * fps
 
     diff = pred - gt
@@ -295,16 +301,33 @@ def evaluate_protocol(
 # ---------------------------------------------------------------------------
 
 
-def read_phase_file(path: str) -> Tuple[np.ndarray, np.ndarray]:
+def read_phase_file(path: str, phase_names: Optional[Sequence[str]] = None,
+                    matlab_compat: bool = False
+                    ) -> Tuple[np.ndarray, np.ndarray]:
     """Read a video<N>-phase.txt; returns (frame_ids, labels) int arrays.
 
     Accepts both numeric labels and phase-name labels (the official cholec80
-    annotation txts use names; exports use numeric ids)."""
-    from tmrnet_tpu.config import CHOLEC80_PHASES, M2CAI_PHASES
+    annotation txts use names; exports use numeric ids).
 
-    name_to_id = {n: i for i, n in enumerate(CHOLEC80_PHASES)}
-    for i, n in enumerate(M2CAI_PHASES):
-        name_to_id.setdefault(n, i)
+    phase_names: the protocol's name->id order for name-labeled files.
+    Default (None) is cholec80 order with TrocarPlacement appended — for
+    M2CAI name-labeled files pass M2CAI_PHASES: its 7 shared names map to
+    DIFFERENT ids there (Preparation is 1 after TrocarPlacement=0, ...).
+
+    matlab_compat: drop the first ROW unconditionally like
+    `ReadPhaseLabel.m:8` (fgets before textscan) — the reference exports
+    are headerless (`export_phase_copy.py` header writes are commented
+    out), so the real MATLAB scorer silently loses each file's frame-0
+    row; enable this to reproduce Main.m's numbers bit-exactly. Default
+    keeps row 0 and skips only an actual header line."""
+    if phase_names is None:
+        from tmrnet_tpu.config import CHOLEC80_PHASES, M2CAI_PHASES
+
+        name_to_id = {n: i for i, n in enumerate(CHOLEC80_PHASES)}
+        for i, n in enumerate(M2CAI_PHASES):
+            name_to_id.setdefault(n, i)
+    else:
+        name_to_id = {n: i for i, n in enumerate(phase_names)}
     frames: List[int] = []
     labels: List[int] = []
     with open(path, "r") as f:
@@ -315,8 +338,10 @@ def read_phase_file(path: str) -> Tuple[np.ndarray, np.ndarray]:
                 continue
             if first:
                 first = False
-                # Header row ("Frame Phase") is skipped like `ReadPhaseLabel.m:8`;
-                # tolerate headerless files.
+                if matlab_compat:
+                    continue            # ReadPhaseLabel.m drops line 1
+                # Header row ("Frame Phase") is skipped like
+                # `ReadPhaseLabel.m:8`; tolerate headerless files.
                 if not parts[0].lstrip("-").isdigit():
                     continue
             frames.append(int(parts[0]))
@@ -351,6 +376,12 @@ def classification_metrics(
     labels = np.asarray(labels).ravel()
     preds = np.asarray(preds).ravel()
     cm = np.zeros((num_classes, num_classes), dtype=np.int64)
+    for name, arr in (("labels", labels), ("preds", preds)):
+        if arr.size and (arr.min() < 0 or arr.max() >= num_classes):
+            # a -1 padding sentinel would silently wrap to the last class
+            # row via negative indexing and corrupt the matrix
+            raise ValueError(f"{name} outside [0, {num_classes}): "
+                             f"min={arr.min()} max={arr.max()}")
     np.add.at(cm, (labels, preds), 1)
     tp = np.diag(cm).astype(np.float64)
     pred_tot = cm.sum(axis=0).astype(np.float64)

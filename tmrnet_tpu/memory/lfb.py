@@ -85,7 +85,13 @@ def update_bank(features: jax.Array, rows: jax.Array,
 def gather_memory_windows(features: jax.Array, rows: jax.Array,
                           first_rows: jax.Array, window: int) -> jax.Array:
     """Device-side memory-window gather: (B,) rows -> (B, window, F), most
-    recent clip first, clamped at each video's first row."""
+    recent clip first, clamped at each video's first row.
+
+    CONTRACT: first_rows is BATCH-ALIGNED — first_rows[i] is the first row
+    of rows[i]'s video, i.e. callers index the per-row table first
+    (`ds.first_rows[rows]`). Do NOT pass FeatureBank.first_rows (length
+    num_rows) directly: with B == num_rows and shuffled rows it would
+    silently pair row i with the wrong video's clamp."""
     idx = memory_window_rows(rows, first_rows, window)  # (B, window)
     return jnp.take(features, idx, axis=0)
 
