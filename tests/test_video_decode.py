@@ -63,3 +63,76 @@ def test_video_clip_reader_real_decode(synthetic_video):
     # zeros policy on a missing file
     bad = VideoClipReader(["/nonexistent.mp4"], [3], 2, error_policy="zeros")
     assert bad.read_clip(0).sum() == 0
+
+
+@pytest.fixture(scope="module")
+def long_video(tmp_path_factory):
+    """300-frame mp4, index in brightness (12 sampled frames at stride 25)."""
+    d = tmp_path_factory.mktemp("vids2")
+    path = str(d / "video02.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 25, (64, 64))
+    assert w.isOpened()
+    for i in range(300):
+        w.write(np.full((64, 64, 3), (i * 7) % 200 + 20, np.uint8))
+    w.release()
+    return path
+
+
+def test_reader_sequential_access_decodes_once(long_video, monkeypatch):
+    """In-order clip reads must reuse the per-thread cursor + overlap
+    buffer: one video open for a whole sequential pass (the old reader
+    re-decoded from frame 0 per clip — O(n^2) per epoch), identical
+    outputs to fresh per-clip reads."""
+    import tmrnet_tpu.data.video as vmod
+
+    fresh = VideoClipReader([long_video], [12], seq_len=4, stride=25)
+    want = [fresh.read_clip(i) for i in range(fresh.num_clips)]
+    # count opens from a new reader doing the same in-order pass
+    opens = {"n": 0}
+    orig = vmod._iter_all_frames
+
+    def counting(path):
+        opens["n"] += 1
+        return orig(path)
+
+    monkeypatch.setattr(vmod, "_iter_all_frames", counting)
+    reader = VideoClipReader([long_video], [12], seq_len=4, stride=25)
+    got = [reader.read_clip(i) for i in range(reader.num_clips)]
+    assert opens["n"] == 1, f"sequential pass opened the video {opens['n']}x"
+    for g, w_ in zip(got, want):
+        np.testing.assert_array_equal(g, w_)
+    # backward random access still works (reopens)
+    np.testing.assert_array_equal(reader.read_clip(0), want[0])
+    assert opens["n"] == 2
+
+
+def test_reader_tail_overcount_pads_not_zeros(long_video):
+    """Metadata frame counts can overcount (VFR containers): clips past the
+    true end must tail-pad with the last decoded frame and count in
+    short_reads — never silent zero frames against real labels."""
+    # claim 14 sampled frames; the video only has 12
+    reader = VideoClipReader([long_video], [14], seq_len=4, stride=25)
+    clip = reader.read_clip(reader.num_clips - 1)  # start 10: frames 10..13
+    assert reader.short_reads == 1
+    assert clip.shape == (4, 64, 64, 3)
+    assert clip.mean() > 0, "tail clip must not be zero-filled"
+    # frames 12/13 are the repeated frame 11
+    np.testing.assert_array_equal(clip[2], clip[1])
+    np.testing.assert_array_equal(clip[3], clip[1])
+
+
+def test_clip_rng_adjacent_streams_independent():
+    """Adjacent (epoch, clip) Philox streams must not be shifted copies of
+    each other (low-counter-word seeding made (e+1, c)'s draws literally
+    equal draws 4.. of (e, c) — review r3, verified empirically)."""
+    from tmrnet_tpu.data.transforms import clip_rng
+
+    a = clip_rng(0, 5).random(16)
+    b = clip_rng(1, 5).random(16)
+    c = clip_rng(0, 6).random(16)
+    for other in (b, c):
+        for shift in range(1, 12):
+            assert not np.allclose(a[shift:], other[: 16 - shift]), shift
+            assert not np.allclose(other[shift:], a[: 16 - shift]), shift
+    # determinism is preserved
+    np.testing.assert_array_equal(a, clip_rng(0, 5).random(16))

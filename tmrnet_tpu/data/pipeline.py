@@ -113,7 +113,7 @@ def _assemble_batch(ds, batch_rows: np.ndarray, epoch: int, batch: int):
         labels[len(batch_rows):] = -1
     clips = np.stack(clips)
     if clips.dtype != np.uint8:  # uint8 = device-side normalize path
-        clips = clips.astype(np.float32)
+        clips = clips.astype(np.float32, copy=False)
     return clips, labels, padded, pad
 
 
@@ -176,9 +176,11 @@ class ClipLoader:
                                                       np.ndarray, int]]:
         rows = np.arange(self.ds.num_clips)
         if self.shuffle:
+            # epoch in the HIGH counter word: low-word seeding makes
+            # successive epochs' shuffle streams overlap (see clip_rng)
             np.random.Generator(
                 np.random.Philox(key=np.uint64(self.seed),
-                                 counter=[np.uint64(epoch), 0, 0, 0])
+                                 counter=[0, 0, 0, np.uint64(epoch)])
             ).shuffle(rows)
         if self.drop_remainder:
             rows = rows[: len(rows) - len(rows) % self.batch]
@@ -227,9 +229,11 @@ class VideoClipDataset:
         for lab, n in zip(self.labels, nf):
             if len(lab) < n:
                 raise ValueError("label array shorter than sampled frames")
-        cpv = np.maximum(np.asarray(nf) + 1 - self.reader.seq_len, 0)
-        self._first_rows = np.repeat(
-            np.concatenate([[0], np.cumsum(cpv)[:-1]]).astype(np.int64), cpv)
+        # single source of truth for the clip-count algebra (review r3):
+        # the reader's _cum already encodes clips_per_video's cumsum
+        cpv = np.diff(self.reader._cum)
+        firsts = self.reader._cum[:-1].astype(np.int64)
+        self._first_rows = np.repeat(firsts, cpv)
 
     @property
     def seq_len(self) -> int:

@@ -29,10 +29,17 @@ except ImportError:  # pragma: no cover
 
 def clip_rng(epoch: int, clip_id: int, base_seed: int = 0) -> np.random.Generator:
     """Deterministic per-(epoch, clip) generator — the stateless replacement
-    for the reference's `random.seed(count // sequence_length)` counters."""
+    for the reference's `random.seed(count // sequence_length)` counters.
+
+    epoch/clip_id live in the HIGH Philox counter words: the generator
+    advances the LOW word per 4-uint64 block, so low-word seeding would
+    make adjacent (epoch, clip) streams the same sequence shifted by one
+    block — deterministically correlated augmentations (measured: the
+    first draws of (e+1, c) literally equal draws 4.. of (e, c))."""
     return np.random.Generator(
         np.random.Philox(key=np.uint64(base_seed),
-                         counter=[np.uint64(epoch), np.uint64(clip_id), 0, 0]))
+                         counter=[0, 0, np.uint64(clip_id),
+                                  np.uint64(epoch)]))
 
 
 # ---------------------------------------------------------------------------
@@ -187,7 +194,7 @@ def color_jitter(clip: np.ndarray, rng: np.random.Generator,
                            + int(round(hf * 180))) % 180
             u8[i] = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
         x = u8.astype(np.float32)
-    return x.astype(clip.dtype if clip.dtype != np.uint8 else np.uint8)
+    return x.astype(clip.dtype)
 
 
 def normalize(clip: np.ndarray, mean: Sequence[float],
@@ -216,6 +223,9 @@ class TrainTransform:
 
     crop_size: int = 224
     resize: int = 250
+    # use_flip mirrors the reference's --flip flag, which selects the WHOLE
+    # augmentation pipeline (jitter+flip+rotation) vs none
+    # (`train_memorybank.py:72-130`) — it is not a flip-only switch.
     use_flip: bool = True
     rotate_degrees: float = 5.0
     jitter: float = 0.1

@@ -107,17 +107,35 @@ class VideoClipReader:
     """Read seq_len-frame clips straight from video files.
 
     Clip index space matches the frame-dir path: each video of n sampled
-    frames contributes n + 1 - seq_len clips; reads decode the exact frame
-    range. Decode failures return zeros (reference fallback behavior)."""
+    frames contributes n + 1 - seq_len clips. Decode failures return zeros
+    (reference fallback behavior).
+
+    Access cost: a per-thread sequential cursor with a seq_len-frame
+    sampled-frame buffer makes in-order access (the loaders' epoch order,
+    the video engines, streaming) O(stride) decoded frames per clip —
+    consecutive clips reuse their seq_len-1 overlapping frames from the
+    buffer instead of re-decoding the video from frame 0 (which made an
+    epoch O(n^2) in decoded frames). Backward random access reopens the
+    video (O(start), the old cost). The buffer holds seq_len RAW decoded
+    frames per worker thread.
+
+    A video that ends before its metadata frame count (cv2's
+    CAP_PROP_FRAME_COUNT routinely overcounts on VFR containers) pads the
+    clip tail by repeating the last decoded frame — not silent zeros
+    against real labels — and counts it in `short_reads`."""
 
     def __init__(self, video_paths: Sequence[str], num_frames: Sequence[int],
                  seq_len: int, stride: int = 25,
                  error_policy: str = "zeros"):
+        import threading
+
         self.paths = list(video_paths)
         self.num_frames = np.asarray(num_frames, np.int64)
         self.seq_len = seq_len
         self.stride = stride
         self.error_policy = error_policy
+        self.short_reads = 0     # clips tail-padded past the true video end
+        self._tls = threading.local()
         cpv = np.maximum(self.num_frames + 1 - seq_len, 0)
         self._cum = np.concatenate([[0], np.cumsum(cpv)])
 
@@ -130,21 +148,56 @@ class VideoClipReader:
         v = int(np.searchsorted(self._cum, clip_index, side="right") - 1)
         return v, int(clip_index - self._cum[v])
 
+    def _read_sampled(self, v: int, start: int) -> list:
+        """Sampled frames [start, start+seq_len) of video v via the
+        per-thread cursor; raises IOError('short read') when the range
+        cannot be served at all."""
+        seq, stride = self.seq_len, self.stride
+        need = list(range(start, start + seq))
+        st = getattr(self._tls, "st", None)
+        if st is not None and st["v"] == v:
+            missing = [k for k in need if k not in st["buf"]]
+            if not missing:
+                return [st["buf"][k] for k in need]
+            if missing[0] * stride < st["raw"]:
+                st = None            # behind the cursor, not buffered
+        else:
+            st = None
+        if st is None:
+            st = {"v": v, "it": _iter_all_frames(self.paths[v]),
+                  "raw": 0, "buf": {}}
+            self._tls.st = st
+        last_raw = (start + seq - 1) * stride
+        try:
+            while st["raw"] <= last_raw:
+                frame = next(st["it"])
+                raw, st["raw"] = st["raw"], st["raw"] + 1
+                if raw % stride == 0:
+                    k = raw // stride
+                    st["buf"][k] = np.asarray(frame)
+                    for old_k in [kk for kk in st["buf"] if kk <= k - seq]:
+                        del st["buf"][old_k]
+        except StopIteration:
+            # video ended before its metadata count (probe overcount)
+            pass
+        got = [k for k in need if k in st["buf"]]
+        if not got:
+            self._tls.st = None      # don't reuse a drained iterator
+            raise IOError("short read")
+        if len(got) < seq:
+            # tail-pad with the last decoded frame instead of silently
+            # zero-filling frames that real labels will be attached to
+            self.short_reads += 1
+            last = st["buf"][got[-1]]
+            return [st["buf"].get(k, last) for k in need]
+        return [st["buf"][k] for k in need]
+
     def read_clip(self, clip_index: int) -> np.ndarray:
         v, start = self.locate(clip_index)
         try:
-            frames = []
-            want = set(range(start, start + self.seq_len))
-            for i, frame in enumerate(_iter_all_frames(self.paths[v])):
-                k, r = divmod(i, self.stride)
-                if r == 0 and k in want:
-                    frames.append(np.asarray(frame))
-                if r == 0 and k >= start + self.seq_len:
-                    break
-            if len(frames) != self.seq_len:
-                raise IOError("short read")
-            return np.stack(frames)
+            return np.stack(self._read_sampled(v, start))
         except Exception:
+            self._tls.st = None      # a failed decode poisons the cursor
             if self.error_policy == "raise":
                 raise
             return np.zeros((self.seq_len, 256, 256, 3), np.uint8)

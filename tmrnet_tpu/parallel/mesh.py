@@ -52,9 +52,12 @@ def make_mesh(cfg: MeshConfig = MeshConfig(),
     dp = cfg.data_parallel
     if dp == -1:
         dp = len(devices) // mp
-    if dp * mp > len(devices):
+    if dp < 1 or dp * mp > len(devices):
+        # dp=0 (model_parallel > device count with auto dp) would silently
+        # build an empty device grid and fail far away inside jax
         raise ValueError(
-            f"mesh {dp}x{mp} needs {dp * mp} devices, have {len(devices)}")
+            f"mesh {dp}x{mp} needs {max(dp, 1) * mp} devices, "
+            f"have {len(devices)}")
     grid = np.asarray(devices[: dp * mp]).reshape(dp, mp)
     return Mesh(grid, (cfg.data_axis, cfg.model_axis))
 
@@ -63,9 +66,11 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def batch_sharding(mesh: Mesh, data_axis: str = "data") -> NamedSharding:
-    """Shard the leading (batch) dim over the data axis."""
-    return NamedSharding(mesh, P(data_axis))
+def batch_sharding(mesh: Mesh, data_axis: Optional[str] = None
+                   ) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis (by default the
+    mesh's FIRST axis, whatever the config named it)."""
+    return NamedSharding(mesh, P(data_axis or mesh.axis_names[0]))
 
 
 def _path_str(path) -> str:
@@ -76,26 +81,37 @@ def param_shardings(mesh: Mesh, params: Any,
                     rules: Sequence[Tuple[str, P]] = DEFAULT_TP_RULES,
                     use_tp: bool = True) -> Any:
     """A NamedSharding pytree for params: TP rules where they match (if the
-    model axis has >1 devices), replicated otherwise."""
-    model_axis_size = mesh.shape.get("model", 1)
+    model axis has >1 devices), replicated otherwise.
+
+    The rules name the model axis 'model' (DEFAULT_TP_RULES); when the
+    mesh's last axis was configured under a different name it is
+    substituted, so custom MeshConfig.model_axis values keep TP active."""
+    model_name = mesh.axis_names[-1]
+    model_axis_size = mesh.shape.get(model_name, 1)
+
+    def rename(spec: P) -> P:
+        return P(*(model_name if ax == "model" else ax for ax in spec))
 
     def assign(path, leaf):
         if use_tp and model_axis_size > 1:
             s = _path_str(path)
             for pattern, spec in rules:
                 if re.match(pattern, s):
-                    # only shard if the dimension divides evenly
-                    ok = all(
+                    spec = rename(spec)
+                    # rank guard FIRST: a spec longer than the leaf's rank
+                    # must fall back to replication, not IndexError inside
+                    # the divisibility check
+                    ok = len(spec) <= leaf.ndim and all(
                         ax is None or leaf.shape[i] % mesh.shape[ax] == 0
                         for i, ax in enumerate(spec))
-                    if ok and len(spec) <= leaf.ndim:
+                    if ok:
                         return NamedSharding(mesh, spec)
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map_with_path(assign, params)
 
 
-def shard_batch(mesh: Mesh, *arrays, data_axis: str = "data"):
+def shard_batch(mesh: Mesh, *arrays, data_axis: Optional[str] = None):
     """device_put host arrays with the batch dim sharded over data."""
     sh = batch_sharding(mesh, data_axis)
     out = tuple(jax.device_put(a, sh) for a in arrays)
