@@ -65,3 +65,67 @@ def test_best_tracker_tiebreak():
     assert not t.update(1, 0.7, 0.9)    # lower val
     assert t.update(2, 0.8, 0.8)        # same val, better train
     assert t.best_epoch == 2
+
+
+def test_metadata_tolerates_missing_sidecar(tmp_path):
+    """A crash between the orbax save and the JSON sidecar write must not
+    make resume abort: metadata() falls back to empty metrics."""
+    import os
+
+    st = _state()
+    cm = CheckpointManager(str(tmp_path / "ck"), keep=3)
+    cm.save(st, step=1, metrics={"epoch": 0})
+    os.remove(cm._meta_path(1))
+    assert cm.metadata(1) == {"step": 1, "metrics": {}}
+    # the checkpoint itself still restores
+    cm.restore(st, 1)
+
+
+def test_best_metadata_and_atomic_swap(tmp_path):
+    """best_metadata() exposes the saved best's metrics (resume re-seeds
+    the BestTracker from it), and a staged-but-unswapped best.tmp from a
+    crash is recoverable by restore_best."""
+    import os
+    import shutil
+
+    st = _state()
+    cm = CheckpointManager(str(tmp_path / "ck"), keep=3)
+    cm.save(st, step=1, metrics={"epoch": 0, "val_acc": 0.9,
+                                 "train_acc": 0.8}, is_best=True)
+    bm = cm.best_metadata()
+    assert bm["metrics"]["val_acc"] == 0.9
+    assert not os.path.exists(cm.best_dir + ".tmp")  # swap completed
+
+    # simulate a crash that removed best/ after staging the copy
+    shutil.move(cm.best_dir, cm.best_dir + ".tmp")
+    cm.restore_best(st)  # falls back to the staged tree
+
+
+def test_resume_does_not_overwrite_best_and_restores_plateau(tmp_path):
+    """After a resume, the first (worse) epoch must NOT replace the best
+    checkpoint, and the plateau schedule's reduced lr must carry over
+    instead of reverting to base_lr (review r3)."""
+    from tmrnet_tpu.train.loop import _fit  # exercised via train_stage1
+    # unit-level: simulate the loop's seeding logic directly
+    st = _state()
+    cm = CheckpointManager(str(tmp_path / "ck"), keep=3)
+    cm.save(st, step=5, metrics={"epoch": 4, "val_acc": 0.9,
+                                 "train_acc": 0.85, "val_loss": 0.5,
+                                 "sched_best": 0.5, "sched_bad_epochs": 1,
+                                 "sched_scale": 0.01}, is_best=True)
+    # tracker re-seeded from best metadata -> a 0.6 epoch is not "best"
+    tr = BestTracker()
+    bm = cm.best_metadata().get("metrics", {})
+    tr.best_val = float(bm.get("val_acc", -1.0))
+    tr.best_train = float(bm.get("train_acc", -1.0))
+    assert tr.update(5, 0.6, 0.9) is False
+    assert tr.update(6, 0.95, 0.9) is True
+    # plateau state restored -> next lr stays scaled, not base_lr
+    from tmrnet_tpu.train.optim import make_schedule
+
+    sched = make_schedule(TrainConfig(schedule="plateau", lr=5e-4))
+    meta = cm.metadata(5)["metrics"]
+    for k in ("best", "bad_epochs", "scale"):
+        setattr(sched, k, meta[f"sched_{k}"])
+    lr = sched(5, 0.6)  # no improvement over saved best 0.5
+    assert lr == pytest.approx(5e-4 * 0.01)

@@ -118,3 +118,80 @@ def test_resnest_trunk_conversion_shapes():
     params, stats = convert_resnest_trunk(sd, stage_sizes=(1, 1), prefix="")
     assert_shapes_match(init["params"], params)
     assert_shapes_match(init["batch_stats"], stats)
+
+
+class TorchResNeStBlock(nn.Module):
+    """Official resnest50 strided bottleneck (avd=True, avd_first=False):
+    SplAtConv2d at stride 1 on full resolution, THEN AvgPool2d(3, stride, 1),
+    with the avg_down shortcut."""
+
+    def __init__(self, in_ch, planes, stride=2):
+        super().__init__()
+        self.conv1 = nn.Conv2d(in_ch, planes, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = TorchSplAt(planes, planes)
+        self.avd_layer = nn.AvgPool2d(3, stride, padding=1)
+        self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(planes * 4)
+        self.downsample = nn.Sequential(
+            nn.AvgPool2d(stride, stride),
+            nn.Conv2d(in_ch, planes * 4, 1, bias=False),
+            nn.BatchNorm2d(planes * 4))
+
+    def forward(self, x):
+        out = torch.relu(self.bn1(self.conv1(x)))
+        out = self.conv2(out)
+        out = self.avd_layer(out)       # avd_first=False
+        out = self.bn3(self.conv3(out))
+        return torch.relu(out + self.downsample(x))
+
+
+def test_strided_bottleneck_matches_official_ordering():
+    """Full strided-block parity against the OFFICIAL resnest50 ordering —
+    the r3 review found the avd pool applied before the SplAt conv
+    (avd_first=True semantics), which diverges from every pretrained
+    checkpoint; this pins the corrected ordering end-to-end."""
+    from tmrnet_tpu.models.resnest import ResNeStBottleneck
+    from tmrnet_tpu.models.torch_import import _np, bn_params, conv2d_kernel
+
+    in_ch, planes = 32, 16
+    tm = TorchResNeStBlock(in_ch, planes, stride=2).eval()
+    rng = np.random.RandomState(3)
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, nn.BatchNorm2d):
+                m.running_mean.copy_(torch.from_numpy(
+                    rng.randn(*m.running_mean.shape).astype(np.float32) * 0.1))
+                m.running_var.copy_(torch.from_numpy(
+                    (1 + 0.2 * rng.rand(*m.running_var.shape))
+                    .astype(np.float32)))
+    x = rng.randn(2, in_ch, 8, 8).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()
+
+    sd = {k: v for k, v in tm.state_dict().items()}
+    params = {"conv1": {"kernel": conv2d_kernel(sd["conv1.weight"])},
+              "conv3": {"kernel": conv2d_kernel(sd["conv3.weight"])},
+              "downsample_conv":
+                  {"kernel": conv2d_kernel(sd["downsample.1.weight"])}}
+    stats = {}
+    params["bn1"], stats["bn1"] = bn_params(sd, "bn1")
+    params["bn3"], stats["bn3"] = bn_params(sd, "bn3")
+    params["downsample_bn"], stats["downsample_bn"] = bn_params(
+        sd, "downsample.2")
+    splat = {"conv": {"kernel": conv2d_kernel(sd["conv2.conv.weight"])},
+             "fc1": {"kernel": _np(sd["conv2.fc1.weight"])[..., 0, 0].T,
+                     "bias": _np(sd["conv2.fc1.bias"])},
+             "fc2": {"kernel": _np(sd["conv2.fc2.weight"])[..., 0, 0].T,
+                     "bias": _np(sd["conv2.fc2.bias"])}}
+    sstats = {}
+    splat["bn0"], sstats["bn0"] = bn_params(sd, "conv2.bn0")
+    splat["bn1"], sstats["bn1"] = bn_params(sd, "conv2.bn1")
+    params["splat"] = splat
+    stats["splat"] = sstats
+
+    jm = ResNeStBottleneck(planes=planes, strides=2)
+    got = jm.apply({"params": params, "batch_stats": stats},
+                   jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
+                               atol=2e-4, rtol=1e-3)

@@ -68,9 +68,13 @@ class SplitAttention(nn.Module):
         a = nn.Dense(c * r, dtype=cdt, param_dtype=jnp.float32, name="fc2")(a)
 
         # rSoftMax: softmax over the radix dim per (cardinal-group, channel).
+        # The fc2 output is cardinality-major; transpose to radix-major
+        # before flattening (the official rSoftMax's .transpose(1, 2)) so
+        # each radix chunk's (g, c/g) layout lines up with the conv
+        # splits. Identity at g=1; required for any groups > 1.
         a = a.reshape(b, g, r, c // g)
         a = jax.nn.softmax(a.astype(jnp.float32), axis=2).astype(cdt)
-        a = a.reshape(b, r, c)
+        a = a.transpose(0, 2, 1, 3).reshape(b, r, c)
         return jnp.einsum("bhwrc,brc->bhwc", splits, a)
 
 
@@ -79,7 +83,10 @@ class ResNeStBottleneck(nn.Module):
     strides: int = 1
     radix: int = 2
     expansion: int = 4
-    avd: bool = True  # avg-pool before the split-attention conv when strided
+    # avg-pool AFTER the split-attention conv when strided (the official
+    # resnest50 is avd=True, avd_first=False: SplAtConv2d runs at stride 1
+    # on full resolution, then AvgPool2d(3, stride, 1) downsamples)
+    avd: bool = True
     compute_dtype: Dtype = jnp.float32
     folded: bool = False
 
@@ -92,11 +99,11 @@ class ResNeStBottleneck(nn.Module):
 
         y = _conv(self.planes, 1, 1, 0, cdt, "conv1", use_bias=fold)(x)
         y = nn.relu(_bn(train, cdt, "bn1", fold)(y))
-        if self.avd and self.strides > 1:
-            y = nn.avg_pool(y, (3, 3), strides=(self.strides,) * 2,
-                            padding=[(1, 1)] * 2)
         y = SplitAttention(self.planes, radix=self.radix, compute_dtype=cdt,
                            folded=fold, name="splat")(y, train)
+        if self.avd and self.strides > 1:   # avd_first=False ordering
+            y = nn.avg_pool(y, (3, 3), strides=(self.strides,) * 2,
+                            padding=[(1, 1)] * 2)
         y = _conv(out_feats, 1, 1, 0, cdt, "conv3", use_bias=fold)(y)
         y = _bn(train, cdt, "bn3", fold)(y)
 

@@ -168,10 +168,14 @@ def _run_epoch_train(train_step, state, loader, epoch, rng,
 
 
 def _run_epoch_eval(eval_step, state, loader,
-                    memory_fn: Optional[Callable] = None):
+                    memory_fn: Optional[Callable] = None, mesh=None):
     loss_sum, correct, count = 0.0, 0, 0
     all_preds, all_labels, all_rows = [], [], []
     for clips, labels, rows, pad in loader.epoch(0):
+        if mesh is not None:   # same pre-sharded feed as the train path
+            from tmrnet_tpu.parallel.mesh import shard_batch
+
+            clips, labels = shard_batch(mesh, clips, labels)
         if memory_fn is not None:
             m = eval_step(state, jnp.asarray(clips), memory_fn(rows),
                           jnp.asarray(labels))
@@ -213,10 +217,11 @@ def _fit(cfg: ExperimentConfig, model, train_ds: ClipDataset,
 
     ckpt = CheckpointManager(t.checkpoint_dir, keep=t.keep_checkpoints)
     start_epoch = 0
+    resume_meta: Dict = {}
     if t.resume and ckpt.latest_step() is not None:
         state = ckpt.restore(state)
-        start_epoch = int(ckpt.metadata(ckpt.latest_step())
-                          .get("metrics", {}).get("epoch", -1)) + 1
+        resume_meta = ckpt.metadata(ckpt.latest_step()).get("metrics", {})
+        start_epoch = int(resume_meta.get("epoch", -1)) + 1
 
     class_weights = (balanced_class_weights(train_ds.manifest.flat_labels(),
                                             cfg.model.num_classes)
@@ -252,7 +257,21 @@ def _fit(cfg: ExperimentConfig, model, train_ds: ClipDataset,
                 first_rows=val_bank.first_rows)
 
     schedule = make_schedule(t)
+    if start_epoch and hasattr(schedule, "scale"):
+        # restore the plateau schedule's host state — a fresh instance
+        # would silently revert lr to base_lr after the first resumed
+        # epoch (review r3)
+        for k in ("best", "bad_epochs", "scale"):
+            if f"sched_{k}" in resume_meta:
+                setattr(schedule, k, resume_meta[f"sched_{k}"])
     tracker = BestTracker()
+    if start_epoch:
+        # re-seed the selection rule from the saved best, so the first
+        # post-resume epoch can't overwrite the real best checkpoint
+        bm = ckpt.best_metadata().get("metrics", {})
+        tracker.best_val = float(bm.get("val_acc", -1.0))
+        tracker.best_train = float(bm.get("train_acc", -1.0))
+        tracker.best_epoch = int(bm.get("epoch", -1))
     rng = jax.random.PRNGKey(t.seed)
     memory_fn = (_make_memory_fn(cfg, train_ds, bank, window)
                  if use_memory else None)
@@ -264,6 +283,10 @@ def _fit(cfg: ExperimentConfig, model, train_ds: ClipDataset,
     minibatch_val = None
     if t.val_minibatch_every and val_ds is not None:
         vb_clips, vb_labels, vb_rows, vb_pad = next(iter(val_loader.epoch(0)))
+        if mesh is not None:
+            from tmrnet_tpu.parallel.mesh import shard_batch
+
+            vb_clips, vb_labels = shard_batch(mesh, vb_clips, vb_labels)
 
         def minibatch_val(st):
             if use_memory:
@@ -284,7 +307,7 @@ def _fit(cfg: ExperimentConfig, model, train_ds: ClipDataset,
             t.log_images_every)
         if val_loader is not None:
             va_loss, va_acc, va_preds, va_labels, _ = _run_epoch_eval(
-                eval_step, state, val_loader, val_memory_fn)
+                eval_step, state, val_loader, val_memory_fn, mesh)
             if log is not None and va_preds.size:
                 from tmrnet_tpu.eval.metrics import classification_metrics
 
@@ -311,9 +334,13 @@ def _fit(cfg: ExperimentConfig, model, train_ds: ClipDataset,
                             "val_loss": va_loss, "val_acc": va_acc,
                             "lr": lr, "seconds": secs}, prefix="epoch/")
         is_best = tracker.update(epoch, va_acc, tr_acc)
-        ckpt.save(state, step=int(state.step),
-                  metrics={"epoch": epoch, "val_acc": va_acc,
-                           "train_acc": tr_acc, "val_loss": va_loss},
+        metrics = {"epoch": epoch, "val_acc": va_acc,
+                   "train_acc": tr_acc, "val_loss": va_loss}
+        if hasattr(schedule, "scale"):   # plateau host state, for resume
+            metrics.update(sched_best=schedule.best,
+                           sched_bad_epochs=schedule.bad_epochs,
+                           sched_scale=schedule.scale)
+        ckpt.save(state, step=int(state.step), metrics=metrics,
                   is_best=is_best)
     return state, history
 

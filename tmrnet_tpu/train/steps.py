@@ -23,7 +23,9 @@ from tmrnet_tpu.train.losses import weighted_cross_entropy
 from tmrnet_tpu.train.state import TrainState
 
 
-def _make_steps(has_memory: bool, class_weights, loss_reduction: str = "sum"):
+def _make_steps(class_weights, loss_reduction: str = "sum"):
+    # stage-1 and stage-2 steps share this body: the *inputs splat carries
+    # (clips,) or (clips, memory) transparently
     w = None if class_weights is None else jnp.asarray(class_weights)
 
     def forward_train(state: TrainState, params, inputs, labels, rng):
@@ -76,11 +78,11 @@ def make_stage1_steps(class_weights=None, loss_reduction: str = "sum"
                       ) -> Tuple[Callable, Callable]:
     """Steps for MemoryBankModel: train_step(state, clips, labels, rng),
     eval_step(state, clips, labels). labels are per-clip last-frame labels."""
-    return _make_steps(False, class_weights, loss_reduction)
+    return _make_steps(class_weights, loss_reduction)
 
 
 def make_stage2_steps(class_weights=None, loss_reduction: str = "sum"
                       ) -> Tuple[Callable, Callable]:
     """Steps for TMRNet: train_step(state, clips, memory, labels, rng),
     eval_step(state, clips, memory, labels)."""
-    return _make_steps(True, class_weights, loss_reduction)
+    return _make_steps(class_weights, loss_reduction)

@@ -52,11 +52,19 @@ class CheckpointManager:
         with open(self._meta_path(step), "w") as f:
             json.dump({"step": step, "metrics": metrics or {}}, f)
         if is_best:
+            # crash-safe replacement: stage the full copy first, then swap —
+            # rmtree-before-copy left a window where a kill destroyed the
+            # only copy of the best model (review r3)
+            tmp = self.best_dir + ".tmp"
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+            shutil.copytree(path, tmp)
+            with open(tmp + ".json", "w") as f:
+                json.dump({"step": step, "metrics": metrics or {}}, f)
             if os.path.exists(self.best_dir):
                 shutil.rmtree(self.best_dir)
-            shutil.copytree(path, self.best_dir)
-            with open(self.best_dir + ".json", "w") as f:
-                json.dump({"step": step, "metrics": metrics or {}}, f)
+            os.replace(tmp, self.best_dir)
+            os.replace(tmp + ".json", self.best_dir + ".json")
         self._gc()
         return path
 
@@ -94,15 +102,37 @@ class CheckpointManager:
         return state.replace(**restored)
 
     def restore_best(self, state):
-        if not os.path.exists(self.best_dir):
-            raise FileNotFoundError(f"no best checkpoint in {self.dir}")
+        best = self.best_dir
+        if not os.path.exists(best):
+            # a crash between the staged copy and the swap leaves the full
+            # staged tree behind — recover from it rather than failing
+            if os.path.exists(best + ".tmp"):
+                best = best + ".tmp"
+            else:
+                raise FileNotFoundError(f"no best checkpoint in {self.dir}")
         target = self._savable(state)
-        restored = self._ckptr.restore(self.best_dir, target)
+        restored = self._ckptr.restore(best, target)
         return state.replace(**restored)
 
     def metadata(self, step: int) -> Dict:
-        with open(self._meta_path(step)) as f:
-            return json.load(f)
+        """Step metadata; tolerates a sidecar lost to a crash between the
+        orbax save and the JSON write (the checkpoint itself is valid —
+        resume must not abort over missing metrics)."""
+        try:
+            with open(self._meta_path(step)) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return {"step": step, "metrics": {}}
+
+    def best_metadata(self) -> Dict:
+        """Metadata of the best checkpoint ({} when absent) — lets a
+        resumed run re-seed its BestTracker instead of overwriting the
+        real best with the first post-resume epoch."""
+        try:
+            with open(self.best_dir + ".json") as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return {}
 
 
 class BestTracker:
