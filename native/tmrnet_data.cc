@@ -111,25 +111,26 @@ int tmr_cutmargin_bbox(const uint8_t* rgb, int h, int w, int threshold,
   const int half = (k * k) / 2;
 
   int row0 = h, row1 = -1, col0 = w, col1 = -1;
+  // Reference-exact scan (change_size(): `for j in range(10, y-10)`): BOTH
+  // row and column extents come from pixels inside the column guard band,
+  // and the crop excludes the max row/col (width = right - left).
   const int cg0 = std::min(guard, w);
-  const int cg1 = std::max(cg0, w - guard);
+  const int cg1 = w - guard;  // empty band when w <= 2*guard -> all-black
   for (int y = 0; y < h; ++y) {
-    for (int x = 0; x < w; ++x) {
+    for (int x = cg0; x < cg1; ++x) {
       if (window_count(y, x) > half) {
-        if (x >= cg0 && x < cg1) {  // guard band for the row scan
-          row0 = std::min(row0, y);
-          row1 = std::max(row1, y);
-        }
+        row0 = std::min(row0, y);
+        row1 = std::max(row1, y);
         col0 = std::min(col0, x);
         col1 = std::max(col1, x);
       }
     }
   }
-  if (row1 < 0 || col1 < 0) return 1;
+  if (row1 < 0) return 1;
   bbox[0] = row0;
-  bbox[1] = row1 + 1;
+  bbox[1] = row1 > row0 ? row1 : row0 + 1;
   bbox[2] = col0;
-  bbox[3] = col1 + 1;
+  bbox[3] = col1 > col0 ? col1 : col0 + 1;
   return 0;
 }
 

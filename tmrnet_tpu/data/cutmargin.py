@@ -21,40 +21,68 @@ except ImportError:  # pragma: no cover
     _HAS_CV2 = False
 
 
+def _binary_majority(mask: np.ndarray, k: int) -> np.ndarray:
+    """cv2.medianBlur on a binary image == majority vote in the k x k
+    window; numpy fallback via a 2-D integral image (clipped windows with
+    the full-window threshold — matches the native path, conservative at
+    borders, which are black margin anyway)."""
+    h, w = mask.shape
+    integ = np.zeros((h + 1, w + 1), np.int32)
+    np.cumsum(np.cumsum(mask, axis=0), axis=1, out=integ[1:, 1:])
+    r = k // 2
+    y0 = np.clip(np.arange(h) - r, 0, h)
+    y1 = np.clip(np.arange(h) + r + 1, 0, h)
+    x0 = np.clip(np.arange(w) - r, 0, w)
+    x1 = np.clip(np.arange(w) + r + 1, 0, w)
+    counts = (integ[y1][:, x1] - integ[y1][:, x0]
+              - integ[y0][:, x1] + integ[y0][:, x0])
+    return counts > (k * k) // 2
+
+
 def margin_bbox(image: np.ndarray, threshold: int = 15,
                 blur_ksize: int = 19, guard: int = 10
                 ) -> Optional[Tuple[int, int, int, int]]:
-    """Bounding box (row0, row1, col0, col1) of non-black content, or None if
-    the frame is entirely black (reference returns the input unchanged then).
+    """Bounding box (row0, row1, col0, col1) of non-black content, or None
+    if the frame is entirely black (reference returns the input unchanged).
 
-    The reference scans columns only within [guard, width-guard] when locating
-    the content rows; we keep that behavior.
-    """
+    Reference-exact semantics (`change_size()`, review r3): BOTH row and
+    column extents come from pixels whose column lies in the
+    [guard, width-guard) band, and the crop EXCLUDES the max row/col
+    (the reference slices [min, min+(max-min))). Frames narrower than
+    2*guard have an empty scan band -> None, like the reference's empty
+    edge list."""
     if image.ndim == 3:
         if _HAS_CV2:
             import cv2
 
             gray = cv2.cvtColor(image, cv2.COLOR_RGB2GRAY)
         else:
-            gray = image.mean(axis=2).astype(np.uint8)
+            # ITU-R BT.601 luma, the same weights cv2.cvtColor uses — a
+            # plain channel mean diverged from the cv2/native paths
+            w_ = np.array([0.299, 0.587, 0.114], np.float32)
+            gray = np.clip(np.round(image.astype(np.float32) @ w_),
+                           0, 255).astype(np.uint8)
     else:
         gray = image
     binary = (gray > threshold).astype(np.uint8)
     if _HAS_CV2:
         import cv2
 
-        binary = cv2.medianBlur(binary * 255, blur_ksize)
-        mask = binary > 0
+        mask = cv2.medianBlur(binary * 255, blur_ksize) > 0
     else:
-        mask = binary.astype(bool)
+        # the raw threshold mask without the median would let one hot
+        # pixel in the margin expand the bbox — majority-filter it
+        mask = _binary_majority(binary.astype(bool), blur_ksize)
 
     h, w = mask.shape
-    inner = mask[:, guard:max(guard + 1, w - guard)]
-    rows = np.flatnonzero(inner.any(axis=1))
-    cols = np.flatnonzero(mask.any(axis=0))
-    if rows.size == 0 or cols.size == 0:
+    band = mask[:, guard:w - guard]          # empty when w <= 2*guard
+    ys, xs = np.nonzero(band)
+    if ys.size == 0:
         return None
-    return int(rows[0]), int(rows[-1]) + 1, int(cols[0]), int(cols[-1]) + 1
+    r0, r1 = int(ys.min()), int(ys.max())
+    c0, c1 = int(xs.min()) + guard, int(xs.max()) + guard
+    # exclusive of the max row/col, like the reference's width/height
+    return r0, max(r1, r0 + 1), c0, max(c1, c0 + 1)
 
 
 def cut_black_margin(image: np.ndarray, threshold: int = 15,

@@ -39,19 +39,26 @@ def device_prefetch(
             return jax.device_put(item)
         return item
 
+    def stage(batch):
+        if isinstance(batch, np.ndarray):
+            # enumerate() would silently explode a bare array batch into
+            # per-row device_puts (B tuple elements of the wrong rank)
+            raise TypeError(
+                "device_prefetch expects each batch to be a tuple/list of "
+                "items; wrap a bare array batch as (array,)")
+        return tuple(put(x, i) for i, x in enumerate(batch))
+
     queue: deque = deque()
     it = iter(batches)
     try:
         for _ in range(buffer_size):
-            batch = next(it)
-            queue.append(tuple(put(x, i) for i, x in enumerate(batch)))
+            queue.append(stage(next(it)))
     except StopIteration:
         pass
     while queue:
         out = queue.popleft()
         try:
-            batch = next(it)
-            queue.append(tuple(put(x, i) for i, x in enumerate(batch)))
+            queue.append(stage(next(it)))
         except StopIteration:
             pass
         yield out

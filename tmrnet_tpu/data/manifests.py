@@ -77,6 +77,14 @@ def _parse_labels(raw) -> np.ndarray:
 
 def _group_by_video(paths: List[str], labels: np.ndarray,
                     num_each: Sequence[int]) -> List[VideoRecord]:
+    if sum(int(n) for n in num_each) != len(paths) or \
+            len(paths) != len(labels):
+        # a truncated/corrupt pickle would otherwise load silently with
+        # dropped frames and plausible-but-wrong downstream numbers
+        raise ValueError(
+            f"manifest count mismatch: num_each sums to "
+            f"{sum(int(n) for n in num_each)}, got {len(paths)} paths / "
+            f"{len(labels)} labels")
     videos = []
     ofs = 0
     for i, n in enumerate(num_each):

@@ -31,13 +31,21 @@ def _try_build() -> bool:
         return False
 
 
+_build_failed = False
+
+
 def load_library(build: bool = True) -> Optional[ctypes.CDLL]:
-    """Load (building if needed) the native library; None when unavailable."""
-    global _lib
+    """Load (building if needed) the native library; None when unavailable.
+    A failed build is memoized: without this, every available()/bbox call
+    on a host that can't compile re-spawned `make` in the per-clip hot
+    path (review r3)."""
+    global _lib, _build_failed
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH) and (not build or not _try_build()):
-        return None
+    if not os.path.exists(_LIB_PATH):
+        if _build_failed or not build or not _try_build():
+            _build_failed = True
+            return None
     lib = ctypes.CDLL(_LIB_PATH)
     u8p = ctypes.POINTER(ctypes.c_uint8)
     i32p = ctypes.POINTER(ctypes.c_int)
@@ -114,6 +122,15 @@ def preprocess_batch(frames: np.ndarray, crop_y: np.ndarray,
     n, ih, iw = frames.shape[:3]
     crop_y = np.ascontiguousarray(crop_y, np.int32)
     crop_x = np.ascontiguousarray(crop_x, np.int32)
+    # the C path does no bounds checking — an out-of-range offset would
+    # silently read out-of-bounds memory (and the numpy fallback would
+    # produce ragged slices); validate here, once, for both paths
+    if n and (crop_y.min() < 0 or crop_x.min() < 0
+              or crop_y.max() + crop > ih or crop_x.max() + crop > iw):
+        raise ValueError(
+            f"crop window outside the frame: crop={crop}, frames "
+            f"{ih}x{iw}, offsets y[{crop_y.min()},{crop_y.max()}] "
+            f"x[{crop_x.min()},{crop_x.max()}]")
     flip = np.ascontiguousarray(flip, np.uint8)
     mean = np.ascontiguousarray(mean, np.float32)
     std = np.ascontiguousarray(std, np.float32)

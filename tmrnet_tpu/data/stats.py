@@ -1,6 +1,9 @@
 """Dataset channel statistics (the reference's meanStd.py tool,
 `Training memory bank model/meanStd.py:27-63`): per-channel mean/std over all
-frames, computed streaming in one pass (Welford on per-image moments)."""
+frames, computed streaming in one pass (sum / sum-of-squares accumulators
+in float64 — at uint8/255 value range the raw-moment variance is exact to
+~1e-12, and the clamp below only guards the theoretical negative-epsilon
+case)."""
 
 from __future__ import annotations
 
