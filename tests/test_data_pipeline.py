@@ -172,3 +172,55 @@ def test_clip_loader_process_workers_match_threads():
         np.testing.assert_array_equal(l1, l2)
         np.testing.assert_array_equal(r1, r2)
         assert p1 == p2
+
+
+def test_cutmargin_matches_reference_change_size_exactly():
+    """Run the reference's OWN change_size() (imported from the read-only
+    reference tree at test time) as the oracle: cut_black_margin must be
+    pixel-identical on content blocks, edge-touching content, hot noise
+    pixels in the margin, and all-black frames (reference-exact semantics
+    pinned after the r3 review found the column guard band and the
+    exclusive max-row/col crop were not replicated)."""
+    import importlib.util
+    import pathlib
+
+    pytest.importorskip("cv2")
+    ref_path = pathlib.Path("/root/reference/code/video2frame_cutmargin.py")
+    if not ref_path.exists():
+        pytest.skip("reference tree not available")
+    spec = importlib.util.spec_from_file_location("_ref_cutmargin", ref_path)
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    rng = np.random.RandomState(11)
+    cases = []
+    # plain content block inside the margin
+    img = np.zeros((120, 160, 3), np.uint8)
+    img[30:90, 40:130] = rng.randint(60, 255, (60, 90, 3), np.uint8)
+    cases.append(img)
+    # content reaching the left/right edges (the column-guard divergence)
+    img = np.zeros((100, 140, 3), np.uint8)
+    img[20:80, 0:140] = rng.randint(60, 255, (60, 140, 3), np.uint8)
+    cases.append(img)
+    # hot noise pixels in the black margin (median must reject them)
+    img = np.zeros((120, 160, 3), np.uint8)
+    img[40:80, 50:110] = 200
+    img[2, 3] = img[115, 155] = 255
+    cases.append(img)
+    # all black -> unchanged
+    cases.append(np.zeros((80, 80, 3), np.uint8))
+    # textured content with ragged boundary
+    img = (rng.rand(130, 170, 3) * 255).astype(np.uint8)
+    mask = np.zeros((130, 170), bool)
+    mask[25:105, 30:150] = True
+    img[~mask] = 0
+    cases.append(img)
+
+    from tmrnet_tpu.data.cutmargin import cut_black_margin
+
+    for i, rgb in enumerate(cases):
+        bgr = rgb[..., ::-1].copy()            # reference expects cv2 BGR
+        want = np.asarray(ref.change_size(bgr))[..., ::-1]
+        got = cut_black_margin(rgb)
+        assert got.shape == want.shape, (i, got.shape, want.shape)
+        np.testing.assert_array_equal(got, want, err_msg=f"case {i}")
