@@ -54,7 +54,9 @@ def _coerce(value: str, current: Any) -> Any:
 
 def apply_override(cfg: ExperimentConfig, dotted: str) -> ExperimentConfig:
     """--set data.batch_clips=64 style dotted overrides."""
-    key, _, value = dotted.partition("=")
+    key, eq, value = dotted.partition("=")
+    if not eq:
+        raise SystemExit(f"--set {dotted!r}: expected KEY=VALUE")
     parts = key.strip().split(".")
     if len(parts) == 1:
         return dataclasses.replace(cfg, **{parts[0]: _coerce(value, getattr(cfg, parts[0]))})
@@ -161,6 +163,14 @@ def _extractor_for(cfg, args, variables):
         _, ev = _restore_variables(cfg, head, e_ckpt, e_torch,
                                    cfg.data.crop_size)
     return _extractor_subset(ev)
+
+
+def _clip_labels(manifest, seq_len: int) -> np.ndarray:
+    """Concatenated per-clip last-frame labels in bank-row order (one
+    definition — accuracy and the per-class report must agree)."""
+    parts = [v.labels[seq_len - 1:][: max(0, len(v) + 1 - seq_len)]
+             for v in manifest.videos]
+    return np.concatenate(parts) if parts else np.zeros(0, np.int64)
 
 
 def _dataset(cfg, manifest, train: bool, device_normalize: bool = False):
@@ -474,17 +484,8 @@ def cmd_test(args) -> int:
     elif args.lfb and os.path.exists(args.lfb):
         bank = load_bank(args.lfb)
     else:
-        extractor_vars = variables
-        if args.extractor_torch_ckpt or args.extractor_ckpt:
-            head = "stage1" if args.extractor_ckpt else "lfb"
-            _, extractor_vars = _restore_variables(
-                cfg, head, args.extractor_ckpt, args.extractor_torch_ckpt,
-                cfg.data.crop_size)
-        extractor = {"params": {k: extractor_vars["params"][k]
-                                for k in ("backbone", "encoder")},
-                     "batch_stats": extractor_vars.get("batch_stats", {})}
-        bank = build_lfb(cfg, extractor, ds, cache_path=args.lfb,
-                         force=not args.load_lfb)
+        bank = build_lfb(cfg, _extractor_for(cfg, args, variables), ds,
+                         cache_path=args.lfb, force=not args.load_lfb)
     if args.engine == "video":
         # full-video engine: backbone once per frame, LFB build fused (no
         # separate bank needed)
@@ -546,10 +547,7 @@ def cmd_test(args) -> int:
                 results[vi] = engine.run_video(load_video(video))
         res_preds = np.concatenate([r[0] for r in results])
         res_scores = np.concatenate([r[1] for r in results])
-        labels_cat = np.concatenate([
-            v.labels[cfg.data.sequence_length - 1:][: max(
-                0, len(v) + 1 - cfg.data.sequence_length)]
-            for v in m.videos])
+        labels_cat = _clip_labels(m, cfg.data.sequence_length)
         from tmrnet_tpu.eval.infer import InferenceResult
 
         res = InferenceResult(
@@ -577,11 +575,7 @@ def cmd_test(args) -> int:
     # (`train_singlenet_phase_1fc.py:655-658`)
     from tmrnet_tpu.eval.metrics import classification_metrics
 
-    labels = []
-    for v in m.videos:
-        n_clip = max(0, len(v) + 1 - cfg.data.sequence_length)
-        labels.append(v.labels[cfg.data.sequence_length - 1:][:n_clip])
-    labels = np.concatenate(labels) if labels else np.zeros(0, np.int64)
+    labels = _clip_labels(m, cfg.data.sequence_length)
     cm = classification_metrics(labels, res.preds, cfg.model.num_classes)
     print(json.dumps({
         "clip_accuracy": res.accuracy,
@@ -610,8 +604,11 @@ def cmd_stream(args) -> int:
     _, variables = _restore_variables(cfg, cfg.model.head, args.ckpt,
                                       args.torch_ckpt, cfg.data.crop_size)
     extractor = _extractor_for(cfg, args, variables)
-    if cfg.data.test_crop_type in (5, 10):
-        raise SystemExit("stream does not support multi-crop eval")
+    if cfg.data.test_crop_type not in (1, 2):
+        raise SystemExit(
+            "stream needs a deterministic frame-wise crop (test_crop_type "
+            f"1/2, got {cfg.data.test_crop_type}): multi-crop and per-clip "
+            "random crops have no streaming equivalent")
 
     d = cfg.data
     tf = EvalTransform(d.crop_size, d.resize, d.test_crop_type, d.mean,
@@ -647,8 +644,11 @@ def cmd_stream(args) -> int:
     loaded: dict = {}
 
     def assign(v: int) -> int:
-        loaded[v] = tf(np.stack([load_frame(p)
-                                 for p in m.videos[v].frame_paths]))
+        # decode only the streamed prefix: --max-steps caps lengths[v],
+        # and decoding the full 5k-frame video for a 100-step run was
+        # 50x the needed work on this host-bound path
+        paths = m.videos[v].frame_paths[: lengths[v]]
+        loaded[v] = tf(np.stack([load_frame(p) for p in paths]))
         return v
 
     pending = deque(range(n_videos))
@@ -708,8 +708,11 @@ def cmd_serve(args) -> int:
     _, variables = _restore_variables(cfg, cfg.model.head, args.ckpt,
                                       args.torch_ckpt, cfg.data.crop_size)
     extractor = _extractor_for(cfg, args, variables)
-    if cfg.data.test_crop_type in (5, 10):
-        raise SystemExit("serve does not support multi-crop eval")
+    if cfg.data.test_crop_type not in (1, 2):
+        raise SystemExit(
+            "serve needs a deterministic frame-wise crop (test_crop_type "
+            f"1/2, got {cfg.data.test_crop_type}): multi-crop and per-clip "
+            "random crops have no streaming equivalent")
 
     d = cfg.data
     tf = EvalTransform(d.crop_size, d.resize, d.test_crop_type, d.mean,

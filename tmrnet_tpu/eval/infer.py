@@ -287,7 +287,7 @@ class VideoInference:
         return feats.reshape((n,) + feats.shape[2:])
 
     def _clip_embeddings(self, variables, frames: jax.Array,
-                         prefix: str, chunk: int = 0) -> jax.Array:
+                         chunk: int = 0) -> jax.Array:
         """Backbone once per frame + batched LSTM over sliding windows ->
         last-step embedding per clip position (the LFB feature / St)."""
         params = variables["params"]
@@ -345,9 +345,9 @@ class VideoInference:
             # inside _backbone_all_frames
             # 1) frozen extractor -> LFB rows for this video
             bank_feats = self._clip_embeddings(extractor_variables, frames,
-                                               "lfb", chunk)
+                                               chunk)
             # 2) TMR encoder -> St per clip position
-            st = self._clip_embeddings(variables, frames, "tmr", chunk)
+            st = self._clip_embeddings(variables, frames, chunk)
             # 3) memory head batched over all clip positions
             logits = self._head(variables, st, bank_feats)
             probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
@@ -369,8 +369,8 @@ class VideoInference:
             # (under vmap the chunk scan processes batch x chunk frames/step)
             def one(fr):
                 bank_feats = self._clip_embeddings(extractor_variables, fr,
-                                                   "lfb", chunk)
-                st = self._clip_embeddings(variables, fr, "tmr", chunk)
+                                                   chunk)
+                st = self._clip_embeddings(variables, fr, chunk)
                 logits = self._head(variables, st, bank_feats)
                 probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
                 return jnp.argmax(probs, axis=-1), probs
@@ -392,7 +392,7 @@ class VideoInference:
         @jax.jit
         def run(extractor_variables, frames):
             return self._clip_embeddings(extractor_variables, frames,
-                                         "lfb", chunk)
+                                         chunk)
 
         self._compiled[key] = run
         return run
@@ -495,8 +495,9 @@ class VideoInference:
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            if chunk % self.mesh.shape.get("data", 1) == 0:
-                frame_sh = NamedSharding(self.mesh, P("data"))
+            da = self.mesh.axis_names[0]  # data axis, whatever its name
+            if chunk % self.mesh.shape.get(da, 1) == 0:
+                frame_sh = NamedSharding(self.mesh, P(da))
         fe_parts, ft_parts = [], []
         for block in chunks:
             if frame_sh is not None and not isinstance(block, jax.Array):
@@ -567,6 +568,10 @@ class VideoInference:
         """
         if not videos:
             return []
+        if lengths is None and any(callable(v) for v in videos):
+            raise ValueError(
+                "run_corpus: lengths is required when videos are callables "
+                "(lazy loaders have no shape until materialized)")
         ns = [int(lengths[i]) if callable(v) else int(v.shape[0])
               for i, v in enumerate(videos)]
         chunk = min(chunk, sum(ns))  # tiny corpora shrink the launch
@@ -619,9 +624,15 @@ class VideoInference:
         batch = []
         for f in frames_list:
             pad = padded - int(f.shape[0])
-            if pad == 0 and isinstance(f, jax.Array):
-                # already device-staged; uint8 stays uint8 (in-jit prep)
-                batch.append(f if f.dtype == jnp.uint8 else f.astype(cdt))
+            if isinstance(f, jax.Array):
+                # device-staged videos stay on device INCLUDING the bucket
+                # pad — np.asarray here would silently round-trip the whole
+                # video through the host (measured 253x slower over this
+                # tunnel; same fix as bank_features)
+                f = f if f.dtype == jnp.uint8 else f.astype(cdt)
+                if pad:
+                    f = jnp.concatenate([f, jnp.repeat(f[-1:], pad, axis=0)])
+                batch.append(f)
                 continue
             f = np.asarray(f)
             if pad:
@@ -632,13 +643,14 @@ class VideoInference:
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            dp = self.mesh.shape.get("data", 1)
+            da = self.mesh.axis_names[0]  # data axis, whatever its name
+            dp = self.mesh.shape.get(da, 1)
             if len(batch) % dp == 0:        # videos over the data axis
                 frames = jax.device_put(
-                    frames, NamedSharding(self.mesh, P("data")))
+                    frames, NamedSharding(self.mesh, P(da)))
             elif padded % dp == 0:          # else frames within each video
                 frames = jax.device_put(
-                    frames, NamedSharding(self.mesh, P(None, "data")))
+                    frames, NamedSharding(self.mesh, P(None, da)))
         run = self._build_batch_fn(padded, len(batch))
         preds, probs = run(self.variables, self.extractor_variables, frames)
         preds, probs = np.asarray(preds), np.asarray(probs)
