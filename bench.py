@@ -56,7 +56,7 @@ def _make_video_engine(args, device_normalize: bool = False):
         eval=EvalConfig(backbone_chunk=args.backbone_chunk),
     )
     model = build_model(cfg.model)
-    clips = jnp.zeros((1, 10, 224, 224, 3), jnp.bfloat16)
+    clips = jnp.zeros((1, 10, args.img, args.img, 3), jnp.bfloat16)
     mem = jnp.zeros((1, args.window, 512), jnp.bfloat16)
     variables = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0),
                                                   clips, mem))
@@ -85,8 +85,8 @@ def bench_video(args):
     if b > 1:
         # exact-bucket device-staged inputs: run_videos keeps them on device
         frames = [jax.device_put(jax.random.uniform(
-            jax.random.PRNGKey(3 + i), (n, 224, 224, 3), jnp.bfloat16))
-            for i in range(b)]
+            jax.random.PRNGKey(3 + i), (n, args.img, args.img, 3),
+            jnp.bfloat16)) for i in range(b)]
         engine.run_videos(frames)  # compile
         t0 = time.perf_counter()
         for _ in range(iters):
@@ -96,8 +96,8 @@ def bench_video(args):
         metric = "cholec80_batched_video_inference_frames_per_sec_per_chip"
     else:
         frames = jax.device_put(
-            jax.random.uniform(jax.random.PRNGKey(3), (n, 224, 224, 3),
-                               jnp.bfloat16))
+            jax.random.uniform(jax.random.PRNGKey(3),
+                               (n, args.img, args.img, 3), jnp.bfloat16))
         preds, _ = engine.run_video(frames)  # compile
         t0 = time.perf_counter()
         for _ in range(iters):
@@ -155,8 +155,8 @@ def bench_cholec80(args):
     # videos (compute is data-independent; staging once isolates compute
     # from the tunneled transport, same methodology as the other modes)
     max_bucket = max(groups)
-    host = np.frombuffer(rng.bytes(max_bucket * 224 * 224 * 3),
-                         np.uint8).reshape(max_bucket, 224, 224, 3)
+    host = np.frombuffer(rng.bytes(max_bucket * args.img * args.img * 3),
+                         np.uint8).reshape(max_bucket, args.img, args.img, 3)
     mega = jax.device_put(host)
     np.asarray(mega[0, 0])  # sync staging
 
@@ -233,8 +233,8 @@ def bench_lfb(args):
     engine = VideoInference(cfg, variables, extractor)
     n = args.video_frames
     rng = np.random.RandomState(0)
-    host = np.frombuffer(rng.bytes(n * 224 * 224 * 3),
-                         np.uint8).reshape(n, 224, 224, 3)
+    host = np.frombuffer(rng.bytes(n * args.img * args.img * 3),
+                         np.uint8).reshape(n, args.img, args.img, 3)
     frames = jax.device_put(host)
     np.asarray(frames[0, 0])  # sync staging
 
@@ -366,7 +366,7 @@ def bench_train(args):
                       compute_dtype="bfloat16")
     model = build_model(cfg)
     clips = jax.random.normal(jax.random.PRNGKey(0),
-                              (b, seq, 224, 224, 3), jnp.bfloat16)
+                              (b, seq, args.img, args.img, 3), jnp.bfloat16)
     bankf = jax.random.normal(jax.random.PRNGKey(1), (4096, 512),
                               jnp.bfloat16)
     rows = jnp.arange(100, 100 + b, dtype=jnp.int32)
@@ -477,7 +477,7 @@ def bench_stream(args):
         eval=EvalConfig(),
     )
     model = build_model(cfg.model)
-    clips0 = jnp.zeros((1, 10, 224, 224, 3), jnp.bfloat16)
+    clips0 = jnp.zeros((1, 10, args.img, args.img, 3), jnp.bfloat16)
     mem0 = jnp.zeros((1, window, 512), jnp.bfloat16)
     variables = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0),
                                                   clips0, mem0))
@@ -493,11 +493,15 @@ def bench_stream(args):
     # stream and overlaps compute on a pipelined host; the tunnel would
     # otherwise dominate)
     frames = jax.device_put(jax.random.randint(
-        jax.random.PRNGKey(1), (b, 224, 224, 3), 0, 255, jnp.uint8))
+        jax.random.PRNGKey(1), (b, args.img, args.img, 3), 0, 255,
+        jnp.uint8))
     state, preds, _, _ = engine.step(state, frames)   # compile
     np.asarray(preds)
 
     decode_fn = None
+    if args.stream_decode and args.img != 224:
+        raise SystemExit("--stream-decode uses the real 250->224 eval "
+                         "transform; it requires --img 224")
     if args.stream_decode:
         # decode-in-the-loop variant (VERDICT r2 #5): each tick reads +
         # eval-transforms B PNGs from disk on a serve-style worker pool,
@@ -553,10 +557,15 @@ def bench_stream(args):
     return 0
 
 
-def main():
+def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch-clips", type=int, default=96,
                     help="clips per device batch (x10 frames each)")
+    ap.add_argument("--img", type=int, default=224,
+                    help="frame side length (224 = the protocol; smaller "
+                         "sizes are for CPU smoke tests; e2e mode and "
+                         "--stream-decode keep the real 250->224 transform "
+                         "and ignore this)")
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--window", type=int, default=30)
@@ -610,7 +619,11 @@ def main():
     ap.add_argument("--backbone-chunk", type=int, default=0,
                     help="video mode: lax.map the trunk over frame chunks "
                          "of this size (bounds activation HBM; 0 = off)")
-    args = ap.parse_args()
+    return ap
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
 
     if args.mode == "video":
         return bench_video(args)
@@ -641,7 +654,8 @@ def main():
     model = build_model(cfg)
 
     rng = jax.random.PRNGKey(0)
-    clips = jax.random.normal(rng, (b, seq, 224, 224, 3), jnp.bfloat16)
+    clips = jax.random.normal(rng, (b, seq, args.img, args.img, 3),
+                              jnp.bfloat16)
     bank = jax.random.normal(jax.random.PRNGKey(1), (4096, 512), jnp.bfloat16)
     rows = jnp.arange(100, 100 + b, dtype=jnp.int32)
     firsts = jnp.zeros((b,), jnp.int32)
