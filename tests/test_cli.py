@@ -112,3 +112,51 @@ def test_stats_command(tmp_path, capsys):
     assert main(["stats", "--manifest", str(manifest_path)]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert len(out["mean"]) == 3 and 0.3 < out["mean"][0] < 0.7
+
+
+def test_doctor_basic(capsys):
+    assert main(["doctor"]) == 0
+    out = capsys.readouterr().out
+    assert "versions" in out and "devices" in out
+    assert "doctor:" in out and " 0 fail" in out
+
+
+def test_doctor_artifacts(tmp_path, capsys):
+    import jax.numpy as jnp
+
+    from tmrnet_tpu.data.manifests import Manifest, VideoRecord, \
+        save_pickle_manifest
+    from tmrnet_tpu.memory.lfb import FeatureBank, save_bank
+
+    m = Manifest([VideoRecord("v1", [str(tmp_path / "missing.png")] * 12,
+                              np.zeros(12, np.int64))])
+    man_path = tmp_path / "m.pkl"
+    save_pickle_manifest(str(man_path), m)
+    bank = FeatureBank.create(10, [12], 512, jnp.float32)
+    lfb_path = tmp_path / "b.npz"
+    save_bank(str(lfb_path), bank)
+    ckpt_dir = tmp_path / "ckpts"
+    ckpt_dir.mkdir()
+
+    assert main(["doctor", "--manifest", str(man_path),
+                 "--lfb", str(lfb_path), "--checkpoint", str(ckpt_dir)]) == 0
+    out = capsys.readouterr().out
+    assert "1 videos, 12 frames" in out          # manifest loads
+    assert "first frame missing" in out          # ...but paths warn
+    assert "(3, 512)" in out                     # 12 frames, seq 10 -> 3 clips
+    assert "no steps found" in out               # empty ckpt dir warns
+
+    # corrupt artifacts are hard failures
+    bad = tmp_path / "bad.npz"
+    bad.write_bytes(b"not an npz")
+    assert main(["doctor", "--lfb", str(bad)]) == 1
+    assert "1 fail" in capsys.readouterr().out
+
+
+def test_doctor_mesh_and_smoke(capsys):
+    assert main(["doctor", "--mesh", "--smoke",
+                 "--set", "mesh.data_parallel=4",
+                 "--set", "mesh.model_parallel=2"]) == 0
+    out = capsys.readouterr().out
+    assert "'data': 4" in out and "'model': 2" in out
+    assert "jit matmul" in out

@@ -171,6 +171,22 @@ def test_confusion_matrix_counts(tmp_path):
         cm, [[1, 1, 0], [0, 1, 0], [0, 0, 1]])
 
 
+def test_confusion_matrix_drops_out_of_range(tmp_path):
+    """-1 padding sentinels (or stray ids) must be dropped, not wrapped
+    into the last row via negative indexing."""
+    from tmrnet_tpu.utils.logging import MetricLogger
+
+    log_dir = str(tmp_path / "cmlogs2")
+    log = MetricLogger(log_dir, use_tensorboard=False, quiet=True)
+    log.log_confusion_matrix(0, [0, -1, 1, 5], [0, 0, 1, 0], num_classes=3)
+    log.close()
+    import json
+
+    rows = [json.loads(l) for l in open(log_dir + "/metrics.jsonl")]
+    cm = np.asarray(rows[-1]["confusion"])
+    np.testing.assert_array_equal(cm, [[1, 0, 0], [0, 1, 0], [0, 0, 0]])
+
+
 def test_train_stage1_with_mesh(tmp_path):
     """Trainer loop with an 8-device data-parallel mesh on the virtual CPU
     platform (batch 8 divides the mesh)."""

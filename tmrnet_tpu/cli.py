@@ -13,6 +13,7 @@ drivers (SURVEY.md section 5, config notes):
   parity     reference .pth + frames -> Main.m protocol table, one command
   export     predictions -> video<N>-phase.txt trees (export_phase_copy.py)
   evaluate   relaxed-boundary protocol scoring (MATLAB Main.m, in Python)
+  doctor     environment + artifact diagnostics (no reference equivalent)
 
 Config: --preset <name> selects a BASELINE config; --config <json> loads a
 full ExperimentConfig; --set a.b=c applies dotted overrides.
@@ -902,6 +903,134 @@ def cmd_evaluate(args) -> int:
     return 0
 
 
+def cmd_doctor(args) -> int:
+    """Environment/artifact diagnostics before a long job: versions, devices,
+    optional deps, the native preprocess lib, and (when pointed at them)
+    manifest / checkpoint / feature-bank artifacts. The reference has no
+    equivalent (failures there surface mid-epoch as stack traces); exit is
+    nonzero iff a hard check fails, warns are advisory."""
+    import importlib
+    import platform as _platform
+
+    counts = {"ok": 0, "warn": 0, "FAIL": 0}
+
+    def add(status: str, name: str, detail: str) -> None:
+        counts[status] += 1
+        print(f"[{status:>4}] {name}: {detail}", flush=True)
+
+    import jax
+
+    det = (f"python {_platform.python_version()}, jax {jax.__version__}, "
+           f"numpy {np.__version__}")
+    for mod in ("flax", "optax", "orbax.checkpoint"):
+        try:
+            m = importlib.import_module(mod)
+            det += f", {mod.split('.')[0]} {getattr(m, '__version__', '?')}"
+        except Exception:
+            pass
+    add("ok", "versions", det)
+
+    try:
+        devs = jax.devices()
+        add("ok", "devices",
+            f"{len(devs)} x {devs[0].platform} ({devs[0].device_kind})")
+    except Exception as e:  # no backend at all is a hard failure
+        add("FAIL", "devices", f"jax backend init failed: {e}")
+
+    for mod, why in (("PIL", "frame decode (prepare / frame pipeline)"),
+                     ("torch", ".pth import/export + TensorBoard logging")):
+        try:
+            importlib.import_module(mod)
+            add("ok", mod, "importable")
+        except ImportError:
+            add("warn", mod, f"not importable — {why} unavailable")
+
+    from tmrnet_tpu.data import native
+
+    if native.available():
+        add("ok", "native", "libtmrnet_data.so built and loadable")
+    else:
+        add("warn", "native",
+            "C++ preprocess lib unavailable (numpy fallback active; "
+            "check a C compiler is on PATH)")
+
+    if args.manifest:
+        try:
+            m = _load_manifest(args.manifest)
+            missing = sum(
+                1 for v in m.videos
+                if v.frame_paths and not os.path.exists(v.frame_paths[0]))
+            det = f"{len(m.videos)} videos, {m.num_frames} frames"
+            if missing:
+                add("warn", "manifest",
+                    f"{det}; first frame missing on disk for {missing} "
+                    f"video(s) — paths may be relative to another root")
+            else:
+                add("ok", "manifest", det)
+        except Exception as e:
+            add("FAIL", "manifest", f"{args.manifest}: {e}")
+
+    if args.checkpoint:
+        try:
+            from tmrnet_tpu.utils.checkpoint import CheckpointManager
+
+            cm = CheckpointManager(args.checkpoint)
+            step = cm.latest_step()
+            if step is None:
+                add("warn", "checkpoint", f"{args.checkpoint}: no steps found")
+            else:
+                meta = json.dumps(cm.metadata(step))
+                add("ok", "checkpoint",
+                    f"latest step {step}, meta {meta[:120]}")
+        except Exception as e:
+            add("FAIL", "checkpoint", f"{args.checkpoint}: {e}")
+
+    if args.lfb:
+        try:
+            with np.load(args.lfb) as z:
+                f, fr = z["features"], z["first_rows"]
+            add("ok", "lfb",
+                f"bank {tuple(f.shape)} {f.dtype}, {len(fr)} videos")
+        except Exception as e:
+            add("FAIL", "lfb", f"{args.lfb}: {e}")
+
+    if args.mesh:
+        try:
+            cfg = load_config(args)
+            mesh = _mesh_for(cfg, batch=0)
+            if mesh is None:
+                add("ok", "mesh", "single device, plain jit path (no mesh)")
+            else:
+                add("ok", "mesh",
+                    f"{dict(mesh.shape)} over {mesh.devices.size} devices")
+        except Exception as e:
+            add("FAIL", "mesh", str(e))
+
+    if args.smoke:
+        # tiny jit matmul through the real backend; device->host fetch for
+        # the sync (jax.block_until_ready returns early on tunneled hosts)
+        try:
+            import time
+
+            import jax.numpy as jnp
+
+            x = jnp.ones((256, 256), jnp.bfloat16)
+            f = jax.jit(lambda a: a @ a)
+            t0 = time.perf_counter()
+            np.asarray(f(x))
+            t1 = time.perf_counter()
+            np.asarray(f(x))
+            t2 = time.perf_counter()
+            add("ok", "smoke",
+                f"jit matmul compile+run {t1 - t0:.2f}s, cached {t2 - t1:.3f}s")
+        except Exception as e:
+            add("FAIL", "smoke", f"jit execution failed: {e}")
+
+    print(f"doctor: {counts['ok']} ok, {counts['warn']} warn, "
+          f"{counts['FAIL']} fail")
+    return 1 if counts["FAIL"] else 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="tmrnet-tpu", description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
@@ -1091,6 +1220,18 @@ def build_parser() -> argparse.ArgumentParser:
                          "exports are headerless, so Main.m silently loses "
                          "frame 0 per video)")
     sp.set_defaults(fn=cmd_evaluate)
+
+    sp = sub.add_parser("doctor", help="environment + artifact diagnostics")
+    _add_config_args(sp)
+    sp.add_argument("--manifest", help="validate a manifest pickle/CSV")
+    sp.add_argument("--checkpoint", help="validate a checkpoint directory")
+    sp.add_argument("--lfb", help="validate a feature-bank .npz")
+    sp.add_argument("--mesh", action="store_true",
+                    help="build the config's device mesh and report its shape")
+    sp.add_argument("--smoke", action="store_true",
+                    help="compile+run a tiny jit matmul on the real backend "
+                         "(first compile on a tunneled TPU can take minutes)")
+    sp.set_defaults(fn=cmd_doctor)
 
     return p
 

@@ -86,8 +86,13 @@ class MetricLogger:
 
         labels = np.asarray(labels).ravel()
         preds = np.asarray(preds).ravel()
+        # drop out-of-range pairs (e.g. -1 padding sentinels) instead of
+        # letting negative indices wrap into the matrix; a logger should
+        # stay best-effort rather than crash a long run mid-epoch
+        ok = ((labels >= 0) & (labels < num_classes)
+              & (preds >= 0) & (preds < num_classes))
         cm = np.zeros((num_classes, num_classes), np.int64)
-        np.add.at(cm, (labels, preds), 1)
+        np.add.at(cm, (labels[ok], preds[ok]), 1)
         if self._jsonl:
             self._jsonl.write(json.dumps(
                 {"step": step, tag: cm.tolist()}) + "\n")
