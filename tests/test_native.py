@@ -85,3 +85,20 @@ def test_train_transform_native_matches_numpy():
     a = TrainTransform(use_flip=True, use_native=False)(clip, 2, 9)
     b = TrainTransform(use_flip=True, use_native=True)(clip, 2, 9)
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_native_dir_env_override(tmp_path):
+    """TMRNET_NATIVE_DIR points installed deployments at a prebuilt lib;
+    a bogus dir must degrade to the numpy fallback, not raise."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "from tmrnet_tpu.data import native; "
+        "import sys; sys.exit(0 if not native.available(build=False) else 1)"
+    )
+    env = dict(os.environ, TMRNET_NATIVE_DIR=str(tmp_path / "nowhere"))
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, timeout=120)
+    assert r.returncode == 0, r.stderr.decode()

@@ -15,8 +15,13 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.dirname(os.path.abspath(__file__)))), "native")
+# Default: the repo checkout layout (<repo>/native next to the package).
+# Installed deployments (wheel installs don't ship native/) point
+# TMRNET_NATIVE_DIR at a directory holding tmrnet_data.cc + Makefile or a
+# prebuilt libtmrnet_data.so; without either the numpy fallback applies.
+_NATIVE_DIR = os.environ.get("TMRNET_NATIVE_DIR") or os.path.join(
+    os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), "native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libtmrnet_data.so")
 
 _lib = None
