@@ -136,3 +136,30 @@ def test_clip_rng_adjacent_streams_independent():
             assert not np.allclose(other[shift:], a[: 16 - shift]), shift
     # determinism is preserved
     np.testing.assert_array_equal(a, clip_rng(0, 5).random(16))
+
+
+def test_prepare_cli_parallel(tmp_path, capsys):
+    """The prepare subcommand extracts independent videos on a worker
+    pool; output and on-disk layout must match the sequential path."""
+    from tmrnet_tpu.cli import main
+
+    vids = tmp_path / "vids"
+    vids.mkdir()
+    for name in ("video01", "video02"):
+        w = cv2.VideoWriter(str(vids / f"{name}.mp4"),
+                            cv2.VideoWriter_fourcc(*"mp4v"), 25, (64, 64))
+        assert w.isOpened()
+        for i in range(60):
+            w.write(np.full((64, 64, 3), 30 + 2 * i, np.uint8))
+        w.release()
+
+    out = tmp_path / "frames"
+    assert main(["prepare", "--videos", str(vids), "--out", str(out),
+                 "--size", "32", "--workers", "2"]) == 0
+    printed = capsys.readouterr().out.splitlines()
+    # deterministic order regardless of which worker finishes first
+    assert printed[0].startswith("video01:")
+    assert printed[1].startswith("video02:")
+    for name in ("video01", "video02"):
+        pngs = sorted(os.listdir(out / name))
+        assert pngs == ["frame0.png", "frame25.png", "frame50.png"]

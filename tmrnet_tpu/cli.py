@@ -294,18 +294,29 @@ def _restore_variables(cfg, head: str, ckpt_dir: Optional[str],
 
 
 def cmd_prepare(args) -> int:
+    from concurrent.futures import ThreadPoolExecutor
+
     from tmrnet_tpu.data.video import extract_frames
 
     videos = sorted(
         f for f in os.listdir(args.videos)
         if f.endswith((".mp4", ".avi", ".mkv")))
-    for v in videos:
+
+    def one(v: str):
         name = os.path.splitext(v)[0]
         out = os.path.join(args.out, name)
         written = extract_frames(os.path.join(args.videos, v), out,
                                  stride=args.stride, size=args.size,
                                  cut_margin=not args.no_cutmargin)
-        print(f"{name}: {len(written)} frames -> {out}")
+        return name, len(written), out
+
+    # videos are independent; decode (ffmpeg/cv2) and the native cutmargin
+    # both release the GIL, so threads scale on many-core hosts (the
+    # reference preprocesses one video at a time end to end)
+    workers = args.workers or min(len(videos) or 1, os.cpu_count() or 1)
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        for name, n, out in pool.map(one, videos):
+            print(f"{name}: {n} frames -> {out}")
     return 0
 
 
@@ -1042,6 +1053,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--stride", type=int, default=25)
     sp.add_argument("--size", type=int, default=250)
     sp.add_argument("--no-cutmargin", action="store_true")
+    sp.add_argument("--workers", type=int, default=0,
+                    help="videos extracted in parallel (0 = one per core)")
     sp.set_defaults(fn=cmd_prepare)
 
     sp = sub.add_parser("manifest", help="frames dir -> manifest pickle/CSV")
