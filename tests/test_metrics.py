@@ -286,3 +286,108 @@ def test_classification_metrics_rejects_out_of_range():
         classification_metrics(np.array([0, -1]), np.array([0, 1]), 7)
     with pytest.raises(ValueError, match="preds outside"):
         classification_metrics(np.array([0, 1]), np.array([0, 7]), 7)
+
+
+# ---------------------------------------------------------------------------
+# Differential fuzz: the vectorized port vs an independent per-element
+# transliteration of Evaluate.m / Evaluate_m2cai.m (explicit loops, MATLAB
+# logical-index-assign semantics, auto-grown updatedDiff, x/0 -> Inf).
+# ---------------------------------------------------------------------------
+
+_ORACLE_RELAX = {
+    "cholec80": (7, {4: ((-1,), (1, 2)), 5: ((-1,), (1, 2)),
+                     6: ((-1, -2), (1, 2)), 7: ((-1, -2), (1, 2))}),
+    "m2cai": (8, {5: ((-1,), (1, 2)), 6: ((-1,), (1, 2)),
+                  7: ((-1, -2), (1, 2)), 8: ((-1, -2), (1, 2))}),
+}
+
+
+def _matlab_oracle(gt0, pred0, protocol, ori_t, quirk):
+    nph, relax = _ORACLE_RELAX[protocol]
+    gt = np.asarray(gt0, int) + 1
+    pred = np.asarray(pred0, int) + 1
+    n = len(gt)
+    diff = pred - gt
+    updated = np.zeros(n, int)  # every position is in exactly one run below
+    for phase in range(1, nph + 1):
+        late, early = relax.get(phase, ((-1,), (1,)))
+        s = 0
+        while s < n:
+            if gt[s] != phase:
+                s += 1
+                continue
+            e = s
+            while e + 1 < n and gt[e + 1] == phase:
+                e += 1
+            cur = diff[s:e + 1].copy()
+            t = min(ori_t, len(cur))
+            mask_late = [cur[i] in late for i in range(t)]
+            for i in range(t):
+                if mask_late[i]:
+                    cur[i] = 0
+            # mask over the LAST t (evaluated before any assignment) ...
+            mask_early = [cur[len(cur) - t + i] in early for i in range(t)]
+            for i in range(t):
+                if mask_early[i]:
+                    if quirk:      # ... assigned to the FIRST t (MATLAB)
+                        cur[i] = 0
+                    else:          # intended semantics
+                        cur[len(cur) - t + i] = 0
+            updated[s:e + 1] = cur
+            s = e + 1
+    jac = np.full(nph, np.nan)
+    prc = np.full(nph, np.nan)
+    rcl = np.full(nph, np.nan)
+    for phase in range(1, nph + 1):
+        gt_pos = [i for i in range(n) if gt[i] == phase]
+        if not gt_pos:
+            continue
+        pred_pos = [i for i in range(n) if pred[i] == phase]
+        union = sorted(set(gt_pos) | set(pred_pos))
+        tp = sum(1 for i in union if updated[i] == 0)
+        jac[phase - 1] = 100.0 * tp / len(union)
+        sum_pred = len(pred_pos)
+        if sum_pred == 0:
+            prc[phase - 1] = np.nan if tp == 0 else np.inf
+        else:
+            prc[phase - 1] = 100.0 * tp / sum_pred
+        rcl[phase - 1] = 100.0 * tp / len(gt_pos)
+    acc = 100.0 * int((updated == 0).sum()) / n
+    return jac, prc, rcl, acc
+
+
+def _random_stream(rng, nph, n):
+    """Mostly-monotonic phase progressions with boundary noise (the realistic
+    shape) or fully random labels (the adversarial shape)."""
+    if rng.rand() < 0.3:
+        return rng.randint(0, nph, size=n), rng.randint(0, nph, size=n)
+    bounds = np.sort(rng.choice(np.arange(1, n), size=min(nph - 1, n - 1),
+                                replace=False))
+    gt = np.zeros(n, int)
+    for b in bounds:
+        gt[b:] += 1
+    gt = np.minimum(gt, nph - 1)
+    shift = rng.randint(-3, 4, size=n)
+    pred = np.clip(gt + np.where(rng.rand(n) < 0.4, shift, 0), 0, nph - 1)
+    return gt, pred
+
+
+def test_fuzz_against_matlab_transliteration():
+    rng = np.random.RandomState(7)
+    for protocol, nph in (("cholec80", 7), ("m2cai", 8)):
+        for case in range(120):
+            n = rng.randint(1, 90)
+            gt, pred = _random_stream(rng, nph, n)
+            ori_t = int(rng.choice([1, 3, 10, 25]))
+            for quirk in (True, False):
+                got = relaxed_evaluate(gt, pred, fps=ori_t,
+                                       protocol=protocol,
+                                       relaxed_seconds=1,
+                                       quirk_compat=quirk)
+                jac, prc, rcl, acc = _matlab_oracle(gt, pred, protocol,
+                                                    ori_t, quirk)
+                ctx = f"{protocol} case {case} quirk={quirk} n={n} t={ori_t}"
+                np.testing.assert_allclose(got.jaccard, jac, err_msg=ctx)
+                np.testing.assert_allclose(got.precision, prc, err_msg=ctx)
+                np.testing.assert_allclose(got.recall, rcl, err_msg=ctx)
+                np.testing.assert_allclose(got.accuracy, acc, err_msg=ctx)
