@@ -160,3 +160,49 @@ def test_doctor_mesh_and_smoke(capsys):
     out = capsys.readouterr().out
     assert "'data': 4" in out and "'model': 2" in out
     assert "jit matmul" in out
+
+
+def test_export_roundtrip_fuzz(tmp_path):
+    """Random manifests (including videos shorter than seq_len) through
+    export -> read-back -> evaluate: per-video row counts must equal video
+    length, warmup positions pad with phase 0, and a wrong prediction count
+    must raise rather than shift every later video."""
+    from tmrnet_tpu.data.indexing import clips_per_video
+    from tmrnet_tpu.data.manifests import Manifest, VideoRecord
+    from tmrnet_tpu.eval.export import export_predictions, load_exported
+    from tmrnet_tpu.eval.metrics import evaluate_protocol
+
+    rng = np.random.RandomState(3)
+    seq = 10
+    for case in range(8):
+        lengths = rng.randint(1, 40, size=rng.randint(1, 6))
+        videos = [
+            VideoRecord(f"v{i:02d}", [f"f{k}.png" for k in range(n)],
+                        rng.randint(0, 7, n).astype(np.int64))
+            for i, n in enumerate(lengths)]
+        m = Manifest(videos)
+        n_clips = int(clips_per_video(seq, lengths).sum())
+        preds = rng.randint(0, 7, n_clips).astype(np.int64)
+        pred_dir = str(tmp_path / f"c{case}" / "pred")
+        gt_dir = str(tmp_path / f"c{case}" / "gt")
+        stats = export_predictions(m, preds, seq, pred_dir, gt_dir, fps=25)
+        assert stats["num_frames"] == int(lengths.sum())
+
+        gts, ps = load_exported(pred_dir, gt_dir,
+                                [v.video_id for v in m.videos])
+        ofs = 0
+        for v, g, p in zip(videos, gts, ps):
+            assert len(g) == len(p) == len(v)
+            np.testing.assert_array_equal(g, v.labels)
+            pad = min(seq - 1, len(v))
+            np.testing.assert_array_equal(p[:pad], 0)  # warmup padding
+            k = len(v) - pad
+            np.testing.assert_array_equal(p[pad:], preds[ofs:ofs + k])
+            ofs += k
+        assert ofs == n_clips
+
+        rep = evaluate_protocol(gts, ps, fps=1)   # scorer accepts roundtrip
+        assert 0.0 <= rep.mean_accuracy <= 100.0
+
+        with pytest.raises(ValueError):
+            export_predictions(m, np.append(preds, 0), seq, pred_dir, gt_dir)
