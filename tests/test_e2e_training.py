@@ -227,3 +227,35 @@ def test_input_sequence_image_logging(tmp_path):
     img = Image.open(os.path.join(log_dir, "images", sorted(pngs)[0]))
     # a horizontal strip of the clip's SEQ frames
     assert img.size[0] == SEQ * img.size[1]
+
+
+def test_early_stopping_halts_on_plateau(tmp_path, monkeypatch):
+    """With a tracker that never improves (stubbed for determinism — real
+    accuracy keeps drifting even at lr=0 because BatchNorm running stats
+    update every train step), patience=2 must stop the loop after epoch 1
+    (epoch - best_epoch(-1) reaches 2) instead of running all 6 epochs."""
+    import tmrnet_tpu.train.loop as loop_mod
+
+    manifest, store = _synthetic()
+    loader = array_frame_loader(store)
+    train_ds = ClipDataset(manifest, SEQ, frame_loader=loader)
+    val_ds = ClipDataset(manifest, SEQ, frame_loader=loader)
+
+    class _NeverImproves:
+        best_val = best_train = -1.0
+        best_epoch = -1
+
+        def update(self, epoch, val_acc, train_acc):
+            return False
+
+    monkeypatch.setattr(loop_mod, "BestTracker", _NeverImproves)
+    cfg = _cfg(tmp_path, "stage1", epochs=6)
+    cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, early_stop_patience=2))
+    _, hist = train_stage1(cfg, train_ds, val_ds)
+    assert [h.epoch for h in hist] == [0, 1]
+
+    # patience=0 (default) runs every epoch even when nothing improves
+    cfg0 = _cfg(tmp_path / "p0", "stage1", epochs=3)
+    _, hist0 = train_stage1(cfg0, train_ds, val_ds)
+    assert len(hist0) == 3

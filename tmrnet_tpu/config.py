@@ -148,6 +148,11 @@ class TrainConfig:
     # (0 = off), like the reference's valMinibatch scalars
     # (`train_only_non-local_pretrained.py:418-457,746-757`).
     val_minibatch_every: int = 0
+    # Stop when val accuracy hasn't improved (by the BestTracker rule) for
+    # this many consecutive epochs; 0 = run all train.epochs (the reference
+    # always runs to completion and keeps the best checkpoint — this only
+    # saves the wasted tail).
+    early_stop_patience: int = 0
     # Log the first clip of every Nth train batch as images (TensorBoard +
     # PNG dump), like the reference's Comet input-sequence logging
     # (`test-resnet.py:737-746`); 0 = off.

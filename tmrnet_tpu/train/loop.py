@@ -342,6 +342,14 @@ def _fit(cfg: ExperimentConfig, model, train_ds: ClipDataset,
                            sched_scale=schedule.scale)
         ckpt.save(state, step=int(state.step), metrics=metrics,
                   is_best=is_best)
+        if (t.early_stop_patience
+                and epoch - tracker.best_epoch >= t.early_stop_patience):
+            # the best checkpoint is already saved; the remaining epochs
+            # can only re-confirm it (resume respects this: best_epoch is
+            # re-seeded from the best checkpoint's metadata above)
+            if log is not None:
+                log.log(epoch, {"early_stop": 1.0}, prefix="epoch/")
+            break
     return state, history
 
 
