@@ -112,6 +112,11 @@ def test_stats_command(tmp_path, capsys):
     assert main(["stats", "--manifest", str(manifest_path)]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert len(out["mean"]) == 3 and 0.3 < out["mean"][0] < 0.7
+    # the worker-pool decode path accumulates in order: identical stats
+    assert main(["stats", "--manifest", str(manifest_path),
+                 "--workers", "2"]) == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2 == out
 
 
 def test_doctor_basic(capsys):

@@ -350,7 +350,16 @@ def cmd_stats(args) -> int:
 
     m = _load_manifest(args.manifest)
     paths = m.flat_paths()[:: max(1, args.subsample)]
-    mean, std = channel_stats(load_frame(p) for p in paths)
+    workers = args.workers or min(len(paths) or 1, os.cpu_count() or 1)
+    if workers > 1:
+        # decode releases the GIL; the accumulator consumes in order
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            mean, std = channel_stats(pool.map(load_frame, paths,
+                                               chunksize=16))
+    else:
+        mean, std = channel_stats(load_frame(p) for p in paths)
     print(json.dumps({"mean": mean.tolist(), "std": std.tolist(),
                       "frames": len(paths)}))
     return 0
@@ -1069,6 +1078,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.set_defaults(fn=cmd_manifest)
 
     sp = sub.add_parser("stats", help="channel mean/std (meanStd tool)")
+    sp.add_argument("--workers", type=int, default=0,
+                    help="parallel frame decodes (0 = one per core)")
     sp.add_argument("--manifest", required=True)
     sp.add_argument("--subsample", type=int, default=1)
     sp.set_defaults(fn=cmd_stats)
