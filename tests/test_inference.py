@@ -520,3 +520,27 @@ def test_video_engine_device_normalize_matches_host(tmp_path):
         p_h, pr_h = eng_host.run_video(tf_host(raw))
         np.testing.assert_array_equal(p_h, p_d)
         np.testing.assert_allclose(pr_h, pr_d, atol=2e-5, rtol=1e-4)
+
+
+def test_run_video_mesh_indivisible_axis_falls_back(tmp_path):
+    """A data axis that doesn't divide the bucket (dp=3 x pow-2 pad) must
+    fall back to replicated frames with identical outputs, not crash in
+    device_put (run_videos/corpus already guard this; run_video now too)."""
+    from tmrnet_tpu.config import MeshConfig
+    from tmrnet_tpu.parallel.mesh import make_mesh
+
+    cfg = _cfg(tmp_path)
+    variables, extractor = _init_models(cfg, key=21)
+    rng = np.random.RandomState(22)
+    frames = rng.rand(14, HW, HW, 3).astype(np.float32)  # pads to 16
+
+    base = VideoInference(cfg, variables, extractor, pad_frames=32)
+    want_p, want_pr = base.run_video(frames)
+
+    mesh = make_mesh(MeshConfig(data_parallel=3, model_parallel=1))
+    assert 16 % mesh.shape[mesh.axis_names[0]] != 0  # the indivisible case
+    dist = VideoInference(cfg, variables, extractor, pad_frames=32,
+                          mesh=mesh)
+    got_p, got_pr = dist.run_video(frames)
+    np.testing.assert_array_equal(want_p, got_p)
+    np.testing.assert_allclose(want_pr, got_pr, atol=2e-5, rtol=1e-4)

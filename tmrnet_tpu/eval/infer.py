@@ -680,9 +680,14 @@ class VideoInference:
         else:
             frames = jnp.asarray(frames, cdt)
         if self.mesh is not None:
-            from tmrnet_tpu.parallel.mesh import shard_batch
+            # same divisibility guard as run_videos/corpus_features: an
+            # axis size that doesn't divide the bucket (e.g. dp=3 x 2048)
+            # must fall back to replicated frames, not crash in device_put
+            da = self.mesh.axis_names[0]
+            if padded % self.mesh.shape.get(da, 1) == 0:
+                from tmrnet_tpu.parallel.mesh import shard_batch
 
-            frames = shard_batch(self.mesh, frames)  # frames sharded over data
+                frames = shard_batch(self.mesh, frames)  # frames over data
         run = self._build_fn(padded)
         preds, probs = run(self.variables, self.extractor_variables, frames)
         return (np.asarray(preds)[:num_clips],
