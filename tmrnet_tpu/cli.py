@@ -919,6 +919,10 @@ def cmd_evaluate(args) -> int:
                 "mean_precision": rep.mean_precision,
                 "mean_recall": rep.mean_recall,
                 "jaccard_per_phase": rep.jaccard_per_phase.tolist(),
+                "precision_per_phase": rep.precision_per_phase.tolist(),
+                "recall_per_phase": rep.recall_per_phase.tolist(),
+                "accuracy_per_video": rep.accuracy_per_video.tolist(),
+                "videos": list(video_ids),
             }, f, indent=2)
     return 0
 
