@@ -309,3 +309,37 @@ def test_clip_loader_pads_with_negative_labels():
     assert pad == 6
     assert (labels[-pad:] == -1).all()
     assert (labels[:-pad] >= 0).all()
+
+
+def test_sgd_dampening_matches_torch():
+    """--dampening parity: torch's first momentum step is UNDAMPENED
+    (buf_0 = g), later steps buf = m*buf + (1-d)*g; three steps pin both."""
+    w0 = np.array([[1.0, -2.0], [0.5, 3.0]], dtype=np.float32)
+    grads = [np.array([[0.1, 0.2], [-0.3, 0.4]], np.float32),
+             np.array([[0.05, -0.1], [0.2, 0.1]], np.float32),
+             np.array([[-0.2, 0.3], [0.1, -0.4]], np.float32)]
+
+    tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    opt = torch.optim.SGD([tw], lr=0.1, momentum=0.9, dampening=0.3,
+                          weight_decay=0.01)
+    for g in grads:
+        opt.zero_grad()
+        tw.grad = torch.from_numpy(g.copy())
+        opt.step()
+
+    cfg = TrainConfig(optimizer="sgd", lr=0.1, momentum=0.9, dampening=0.3,
+                      weight_decay=0.01)
+    params = {"head": {"w": jnp.asarray(w0)}}
+    tx = make_optimizer(cfg, params, slow_modules=("backbone",))
+    state = tx.init(params)
+    p = params
+    for g in grads:
+        updates, state = tx.update({"head": {"w": jnp.asarray(g)}}, state, p)
+        p = optax.apply_updates(p, updates)
+    np.testing.assert_allclose(np.asarray(p["head"]["w"]),
+                               tw.detach().numpy(), rtol=1e-5, atol=1e-7)
+
+    with pytest.raises(ValueError):  # torch parity: nesterov forbids dampening
+        make_optimizer(TrainConfig(optimizer="sgd", momentum=0.9,
+                                   dampening=0.3, nesterov=True),
+                       params, slow_modules=())

@@ -16,7 +16,7 @@ Replicates the reference's optimizer semantics with optax:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Sequence, Tuple
+from typing import Any, Callable, NamedTuple, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -29,12 +29,44 @@ def _group_of(path: Tuple[str, ...], slow_modules: Sequence[str]) -> str:
     return "slow" if path and path[0] in slow_modules else "fast"
 
 
+class _DampenedTraceState(NamedTuple):
+    trace: Any
+    step: jax.Array  # scalar int32
+
+
+def _trace_dampened(decay: float, dampening: float
+                    ) -> optax.GradientTransformation:
+    """torch SGD momentum with dampening (`--dampening`, SGD docs):
+    buf_0 = g_0 (first step undampened), buf_t = decay*buf + (1-dampening)*g.
+    optax.trace has no dampening parameter, hence this custom transform;
+    torch itself forbids nesterov with nonzero dampening."""
+
+    def init_fn(params):
+        return _DampenedTraceState(
+            trace=jax.tree_util.tree_map(jnp.zeros_like, params),
+            step=jnp.zeros((), jnp.int32))
+
+    def update_fn(updates, state, params=None):
+        del params
+        f = jnp.where(state.step == 0, 1.0, 1.0 - dampening)
+        new_trace = jax.tree_util.tree_map(
+            lambda g, t: g * f.astype(g.dtype) + decay * t,
+            updates, state.trace)
+        return new_trace, _DampenedTraceState(new_trace, state.step + 1)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(cfg: TrainConfig, params: Any,
                    slow_modules: Sequence[str] = ("backbone",)
                    ) -> optax.GradientTransformation:
     """Build the two-group optimizer. `slow_modules` are top-level param-tree
     keys trained at cfg.lr * cfg.trunk_lr_scale; stage-1 passes ('backbone',),
     stage-2 passes ('backbone', 'encoder')."""
+    if cfg.optimizer == "sgd" and cfg.dampening and cfg.nesterov:
+        # torch parity: SGD raises on this combination (and inject_hyperparams
+        # defers the inner factory, so the check must happen here, eagerly)
+        raise ValueError("nesterov momentum requires zero dampening")
     labels = jax.tree_util.tree_map_with_path(
         lambda path, _: _group_of(tuple(p.key for p in path), slow_modules),
         params)
@@ -48,8 +80,12 @@ def make_optimizer(cfg: TrainConfig, params: Any,
                 if cfg.weight_decay:
                     parts.append(optax.add_decayed_weights(cfg.weight_decay))
                 if cfg.momentum:
-                    parts.append(optax.trace(decay=cfg.momentum,
-                                             nesterov=cfg.nesterov))
+                    if cfg.dampening:
+                        parts.append(_trace_dampened(cfg.momentum,
+                                                     cfg.dampening))
+                    else:
+                        parts.append(optax.trace(decay=cfg.momentum,
+                                                 nesterov=cfg.nesterov))
                 parts.append(optax.scale(-1.0 * scale))
                 parts.append(optax.scale(learning_rate))
                 return optax.chain(*parts)
