@@ -211,3 +211,55 @@ def test_export_roundtrip_fuzz(tmp_path):
 
         with pytest.raises(ValueError):
             export_predictions(m, np.append(preds, 0), seq, pred_dir, gt_dir)
+
+
+def test_evaluate_video_range_and_relaxed_seconds(tmp_path, capsys):
+    """--video-range applies Main.m's numeric-range iteration to the gt-dir
+    listing; --relaxed-seconds reaches the scorer (0 = strict boundaries)."""
+    from tmrnet_tpu.eval.metrics import write_phase_file
+
+    gt_dir, pred_dir = tmp_path / "gt", tmp_path / "pred"
+    gt = np.array([0] * 20 + [1] * 20)
+    pred = gt.copy()
+    pred[20:25] = 0  # 5 late frames: forgiven at 10 s relax, wrong at 0 s
+    for vid in ("video41", "video57"):
+        write_phase_file(str(gt_dir / f"{vid}-phase.txt"), gt, fps=1)
+        write_phase_file(str(pred_dir / f"{vid}-phase.txt"), pred, fps=1)
+
+    json_out = tmp_path / "r.json"
+    assert main(["evaluate", "--pred-dir", str(pred_dir), "--gt-dir",
+                 str(gt_dir), "--fps", "1", "--video-range", "50", "80",
+                 "--json-out", str(json_out)]) == 0
+    capsys.readouterr()
+    rep = json.loads(json_out.read_text())
+    assert rep["videos"] == ["video57"]          # 41 filtered out
+    assert rep["mean_accuracy"] == 100.0         # relaxed: late frames forgiven
+
+    assert main(["evaluate", "--pred-dir", str(pred_dir), "--gt-dir",
+                 str(gt_dir), "--fps", "1", "--relaxed-seconds", "0",
+                 "--json-out", str(json_out)]) == 0
+    capsys.readouterr()
+    rep = json.loads(json_out.read_text())
+    assert rep["mean_accuracy"] < 100.0          # strict: the 5 frames count
+
+    with pytest.raises(SystemExit):              # empty range fails loudly
+        main(["evaluate", "--pred-dir", str(pred_dir), "--gt-dir",
+              str(gt_dir), "--video-range", "1", "2"])
+
+
+def test_manifest_config_root_fallback(tmp_path, capsys):
+    """--frames/--annotations default to data.data_root/annotation_root;
+    an extension-less --out follows data.manifest_format."""
+    frames_dir, ann_dir = _write_frames_tree(tmp_path, n_videos=1, seconds=5)
+    out = tmp_path / "manifest_noext"
+    assert main(["manifest", "--out", str(out),
+                 "--set", f"data.data_root={frames_dir}",
+                 "--set", f"data.annotation_root={ann_dir}",
+                 "--set", "data.manifest_format=csv"]) == 0
+    capsys.readouterr()
+    text = out.read_text()
+    assert text.startswith("frame,class,id")     # csv via manifest_format
+
+    with pytest.raises(SystemExit):              # missing root fails loudly
+        main(["manifest", "--out", str(tmp_path / "x.pkl"),
+              "--set", "data.data_root=/nonexistent"])

@@ -343,3 +343,30 @@ def test_sgd_dampening_matches_torch():
         make_optimizer(TrainConfig(optimizer="sgd", momentum=0.9,
                                    dampening=0.3, nesterov=True),
                        params, slow_modules=())
+
+
+def test_label_smoothing_wired_into_steps():
+    """train.label_smoothing must reach the loss (it was a dead knob):
+    smoothed CE on one-hot-confident logits is strictly larger, and the
+    torch oracle pins the exact value."""
+    cfg = _tiny_cfg("stage1")
+    model = build_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    clips = jax.random.normal(rng, (4, 3, 16, 16, 3))
+    labels = jnp.array([0, 1, 2, 3])
+    variables = model.init(rng, clips)
+    tx = make_optimizer(TrainConfig(optimizer="sgd", lr=0.0),
+                        variables["params"])
+    state = create_train_state(model, variables, tx)
+
+    _, ev0 = make_stage1_steps(label_smoothing=0.0)
+    _, ev1 = make_stage1_steps(label_smoothing=0.2)
+    m0, m1 = ev0(state, clips, labels), ev1(state, clips, labels)
+    assert float(m1["loss"]) != float(m0["loss"])
+
+    out = state.apply_fn(state.variables, clips, train=False)
+    logits = np.asarray(out[:, -1, :], np.float32)
+    tl = torch.nn.CrossEntropyLoss(reduction="sum", label_smoothing=0.2)
+    want = tl(torch.from_numpy(logits),
+              torch.from_numpy(np.asarray(labels, np.int64))).item()
+    np.testing.assert_allclose(float(m1["loss"]), want, rtol=1e-5)

@@ -328,11 +328,22 @@ def cmd_manifest(args) -> int:
         split_manifest,
     )
 
+    cfg = load_config(args)
+    frames = args.frames or cfg.data.data_root
+    annotations = args.annotations or cfg.data.annotation_root
+    if not os.path.isdir(frames):
+        raise SystemExit(f"frames dir not found: {frames} "
+                         f"(pass --frames or set data.data_root)")
     phases = _phase_names(args.protocol)
-    m = build_manifest_from_frames(args.frames, args.annotations, phases,
+    m = build_manifest_from_frames(frames, annotations, phases,
                                    sample_stride=args.stride)
     print(f"{len(m.videos)} videos, {m.num_frames} frames")
-    if args.out.endswith(".csv"):
+    # format by extension; an extension-less --out follows
+    # data.manifest_format ('pickle' | 'csv')
+    as_csv = (args.out.endswith(".csv")
+              or (not args.out.endswith((".pkl", ".pickle"))
+                  and cfg.data.manifest_format == "csv"))
+    if as_csv:
         save_csv_manifest(args.out, m)
     elif args.train_videos:
         a, b = split_manifest(m, (0, args.train_videos),
@@ -896,18 +907,44 @@ def cmd_export(args) -> int:
 
 
 def cmd_evaluate(args) -> int:
+    import re
+
     from tmrnet_tpu.eval.export import load_exported
     from tmrnet_tpu.eval.metrics import evaluate_protocol
 
+    cfg = load_config(args)
+    protocol = args.protocol or cfg.eval.protocol
+    relaxed = (args.relaxed_seconds if args.relaxed_seconds is not None
+               else cfg.eval.relaxed_seconds)
     video_ids = args.videos or sorted(
         f[: -len("-phase.txt")] for f in os.listdir(args.gt_dir)
         if f.endswith("-phase.txt"))
+    # Main.m / Main_m2cai.m iterate a NUMERIC video range (41:80 / 1:14);
+    # an explicit --video-range (or the preset's eval.test_videos) applies
+    # the same selection to the gt-dir listing. Ids without a trailing
+    # number can't match a numeric range and are dropped.
+    vrange = args.video_range or (
+        tuple(cfg.eval.test_videos)
+        if (getattr(args, "preset", None) or getattr(args, "config", None))
+        else None)
+    if not args.videos and vrange:
+        def num(vid):
+            m = re.search(r"(\d+)\D*$", vid)
+            return int(m.group(1)) if m else None
+
+        video_ids = [v for v in video_ids
+                     if num(v) is not None and vrange[0] <= num(v) <= vrange[1]]
+        if not video_ids:
+            raise SystemExit(
+                f"no videos in {args.gt_dir} fall in range {vrange}; "
+                f"pass --videos or widen --video-range")
     gts, preds = load_exported(args.pred_dir, args.gt_dir, video_ids,
-                               phase_names=_phase_names(args.protocol),
+                               phase_names=_phase_names(protocol),
                                matlab_compat=args.matlab_compat)
-    rep = evaluate_protocol(gts, preds, protocol=args.protocol,
+    rep = evaluate_protocol(gts, preds, protocol=protocol,
                             fps=args.fps,
-                            quirk_compat=not args.no_quirk)
+                            quirk_compat=not args.no_quirk,
+                            relaxed_seconds=relaxed)
     print(rep.format_table())
     if args.json_out:
         with open(args.json_out, "w") as f:
@@ -1071,8 +1108,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.set_defaults(fn=cmd_prepare)
 
     sp = sub.add_parser("manifest", help="frames dir -> manifest pickle/CSV")
-    sp.add_argument("--frames", required=True)
-    sp.add_argument("--annotations", required=True)
+    _add_config_args(sp)
+    sp.add_argument("--frames", help="default: data.data_root")
+    sp.add_argument("--annotations", help="default: data.annotation_root")
     sp.add_argument("--out", required=True)
     sp.add_argument("--protocol", default="cholec80",
                     choices=["cholec80", "m2cai"])
@@ -1233,12 +1271,22 @@ def build_parser() -> argparse.ArgumentParser:
     sp.set_defaults(fn=cmd_export)
 
     sp = sub.add_parser("evaluate", help="relaxed-boundary protocol scoring")
+    _add_config_args(sp)
     sp.add_argument("--pred-dir", required=True)
     sp.add_argument("--gt-dir", required=True)
-    sp.add_argument("--protocol", default="cholec80",
-                    choices=["cholec80", "m2cai"])
+    sp.add_argument("--protocol", default=None,
+                    choices=["cholec80", "m2cai"],
+                    help="default: the config's eval.protocol (cholec80)")
     sp.add_argument("--fps", type=int, default=None)
     sp.add_argument("--videos", nargs="*")
+    sp.add_argument("--relaxed-seconds", type=int, default=None,
+                    help="boundary relaxation (default eval.relaxed_seconds"
+                         " = 10, Evaluate.m:13)")
+    sp.add_argument("--video-range", nargs=2, type=int, metavar=("LO", "HI"),
+                    help="score only gt files whose trailing video number "
+                         "falls in [LO, HI] (Main.m's 41:80 / Main_m2cai.m's "
+                         "1:14 iteration); a --preset defaults this to its "
+                         "eval.test_videos")
     sp.add_argument("--no-quirk", action="store_true",
                     help="use intended (non-MATLAB-quirk) early relaxation")
     sp.add_argument("--json-out")

@@ -273,18 +273,22 @@ def evaluate_protocol(
     fps: Optional[int] = None,
     phase_names: Tuple[str, ...] = (),
     quirk_compat: bool = True,
+    relaxed_seconds: int = 10,
 ) -> ProtocolReport:
     """Full protocol: score every video and aggregate.
 
     fps defaults follow the MATLAB mains: 1 for cholec80 (`Main.m:19`),
-    25 for m2cai (`Main_m2cai.m:19`).
+    25 for m2cai (`Main_m2cai.m:19`). relaxed_seconds is the boundary
+    relaxation (10 in both protocols, `Evaluate.m:13`).
     """
     if fps is None:
         fps = 1 if protocol == "cholec80" else 25
     if len(gts) != len(preds):
         raise ValueError("gts and preds must have the same number of videos")
     scores = [
-        relaxed_evaluate(g, p, fps=fps, protocol=protocol, quirk_compat=quirk_compat)
+        relaxed_evaluate(g, p, fps=fps, protocol=protocol,
+                         quirk_compat=quirk_compat,
+                         relaxed_seconds=relaxed_seconds)
         for g, p in zip(gts, preds)
     ]
     if not phase_names:

@@ -227,7 +227,9 @@ def _fit(cfg: ExperimentConfig, model, train_ds: ClipDataset,
                                             cfg.model.num_classes)
                      if t.class_weighting else None)
     make_steps = make_stage2_steps if use_memory else make_stage1_steps
-    train_step, eval_step = make_steps(class_weights, "sum")
+    train_step, eval_step = make_steps(class_weights, "sum",
+                                       label_smoothing=t.label_smoothing,
+                                       donate=t.donate_state)
 
     train_loader = ClipLoader(train_ds, cfg.data.batch_clips, shuffle=True,
                               num_workers=cfg.data.num_workers,

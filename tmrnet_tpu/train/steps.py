@@ -23,10 +23,12 @@ from tmrnet_tpu.train.losses import weighted_cross_entropy
 from tmrnet_tpu.train.state import TrainState
 
 
-def _make_steps(class_weights, loss_reduction: str = "sum"):
+def _make_steps(class_weights, loss_reduction: str = "sum",
+                label_smoothing: float = 0.0, donate: bool = True):
     # stage-1 and stage-2 steps share this body: the *inputs splat carries
     # (clips,) or (clips, memory) transparently
     w = None if class_weights is None else jnp.asarray(class_weights)
+    ls = float(label_smoothing)
 
     def forward_train(state: TrainState, params, inputs, labels, rng):
         variables = {"params": params, "batch_stats": state.batch_stats}
@@ -34,10 +36,11 @@ def _make_steps(class_weights, loss_reduction: str = "sum"):
             variables, *inputs, train=True, rngs={"dropout": rng},
             mutable=["batch_stats"])
         logits = out[:, -1, :] if out.ndim == 3 else out
-        loss = weighted_cross_entropy(logits, labels, w, loss_reduction)
+        loss = weighted_cross_entropy(logits, labels, w, loss_reduction,
+                                      label_smoothing=ls)
         return loss, (updates["batch_stats"], logits)
 
-    @partial(jax.jit, donate_argnums=(0,))
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, *args):
         *inputs, labels, rng = args
         grad_fn = jax.value_and_grad(forward_train, argnums=1, has_aux=True)
@@ -58,13 +61,15 @@ def _make_steps(class_weights, loss_reduction: str = "sum"):
         *inputs, labels = args
         out = state.apply_fn(state.variables, *inputs, train=False)
         logits = out[:, -1, :] if out.ndim == 3 else out
-        loss = weighted_cross_entropy(logits, labels, w, loss_reduction)
+        loss = weighted_cross_entropy(logits, labels, w, loss_reduction,
+                                      label_smoothing=ls)
         preds = jnp.argmax(logits, axis=-1)
         valid = labels >= 0  # negative labels mark batch padding
         return {
             "loss": loss,
             # per-sample losses let the host mask batch padding exactly
-            "losses": weighted_cross_entropy(logits, labels, w, "none"),
+            "losses": weighted_cross_entropy(logits, labels, w, "none",
+                                             label_smoothing=ls),
             "correct": ((preds == labels) & valid).sum(),
             "count": valid.sum().astype(jnp.int32),
             "preds": preds,
@@ -74,15 +79,17 @@ def _make_steps(class_weights, loss_reduction: str = "sum"):
     return train_step, eval_step
 
 
-def make_stage1_steps(class_weights=None, loss_reduction: str = "sum"
+def make_stage1_steps(class_weights=None, loss_reduction: str = "sum",
+                      label_smoothing: float = 0.0, donate: bool = True
                       ) -> Tuple[Callable, Callable]:
     """Steps for MemoryBankModel: train_step(state, clips, labels, rng),
     eval_step(state, clips, labels). labels are per-clip last-frame labels."""
-    return _make_steps(class_weights, loss_reduction)
+    return _make_steps(class_weights, loss_reduction, label_smoothing, donate)
 
 
-def make_stage2_steps(class_weights=None, loss_reduction: str = "sum"
+def make_stage2_steps(class_weights=None, loss_reduction: str = "sum",
+                      label_smoothing: float = 0.0, donate: bool = True
                       ) -> Tuple[Callable, Callable]:
     """Steps for TMRNet: train_step(state, clips, memory, labels, rng),
     eval_step(state, clips, memory, labels)."""
-    return _make_steps(class_weights, loss_reduction)
+    return _make_steps(class_weights, loss_reduction, label_smoothing, donate)
