@@ -263,3 +263,59 @@ def test_manifest_config_root_fallback(tmp_path, capsys):
     with pytest.raises(SystemExit):              # missing root fails loudly
         main(["manifest", "--out", str(tmp_path / "x.pkl"),
               "--set", "data.data_root=/nonexistent"])
+
+
+def test_export_ckpt_roundtrip(tmp_path, capsys):
+    """export-ckpt writes a reference-format .pth that converts back to the
+    identical variable tree (the migration path OUT of this framework)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from tmrnet_tpu.config import (DataConfig, ExperimentConfig,
+                                   MemoryConfig, ModelConfig, TrainConfig)
+    from tmrnet_tpu.models.tmrnet import build_model
+    from tmrnet_tpu.models.torch_import import (
+        convert_reference_checkpoint, load_torch_state_dict)
+    from tmrnet_tpu.train.optim import make_optimizer
+    from tmrnet_tpu.train.state import create_train_state
+    from tmrnet_tpu.utils.checkpoint import CheckpointManager
+
+    cfg = ExperimentConfig(
+        data=DataConfig(sequence_length=3, crop_size=16),
+        model=ModelConfig(backbone="tiny", stage_sizes=(1, 1), width=8,
+                          hidden_dim=16, num_classes=4, head="tmr",
+                          lfb_window=4, compute_dtype="float32"),
+        memory=MemoryConfig(window=4),
+        train=TrainConfig(checkpoint_dir=str(tmp_path / "ck")))
+    model = build_model(cfg.model)
+    variables = model.init(jax.random.PRNGKey(7),
+                           jnp.zeros((1, 3, 16, 16, 3)),
+                           jnp.zeros((1, 4, 16)))
+    tx = make_optimizer(cfg.train, variables["params"])
+    state = create_train_state(model, variables, tx)
+    CheckpointManager(cfg.train.checkpoint_dir).save(state, step=1,
+                                                     is_best=True)
+
+    out = tmp_path / "model.pth"
+    cfg_json = tmp_path / "cfg.json"
+    cfg_json.write_text(cfg.to_json())
+    assert main(["export-ckpt", "--config", str(cfg_json),
+                 "--ckpt", cfg.train.checkpoint_dir, "--out", str(out)]) == 0
+    capsys.readouterr()
+
+    sd = load_torch_state_dict(str(out))
+    back = convert_reference_checkpoint(sd, "tmr", stage_sizes=(1, 1))
+    import numpy as _np
+
+    def cmp(a, b, path=""):
+        if isinstance(a, dict):
+            for k in a:
+                cmp(a[k], b[k], f"{path}/{k}")
+        else:
+            _np.testing.assert_allclose(_np.asarray(a), _np.asarray(b),
+                                        atol=0, rtol=0, err_msg=path)
+
+    cmp(back["params"], variables["params"])
+    cmp(back["batch_stats"], variables["batch_stats"])

@@ -13,6 +13,7 @@ drivers (SURVEY.md section 5, config notes):
   parity     reference .pth + frames -> Main.m protocol table, one command
   export     predictions -> video<N>-phase.txt trees (export_phase_copy.py)
   evaluate   relaxed-boundary protocol scoring (MATLAB Main.m, in Python)
+  export-ckpt checkpoint -> reference-format torch .pth (migration out)
   doctor     environment + artifact diagnostics (no reference equivalent)
 
 Config: --preset <name> selects a BASELINE config; --config <json> loads a
@@ -964,6 +965,26 @@ def cmd_evaluate(args) -> int:
     return 0
 
 
+def cmd_export_ckpt(args) -> int:
+    """Checkpoint -> reference-format torch .pth (the inverse of
+    --torch-ckpt import), so models trained here load into the PyTorch
+    reference tooling via its plain load_state_dict."""
+    import torch
+
+    from tmrnet_tpu.models.torch_import import export_reference_checkpoint
+
+    cfg = load_config(args)
+    head = cfg.model.head
+    _, variables = _restore_variables(cfg, head, args.ckpt, None,
+                                      cfg.data.crop_size)
+    sd = export_reference_checkpoint(variables, head,
+                                     stage_sizes=cfg.model.stage_sizes)
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in sd.items()}, args.out)
+    print(f"wrote {args.out} ({len(sd)} tensors, head={head})")
+    return 0
+
+
 def cmd_doctor(args) -> int:
     """Environment/artifact diagnostics before a long job: versions, devices,
     optional deps, the native preprocess lib, and (when pointed at them)
@@ -1296,6 +1317,14 @@ def build_parser() -> argparse.ArgumentParser:
                          "exports are headerless, so Main.m silently loses "
                          "frame 0 per video)")
     sp.set_defaults(fn=cmd_evaluate)
+
+    sp = sub.add_parser("export-ckpt", help="checkpoint -> reference-format "
+                                            "torch .pth")
+    _add_config_args(sp)
+    sp.add_argument("--ckpt", required=True,
+                    help="orbax checkpoint dir (best/ preferred)")
+    sp.add_argument("--out", required=True, help="output .pth path")
+    sp.set_defaults(fn=cmd_export_ckpt)
 
     sp = sub.add_parser("doctor", help="environment + artifact diagnostics")
     _add_config_args(sp)
