@@ -259,3 +259,22 @@ def test_early_stopping_halts_on_plateau(tmp_path, monkeypatch):
     cfg0 = _cfg(tmp_path / "p0", "stage1", epochs=3)
     _, hist0 = train_stage1(cfg0, train_ds, val_ds)
     assert len(hist0) == 3
+
+
+def test_training_bitwise_reproducible(tmp_path):
+    """The determinism claim (stateless Philox augs, deterministic shuffles,
+    ordered prefetch) holds end-to-end: two fresh runs with the same seed
+    produce BITWISE-identical epoch stats."""
+    manifest, store = _synthetic()
+    loader = array_frame_loader(store)
+
+    def run(ck):
+        train_ds = ClipDataset(manifest, SEQ, frame_loader=loader)
+        val_ds = ClipDataset(manifest, SEQ, frame_loader=loader)
+        cfg = _cfg(tmp_path / ck, "stage1", epochs=2)
+        _, hist = train_stage1(cfg, train_ds, val_ds)
+        return [(h.train_loss, h.train_acc, h.val_loss, h.val_acc)
+                for h in hist]
+
+    a, b = run("a"), run("b")
+    assert a == b, f"non-deterministic training: {a} vs {b}"
