@@ -142,3 +142,44 @@ def test_video_engine_bank_rejects_random_transform(tmp_path):
     _, extractor = _init_models(cfg, key=2)
     with pytest.raises(ValueError, match="deterministic"):
         build_lfb(cfg, extractor, ds, cache_path=None, engine="video")
+
+
+def test_bank_reference_pickle_interop(tmp_path):
+    """g_LFB pickle interop both ways: save_bank to .pkl writes the
+    reference's pickled-array format; load_bank reads it back (numpy or
+    torch tensor), validates the clip count against the manifest, and
+    rebuilds first_rows."""
+    import pickle
+
+    import torch
+
+    from tmrnet_tpu.memory.lfb import FeatureBank, load_bank, save_bank
+
+    lengths = [8, 7]
+    bank = FeatureBank.create(SEQ, lengths, 16)
+    feats = jnp.asarray(np.random.RandomState(0).rand(
+        bank.num_rows, 16).astype(np.float32))
+    bank = FeatureBank(features=feats, first_rows=bank.first_rows)
+
+    pkl = str(tmp_path / "g_LFB_train.pkl")
+    save_bank(pkl, bank)
+    with open(pkl, "rb") as f:
+        raw = pickle.load(f)
+    assert isinstance(raw, np.ndarray) and raw.dtype == np.float32
+
+    back = load_bank(pkl, seq_len=SEQ, video_lengths=lengths)
+    np.testing.assert_allclose(np.asarray(back.features), np.asarray(feats))
+    np.testing.assert_array_equal(np.asarray(back.first_rows),
+                                  np.asarray(bank.first_rows))
+
+    # wrong row count for the manifest must fail loudly
+    with pytest.raises(ValueError):
+        load_bank(pkl, seq_len=SEQ, video_lengths=[100])
+
+    # a torch-tensor pickle (reference tensors sometimes pickle directly)
+    tp = str(tmp_path / "g_LFB_t.pkl")
+    with open(tp, "wb") as f:
+        pickle.dump(torch.from_numpy(np.asarray(feats)), f)
+    back2 = load_bank(tp)
+    np.testing.assert_allclose(np.asarray(back2.features),
+                               np.asarray(feats))

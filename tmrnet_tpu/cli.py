@@ -453,8 +453,11 @@ def cmd_train_tmr(args) -> int:
         train_ds = _dataset(cfg, train_m, True)
         val_m = (_load_manifest(args.val_manifest, "val") if args.val_manifest
                  else None)
-    bank = load_bank(args.lfb)
-    val_bank = load_bank(args.val_lfb) if args.val_lfb else None
+    # .pkl paths load the reference's g_LFB_* pickles (validated against
+    # the dataset's clip count); .npz is the native cache
+    bank = load_bank(args.lfb, seq_len=cfg.data.sequence_length,
+                     video_lengths=train_ds.manifest.video_lengths)
+    val_bank = (load_bank(args.val_lfb) if args.val_lfb else None)
     init = None
     if args.torch_init:
         # reference stage-1/stage-2 .pth: convert whatever subset exists
@@ -515,7 +518,9 @@ def cmd_test(args) -> int:
     if args.engine == "video":
         pass  # bank is built inside the fused video pass
     elif args.lfb and os.path.exists(args.lfb):
-        bank = load_bank(args.lfb)
+        # .pkl = reference g_LFB pickle, validated against the manifest
+        bank = load_bank(args.lfb, seq_len=cfg.data.sequence_length,
+                         video_lengths=m.video_lengths)
     else:
         bank = build_lfb(cfg, _extractor_for(cfg, args, variables), ds,
                          cache_path=args.lfb, force=not args.load_lfb)

@@ -131,13 +131,56 @@ def build_feature_bank(
 
 
 def save_bank(path: str, bank: FeatureBank) -> None:
-    """Disk cache (.npz), replacing the reference's g_LFB_*.pkl artifacts."""
+    """Disk cache. Native format is .npz (features + first_rows); a
+    .pkl/.pickle path writes the REFERENCE's g_LFB format instead (a pickled
+    float32 numpy array, `train_non-local_mutiConv_resnet.py:752-756`) so
+    banks built here feed the PyTorch reference's --load_LFB workflow."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    if path.endswith((".pkl", ".pickle")):
+        import pickle
+
+        with open(path, "wb") as f:
+            pickle.dump(np.asarray(bank.features, np.float32), f)
+        return
     np.savez_compressed(path, features=np.asarray(bank.features),
                         first_rows=np.asarray(bank.first_rows))
 
 
-def load_bank(path: str, dtype=jnp.float32) -> FeatureBank:
+def load_bank(path: str, dtype=jnp.float32, seq_len: Optional[int] = None,
+              video_lengths: Optional[Sequence[int]] = None) -> FeatureBank:
+    """Load a bank cache. Native format is the .npz written by save_bank; a
+    .pkl/.pickle path loads the REFERENCE's g_LFB_* artifact (a pickled
+    (num_rows, 512) numpy array or torch tensor,
+    `train_non-local_mutiConv_resnet.py:752-765`) so existing banks migrate
+    without re-running the extractor. For pickles, pass seq_len +
+    video_lengths to validate the row count and rebuild first_rows
+    (window gathers read first rows from the DATASET, so zeros are safe
+    when the layout is unknown)."""
+    if path.endswith((".pkl", ".pickle")):
+        import pickle
+
+        with open(path, "rb") as f:
+            arr = pickle.load(f)
+        if hasattr(arr, "detach"):
+            arr = arr.detach().cpu().numpy()
+        arr = np.asarray(arr)
+        if arr.ndim != 2:
+            raise ValueError(f"{path}: expected a 2-D feature array, "
+                             f"got shape {arr.shape}")
+        if seq_len is not None and video_lengths is not None:
+            cpv = clips_per_video(seq_len, video_lengths)
+            want = int(cpv.sum())
+            if want != arr.shape[0]:
+                raise ValueError(
+                    f"{path}: {arr.shape[0]} rows but the manifest implies "
+                    f"{want} clip positions (sum of len+1-seq per video) — "
+                    f"wrong bank for this dataset/seq_len")
+            firsts = np.repeat(video_first_rows(seq_len, video_lengths),
+                               cpv)[:want]
+        else:
+            firsts = np.zeros((arr.shape[0],), np.int64)
+        return FeatureBank(features=jnp.asarray(arr, dtype),
+                           first_rows=jnp.asarray(firsts, jnp.int32))
     with np.load(path) as z:
         return FeatureBank(features=jnp.asarray(z["features"], dtype),
                            first_rows=jnp.asarray(z["first_rows"], jnp.int32))
