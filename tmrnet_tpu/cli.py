@@ -1074,10 +1074,12 @@ def cmd_doctor(args) -> int:
 
     if args.lfb:
         try:
-            with np.load(args.lfb) as z:
-                f, fr = z["features"], z["first_rows"]
+            from tmrnet_tpu.memory.lfb import load_bank
+
+            bank = load_bank(args.lfb)  # .npz native or reference .pkl
             add("ok", "lfb",
-                f"bank {tuple(f.shape)} {f.dtype}, {len(fr)} videos")
+                f"bank ({bank.num_rows}, {bank.feature_dim}) "
+                f"{bank.features.dtype}")
         except Exception as e:
             add("FAIL", "lfb", f"{args.lfb}: {e}")
 
