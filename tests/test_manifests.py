@@ -106,3 +106,29 @@ def test_split_manifest():
     a, b = split_manifest(m, (0, 3), (3, 5))
     assert len(a.videos) == 3 and len(b.videos) == 2
     assert b.videos[0].video_id == "video03"
+
+
+def test_build_manifest_numeric_dir_order(tmp_path):
+    """The reference walks cutMargin video dirs in NUMERIC order
+    (get_paths_labels.py get_dirs2 sorts by int(name)); bare-number dirs
+    must order 1,2,10 — a lexical walk would put 10 second and silently
+    shift the --train-videos split membership on the real layout."""
+    import cv2
+
+    frames = tmp_path / "frames"
+    ann = tmp_path / "ann"
+    ann.mkdir()
+    for vid in ("1", "2", "10"):
+        d = frames / vid
+        d.mkdir(parents=True)
+        cv2.imwrite(str(d / "frame0.png"),
+                    np.zeros((8, 8, 3), np.uint8))
+        (ann / f"{vid}-phase.txt").write_text(
+            "Frame\tPhase\n0\tPreparation\n")
+    from tmrnet_tpu.config import CHOLEC80_PHASES
+
+    m = build_manifest_from_frames(str(frames), str(ann), CHOLEC80_PHASES)
+    assert [v.video_id for v in m.videos] == ["1", "2", "10"]
+    a, b = split_manifest(m, (0, 2), (2, 3))
+    assert [v.video_id for v in a.videos] == ["1", "2"]
+    assert [v.video_id for v in b.videos] == ["10"]

@@ -211,10 +211,12 @@ def _video_dataset(cfg, videos_dir: str, annotation_root: str, train: bool):
     if not annotation_root:
         raise SystemExit("--videos requires --annotations <dir>")
     d = cfg.data
+    from tmrnet_tpu.data.manifests import _natural_key
+
     stride = max(1, d.source_fps // d.fps)
     name_to_id = {n: i for i, n in enumerate(d.phase_names)}
     paths, counts, labels = [], [], []
-    for fname in sorted(os.listdir(videos_dir)):
+    for fname in sorted(os.listdir(videos_dir), key=_natural_key):
         if not fname.endswith((".mp4", ".avi", ".mkv")):
             continue
         vid = os.path.splitext(fname)[0]
@@ -299,9 +301,11 @@ def cmd_prepare(args) -> int:
 
     from tmrnet_tpu.data.video import extract_frames
 
+    from tmrnet_tpu.data.manifests import _natural_key
+
     videos = sorted(
-        f for f in os.listdir(args.videos)
-        if f.endswith((".mp4", ".avi", ".mkv")))
+        (f for f in os.listdir(args.videos)
+         if f.endswith((".mp4", ".avi", ".mkv"))), key=_natural_key)
 
     def one(v: str):
         name = os.path.splitext(v)[0]

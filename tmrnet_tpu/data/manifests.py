@@ -175,6 +175,16 @@ def _frame_number(fname: str) -> int:
     return int(m[-1]) if m else -1
 
 
+def _natural_key(name: str):
+    """Video-name sort key: numeric on the trailing number, so the
+    reference's bare-number cutMargin dirs ('1'..'80') order 1,2,..,10,..
+    like its `sort(key=int)` (`get_paths_labels.py::get_dirs2`) — a lexical
+    sort would put '10' before '2' and silently shift the train/val split
+    membership. Zero-padded names ('video01') are unaffected."""
+    m = _FRAME_NUM_RE.findall(os.path.splitext(name)[0])
+    return (0, int(m[-1]), name) if m else (1, 0, name)
+
+
 def read_phase_annotation(ann_path: str,
                           name_to_id: Dict[str, int]) -> Dict[int, int]:
     """Parse a `frame_idx <TAB> PhaseName` annotation txt (header tolerated)
@@ -207,7 +217,7 @@ def build_manifest_from_frames(
     """
     name_to_id = {n: i for i, n in enumerate(phase_names)}
     videos: List[VideoRecord] = []
-    for vid in sorted(os.listdir(data_root)):
+    for vid in sorted(os.listdir(data_root), key=_natural_key):
         vdir = os.path.join(data_root, vid)
         if not os.path.isdir(vdir) or vid.startswith("."):
             continue
