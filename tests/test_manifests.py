@@ -132,3 +132,38 @@ def test_build_manifest_numeric_dir_order(tmp_path):
     a, b = split_manifest(m, (0, 2), (2, 3))
     assert [v.video_id for v in a.videos] == ["1", "2"]
     assert [v.video_id for v in b.videos] == ["10"]
+
+
+def test_pickle_manifest_reference_element_order(tmp_path):
+    """The reference's 6-list groups by KIND (train_paths, val_paths,
+    train_labels, val_labels, train_num, val_num —
+    get_paths_labels.py:126-139); a hand-built reference-order pickle must
+    load with paths and labels in the right splits, save must WRITE that
+    order, and the legacy split-grouped layout still loads (detected)."""
+    ref = [
+        ["t/a.jpg", "t/b.jpg"], ["v/c.jpg"],          # train/val paths
+        [[0], [1]], [[2]],                            # train/val labels
+        [2], [1],                                     # train/val num_each
+    ]
+    p = tmp_path / "ref.pkl"
+    with open(p, "wb") as f:
+        pickle.dump(ref, f)
+    train, val = load_pickle_manifest(str(p))
+    assert train.flat_paths() == ["t/a.jpg", "t/b.jpg"]
+    assert val.flat_paths() == ["v/c.jpg"]
+    np.testing.assert_array_equal(train.flat_labels(), [0, 1])
+    np.testing.assert_array_equal(val.flat_labels(), [2])
+
+    out = tmp_path / "out.pkl"
+    save_pickle_manifest(str(out), train, val)
+    with open(out, "rb") as f:
+        written = pickle.load(f)
+    assert written[0] == ref[0] and written[1] == ref[1]  # kind-grouped
+    assert written[4] == [2] and written[5] == [1]
+
+    legacy = [ref[0], ref[2], ref[1], ref[3], ref[4], ref[5]]
+    lp = tmp_path / "legacy.pkl"
+    with open(lp, "wb") as f:
+        pickle.dump(legacy, f)
+    ltrain, lval = load_pickle_manifest(str(lp))
+    assert ltrain.flat_paths() == ref[0] and lval.flat_paths() == ref[1]

@@ -103,11 +103,25 @@ def _video_id_from_path(path: str) -> str:
 
 def load_pickle_manifest(path: str) -> Tuple[Manifest, Optional[Manifest]]:
     """Load a reference pickle. Returns (primary, secondary):
-    6-list -> (train, val); 3-list -> (test, None)."""
+    6-list -> (train, val); 3-list -> (test, None).
+
+    The reference's 6-list is grouped by KIND, not by split
+    (`Training TMRNet/get_paths_labels.py:126-139` appends train_paths,
+    val_paths, train_labels, val_labels, train_num, val_num). Files written
+    by earlier versions of this repo used a split-grouped order
+    (train_paths, train_labels, ...); both load — the layout is detected by
+    which slots hold path strings."""
     with open(path, "rb") as f:
         data = pickle.load(f)
     if len(data) == 6:
-        tr_paths, tr_labels, va_paths, va_labels, tr_num, va_num = data
+        def is_paths(x):
+            return bool(len(x)) and isinstance(list(x)[0], str)
+
+        if is_paths(data[2]) and not is_paths(data[1]):
+            # legacy split-grouped layout (this repo, pre-fix)
+            tr_paths, tr_labels, va_paths, va_labels, tr_num, va_num = data
+        else:  # reference kind-grouped layout
+            tr_paths, va_paths, tr_labels, va_labels, tr_num, va_num = data
         train = Manifest(_group_by_video(list(tr_paths), _parse_labels(tr_labels), tr_num))
         val = Manifest(_group_by_video(list(va_paths), _parse_labels(va_labels), va_num))
         return train, val
@@ -122,9 +136,11 @@ def save_pickle_manifest(path: str, train: Manifest,
     """Write the reference's 6-list (train+val) or 3-list (test) pickle."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     if val is not None:
+        # reference kind-grouped order (`get_paths_labels.py:126-139`):
+        # paths, paths, labels, labels, nums, nums
         data = [
-            train.flat_paths(), _labels_list(train.flat_labels()),
-            val.flat_paths(), _labels_list(val.flat_labels()),
+            train.flat_paths(), val.flat_paths(),
+            _labels_list(train.flat_labels()), _labels_list(val.flat_labels()),
             train.video_lengths, val.video_lengths,
         ]
     else:
