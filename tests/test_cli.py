@@ -319,3 +319,26 @@ def test_export_ckpt_roundtrip(tmp_path, capsys):
 
     cmp(back["params"], variables["params"])
     cmp(back["batch_stats"], variables["batch_stats"])
+
+
+def test_export_name_fmt(tmp_path, capsys):
+    """--name-fmt 'video{vid}-phase.txt' produces the exact Main.m file
+    names from bare-number video ids (a real cutMargin tree)."""
+    from tmrnet_tpu.data.manifests import Manifest, VideoRecord, \
+        save_pickle_manifest
+
+    m = Manifest([VideoRecord("41", [f"cutMargin/41/{25 * k}.jpg"
+                                     for k in range(12)],
+                              np.zeros(12, np.int64))])
+    man = tmp_path / "m.pkl"
+    save_pickle_manifest(str(man), m)
+    preds = np.zeros(3, np.int64)  # 12 frames, seq 10 -> 3 clips
+    npz = tmp_path / "p.npz"
+    np.savez(npz, preds=preds, scores=np.zeros((3, 7)), rows=np.arange(3))
+    pred_dir, gt_dir = tmp_path / "phase", tmp_path / "gt"
+    assert main(["export", "--manifest", str(man), "--preds", str(npz),
+                 "--pred-dir", str(pred_dir), "--gt-dir", str(gt_dir),
+                 "--name-fmt", "video{vid}-phase.txt"]) == 0
+    capsys.readouterr()
+    assert (pred_dir / "video41-phase.txt").exists()
+    assert (gt_dir / "video41-phase.txt").exists()

@@ -911,7 +911,8 @@ def cmd_export(args) -> int:
         preds = np.load(args.preds)["preds"]
     stats = export_predictions(m, preds, cfg.data.sequence_length,
                                pred_dir=args.pred_dir, gt_dir=args.gt_dir,
-                               fps=cfg.eval.export_fps)
+                               fps=cfg.eval.export_fps,
+                               video_name_fmt=args.name_fmt)
     print(json.dumps(stats))
     return 0
 
@@ -1300,6 +1301,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help=".npz from `test` or .jsonl from `stream`")
     sp.add_argument("--pred-dir", default="./eval/phase")
     sp.add_argument("--gt-dir", default="./eval/gt-phase")
+    sp.add_argument("--name-fmt", default="{vid}-phase.txt",
+                    help="per-video file name; a real cutMargin tree has "
+                         "bare-number video ids, so pass "
+                         "'video{vid}-phase.txt' to produce the exact "
+                         "names MATLAB Main.m iterates (video41..video80)")
     sp.set_defaults(fn=cmd_export)
 
     sp = sub.add_parser("evaluate", help="relaxed-boundary protocol scoring")
