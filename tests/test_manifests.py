@@ -167,3 +167,22 @@ def test_pickle_manifest_reference_element_order(tmp_path):
         pickle.dump(legacy, f)
     ltrain, lval = load_pickle_manifest(str(lp))
     assert ltrain.flat_paths() == ref[0] and lval.flat_paths() == ref[1]
+
+
+def test_load_nested_cholec80_pickle(tmp_path):
+    """get_paths_labels.py's intermediate cholec80.pkl (one list per video
+    of [path, label] rows; export_phase_copy.py reads it directly) loads as
+    a manifest — including when the video count collides with the 3/6-list
+    lengths."""
+    for n_videos in (2, 3, 6):
+        data = [[[f"cutMargin/{v + 40}/{25 * k}.jpg", (k // 2) % 7]
+                 for k in range(4 + v)] for v in range(n_videos)]
+        p = tmp_path / f"cholec80_{n_videos}.pkl"
+        with open(p, "wb") as f:
+            pickle.dump(data, f)
+        m, second = load_pickle_manifest(str(p))
+        assert second is None
+        assert [v.video_id for v in m.videos] == [
+            str(v + 40) for v in range(n_videos)]
+        assert m.video_lengths == [4 + v for v in range(n_videos)]
+        np.testing.assert_array_equal(m.videos[0].labels, [0, 0, 1, 1])

@@ -113,6 +113,19 @@ def load_pickle_manifest(path: str) -> Tuple[Manifest, Optional[Manifest]]:
     which slots hold path strings."""
     with open(path, "rb") as f:
         data = pickle.load(f)
+    # get_paths_labels.py's intermediate cholec80.pkl: one list per video of
+    # [path, label(, tool...)] rows (`:83-87`; export_phase_copy.py consumes
+    # it directly). Detected by nesting depth (a 3/6-list's first element is
+    # a flat list of path strings), so a 3- or 6-video file still parses.
+    if (data and all(isinstance(v, (list, tuple)) for v in data)
+            and len(data[0]) and isinstance(data[0][0], (list, tuple))):
+        videos = []
+        for i, info in enumerate(data):
+            paths = [row[0] for row in info]
+            labels = np.asarray([int(row[1]) for row in info], np.int64)
+            vid = _video_id_from_path(paths[0]) if paths else str(i)
+            videos.append(VideoRecord(vid, paths, labels))
+        return Manifest(videos), None
     if len(data) == 6:
         def is_paths(x):
             return bool(len(x)) and isinstance(list(x)[0], str)
