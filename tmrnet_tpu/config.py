@@ -137,7 +137,10 @@ class TrainConfig:
     step_size: int = 3
     gamma: float = 0.1
     plateau_factor: float = 0.1
-    plateau_patience: int = 2
+    # torch ReduceLROnPlateau defaults (the reference constructs it with
+    # no kwargs beyond 'min', `train_singlenet_phase_1fc.py:493`): factor
+    # 0.1, patience 10.
+    plateau_patience: int = 10
     # Loss: class-weighted CE summed over the batch, scored on the clip's last
     # frame only (`train_singlenet_phase_1fc.py:551-566`).
     class_weighting: bool = True
