@@ -134,7 +134,7 @@ class TrainConfig:
     trunk_lr_scale: float = 0.1
     # Schedule: 'step' (StepLR) | 'plateau' (ReduceLROnPlateau) | 'constant'
     schedule: str = "plateau"
-    step_size: int = 3
+    step_size: int = 5  # --sgdstep default (`train_singlenet_phase_1fc.py:47`)
     gamma: float = 0.1
     plateau_factor: float = 0.1
     # torch ReduceLROnPlateau defaults (the reference constructs it with
