@@ -342,3 +342,57 @@ def test_export_name_fmt(tmp_path, capsys):
     capsys.readouterr()
     assert (pred_dir / "video41-phase.txt").exists()
     assert (gt_dir / "video41-phase.txt").exists()
+
+
+def test_real_layout_protocol_rehearsal(tmp_path, capsys):
+    """The real-data chain in one pass: bare-number cutMargin dirs walk in
+    NUMERIC order into the manifest, export with --name-fmt produces
+    Main.m's video<N>-phase.txt names, and evaluate --video-range scores
+    exactly the protocol's numeric window."""
+    import cv2
+
+    from tmrnet_tpu.data.manifests import load_pickle_manifest
+
+    frames_dir = tmp_path / "cutMargin"
+    ann_dir = tmp_path / "ann"
+    ann_dir.mkdir()
+    rng = np.random.RandomState(0)
+    for vid in (2, 10, 41, 42):   # 2,10 sort numerically; 41,42 in range
+        d = frames_dir / str(vid)
+        d.mkdir(parents=True)
+        with open(ann_dir / f"{vid}-phase.txt", "w") as f:
+            f.write("Frame\tPhase\n")
+            for k in range(15 * 25):
+                f.write(f"{k}\t{CHOLEC80_PHASES[(k // 125) % 7]}\n")
+        for k in range(0, 15 * 25, 25):
+            cv2.imwrite(str(d / f"{k}.jpg"),
+                        rng.randint(0, 255, (32, 32, 3), dtype=np.uint8))
+
+    man = tmp_path / "test_paths.pkl"
+    assert main(["manifest", "--frames", str(frames_dir), "--annotations",
+                 str(ann_dir), "--out", str(man)]) == 0
+    capsys.readouterr()
+    m, _ = load_pickle_manifest(str(man))
+    assert [v.video_id for v in m.videos] == ["2", "10", "41", "42"]
+
+    seq = 10
+    preds = np.concatenate([v.labels[seq - 1:] for v in m.videos])
+    npz = tmp_path / "p.npz"
+    np.savez(npz, preds=preds, scores=np.zeros((len(preds), 7)),
+             rows=np.arange(len(preds)))
+    pred_dir, gt_dir = tmp_path / "phase", tmp_path / "gt-phase"
+    assert main(["export", "--manifest", str(man), "--preds", str(npz),
+                 "--pred-dir", str(pred_dir), "--gt-dir", str(gt_dir),
+                 "--name-fmt", "video{vid}-phase.txt"]) == 0
+    capsys.readouterr()
+    assert sorted(os.listdir(gt_dir)) == [
+        f"video{v}-phase.txt" for v in (10, 2, 41, 42)]  # lexical listing
+
+    out = tmp_path / "rep.json"
+    assert main(["evaluate", "--pred-dir", str(pred_dir), "--gt-dir",
+                 str(gt_dir), "--fps", "1", "--video-range", "41", "80",
+                 "--json-out", str(out)]) == 0
+    capsys.readouterr()
+    rep = json.loads(out.read_text())
+    assert rep["videos"] == ["video41", "video42"]  # 2 and 10 filtered
+    assert rep["mean_accuracy"] > 90.0  # only warmup padding can be wrong
