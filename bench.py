@@ -49,7 +49,7 @@ def _make_video_engine(args, device_normalize: bool = False):
     cfg = ExperimentConfig(
         data=DataConfig(sequence_length=10, device_normalize=device_normalize),
         model=ModelConfig(backbone="resnet50", head="tmr", num_classes=7,
-                          hidden_dim=512, lfb_window=args.window,
+                          hidden_dim=512,
                           compute_dtype="bfloat16",
                           use_pallas=args.use_pallas),
         memory=MemoryConfig(window=args.window),
@@ -306,7 +306,7 @@ def bench_e2e(args):
                         use_process_workers=args.e2e_processes,
                         device_normalize=args.e2e_device_normalize),
         model=ModelConfig(backbone="resnet50", head="tmr", num_classes=7,
-                          hidden_dim=512, lfb_window=window,
+                          hidden_dim=512,
                           compute_dtype="bfloat16"),
         memory=MemoryConfig(window=window),
         eval=EvalConfig(batch_clips=args.batch_clips),
@@ -362,7 +362,7 @@ def bench_train(args):
 
     seq, b, window = 10, args.train_batch, args.window
     cfg = ModelConfig(backbone="resnet50", head="tmr", num_classes=7,
-                      hidden_dim=512, lfb_window=window,
+                      hidden_dim=512,
                       compute_dtype="bfloat16")
     model = build_model(cfg)
     clips = jax.random.normal(jax.random.PRNGKey(0),
@@ -471,7 +471,7 @@ def bench_stream(args):
     cfg = ExperimentConfig(
         data=DataConfig(sequence_length=10, device_normalize=True),
         model=ModelConfig(backbone="resnet50", head="tmr", num_classes=7,
-                          hidden_dim=512, lfb_window=window,
+                          hidden_dim=512,
                           compute_dtype="bfloat16"),
         memory=MemoryConfig(window=window),
         eval=EvalConfig(),
@@ -649,7 +649,7 @@ def main(argv=None):
     seq = 10
     b = args.batch_clips
     cfg = ModelConfig(backbone=args.backbone, head="tmr", num_classes=7,
-                      hidden_dim=512, lfb_window=args.window,
+                      hidden_dim=512,
                       compute_dtype="bfloat16", use_pallas=args.use_pallas)
     model = build_model(cfg)
 
@@ -665,7 +665,7 @@ def main(argv=None):
         variables = fold_variables(variables)
         cfg = ModelConfig(backbone=args.backbone, head="tmr",
                           num_classes=7,
-                          hidden_dim=512, lfb_window=args.window,
+                          hidden_dim=512,
                           compute_dtype="bfloat16", folded=True,
                           use_pallas=args.use_pallas)
         model = build_model(cfg)

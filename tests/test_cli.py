@@ -286,7 +286,7 @@ def test_export_ckpt_roundtrip(tmp_path, capsys):
         data=DataConfig(sequence_length=3, crop_size=16),
         model=ModelConfig(backbone="tiny", stage_sizes=(1, 1), width=8,
                           hidden_dim=16, num_classes=4, head="tmr",
-                          lfb_window=4, compute_dtype="float32"),
+                          compute_dtype="float32"),
         memory=MemoryConfig(window=4),
         train=TrainConfig(checkpoint_dir=str(tmp_path / "ck")))
     model = build_model(cfg.model)

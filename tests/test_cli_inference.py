@@ -26,7 +26,7 @@ def tiny_cfg_json(tmp_path_factory):
                         sequence_length=4, resize=48, crop_size=48),
         model=ModelConfig(backbone="tiny", stage_sizes=(1, 1), width=8,
                           hidden_dim=16, num_classes=7, head="tmr",
-                          lfb_window=4, compute_dtype="float32"),
+                          compute_dtype="float32"),
         memory=MemoryConfig(window=4, load_cached=False),
         train=TrainConfig(epochs=1, checkpoint_dir=str(tmp / "ckpt")),
         eval=EvalConfig(batch_clips=8),
@@ -413,7 +413,7 @@ def test_cli_parity_command_from_torch_pth(tmp_path, capsys):
                "--set", "model.backbone=tiny", "--set", "model.stage_sizes=1,1",
                "--set", "model.width=8", "--set", "model.hidden_dim=32",
                "--set", "model.num_classes=7", "--set", "model.head=tmr",
-               "--set", "model.lfb_window=6", "--set", "memory.window=6",
+               "--set", "memory.window=6",
                "--set", "data.sequence_length=4", "--set", "data.crop_size=48",
                "--set", "data.resize=56", "--set", "data.batch_clips=8",
                "--set", "data.num_workers=2"])

@@ -70,7 +70,7 @@ def test_clip_inference_with_mesh_matches_single_device(tmp_path):
                         sequence_length=SEQ),
         model=ModelConfig(backbone="tiny", stage_sizes=(1, 1), width=8,
                           hidden_dim=16, num_classes=7, head="tmr",
-                          lfb_window=4, compute_dtype="float32"),
+                          compute_dtype="float32"),
         memory=MemoryConfig(window=4, load_cached=False),
         eval=EvalConfig(batch_clips=8),
     )
@@ -103,7 +103,7 @@ def test_video_inference_sequence_sharded_over_mesh():
         data=DataConfig(sequence_length=SEQ),
         model=ModelConfig(backbone="tiny", stage_sizes=(1, 1), width=8,
                           hidden_dim=16, num_classes=7, head="tmr",
-                          lfb_window=4, compute_dtype="float32"),
+                          compute_dtype="float32"),
         memory=MemoryConfig(window=4),
     )
     model = build_model(cfg.model)

@@ -103,7 +103,7 @@ def test_full_tmrnet_logits_match_torch_oracle():
 
     cfg = ModelConfig(backbone="tiny", stage_sizes=(1, 1), width=8,
                       hidden_dim=HID, num_classes=NCLS, head="tmr",
-                      lfb_window=WIN, compute_dtype="float32")
+                      compute_dtype="float32")
     model = build_model(cfg)
     jclips = jnp.asarray(clips.transpose(0, 1, 3, 4, 2))  # NCHW -> NHWC
     jlt = jnp.asarray(lt)
@@ -221,7 +221,7 @@ def test_full_size_resnet50_tmrnet_logits_match_torch_oracle():
 
     cfg = ModelConfig(backbone="resnet50", stage_sizes=(3, 4, 6, 3), width=64,
                       hidden_dim=HID512, num_classes=NCLS, head="tmr",
-                      lfb_window=WIN8, compute_dtype="float32")
+                      compute_dtype="float32")
     model = build_model(cfg)
     jclips = jnp.asarray(clips.transpose(0, 1, 3, 4, 2))
     jlt = jnp.asarray(lt)

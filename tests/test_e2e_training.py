@@ -44,7 +44,7 @@ def _cfg(tmp_path, head="stage1", epochs=2):
         data=DataConfig(batch_clips=8, num_workers=2, prefetch=1),
         model=ModelConfig(backbone="tiny", stage_sizes=(1, 1), width=8,
                           hidden_dim=16, num_classes=4, head=head,
-                          lfb_window=4, compute_dtype="float32"),
+                          compute_dtype="float32"),
         train=TrainConfig(epochs=epochs, optimizer="sgd", lr=0.02,
                           schedule="constant", seed=0,
                           checkpoint_dir=str(tmp_path / f"ckpt_{head}"),

@@ -35,7 +35,7 @@ def _cfg(tmp_path, head="tmr"):
                         sequence_length=SEQ),
         model=ModelConfig(backbone="tiny", stage_sizes=(1, 1), width=8,
                           hidden_dim=16, num_classes=4, head=head,
-                          lfb_window=4, compute_dtype="float32"),
+                          compute_dtype="float32"),
         memory=MemoryConfig(window=4, cache_path=str(tmp_path / "lfb.npz"),
                             load_cached=False),
         eval=EvalConfig(batch_clips=8),

@@ -57,7 +57,7 @@ def test_m2cai_full_workflow(tmp_path, capsys):
                         num_classes=8, phase_names=M2CAI_PHASES),
         model=ModelConfig(backbone="tiny", stage_sizes=(1, 1), width=8,
                           hidden_dim=16, num_classes=8, head="tmr",
-                          lfb_window=4, compute_dtype="float32"),
+                          compute_dtype="float32"),
         memory=MemoryConfig(window=4, load_cached=False),
         train=TrainConfig(epochs=1, checkpoint_dir=str(tmp_path / "ck")),
         eval=EvalConfig(batch_clips=8),

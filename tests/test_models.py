@@ -202,7 +202,7 @@ def test_resnest_tiny_forward():
 def _tiny_cfg(head):
     return ModelConfig(backbone="tiny", stage_sizes=(1, 1), width=8,
                        feature_dim=64, hidden_dim=32, num_classes=7,
-                       head=head, lfb_window=6, compute_dtype="float32")
+                       head=head, compute_dtype="float32")
 
 
 @pytest.mark.parametrize("head,extra", [

@@ -25,7 +25,7 @@ from tmrnet_tpu.train.steps import make_stage1_steps, make_stage2_steps
 def _tiny_cfg(head):
     return ModelConfig(backbone="tiny", stage_sizes=(1, 1), width=8,
                        hidden_dim=32, num_classes=4, head=head,
-                       lfb_window=5, compute_dtype="float32")
+                       compute_dtype="float32")
 
 
 def _setup(head, batch, key=0):

@@ -155,7 +155,6 @@ def test_whole_pipeline_matches_reference_eval(tmp_path, capsys):
         "--set", "model.backbone=tiny", "--set", "model.stage_sizes=1,1",
         "--set", "model.width=8", "--set", f"model.hidden_dim={HID}",
         "--set", f"model.num_classes={NCLS}", "--set", "model.head=tmr",
-        "--set", f"model.lfb_window={WIN}",
         "--set", "model.compute_dtype=float32",
         "--set", f"memory.window={WIN}",
         "--set", "memory.compat_cross_video=true",

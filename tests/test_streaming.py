@@ -24,7 +24,7 @@ def _cfg():
         data=DataConfig(sequence_length=SEQ),
         model=ModelConfig(backbone="tiny", stage_sizes=(1, 1), width=8,
                           hidden_dim=HID, num_classes=7, head="tmr",
-                          lfb_window=WIN, compute_dtype="float32"),
+                          compute_dtype="float32"),
         memory=MemoryConfig(window=WIN),
     )
 

@@ -187,7 +187,7 @@ def test_export_import_roundtrip():
 
     cfg = ModelConfig(backbone="tiny", stage_sizes=(1, 1), width=8,
                       hidden_dim=32, num_classes=7, head="tmr",
-                      lfb_window=6, compute_dtype="float32")
+                      compute_dtype="float32")
     model = build_model(cfg)
     variables = model.init(jax.random.PRNGKey(3),
                            jnp.ones((1, 4, 32, 32, 3)),
@@ -228,7 +228,7 @@ def test_resnest_export_import_roundtrip():
 
     cfg = ModelConfig(backbone="resnest50", stage_sizes=(1, 1), width=8,
                       hidden_dim=32, num_classes=7, head="tmr",
-                      lfb_window=6, compute_dtype="float32")
+                      compute_dtype="float32")
     model = build_model(cfg)
     variables = model.init(jax.random.PRNGKey(4),
                            jnp.ones((1, 4, 32, 32, 3)),

@@ -118,7 +118,7 @@ def test_schedules():
 def _tiny_cfg(head):
     return ModelConfig(backbone="tiny", stage_sizes=(1, 1), width=8,
                        hidden_dim=32, num_classes=4, head=head,
-                       lfb_window=5, compute_dtype="float32")
+                       compute_dtype="float32")
 
 
 def test_grad_accum_matches_mean_batch_step():

@@ -159,7 +159,7 @@ def test_cli_video_direct_two_stage_training(tmp_path, capsys):
               "--set", "model.width=8", "--set", "model.hidden_dim=16",
               "--set", "data.sequence_length=3", "--set", "data.crop_size=32",
               "--set", "data.batch_clips=8", "--set", "data.num_workers=2",
-              "--set", "memory.window=4", "--set", "model.lfb_window=4",
+              "--set", "memory.window=4",
               "--set", "train.epochs=1"]
     rc = main(["train-bank", "--videos", videos, "--annotations", ann,
                "--val-videos", videos,

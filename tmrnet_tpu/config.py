@@ -102,7 +102,6 @@ class ModelConfig:
     # 'tmr' (TimeConv+NLBlock memory head), 'nl_only' (NLBlock without TimeConv,
     # reference `train_only_non-local_pretrained.py`).
     head: str = "tmr"
-    lfb_window: int = 30  # --LFB_l; 40 for nl_only in the reference
     dropout_stage1: float = 0.2
     dropout_head: float = 0.5
     dropout_nl: float = 0.2
@@ -296,7 +295,7 @@ def _preset_nl_only() -> ExperimentConfig:
     """
     return ExperimentConfig(
         name="tmr-nl-only",
-        model=ModelConfig(head="nl_only", lfb_window=40),
+        model=ModelConfig(head="nl_only"),
         memory=MemoryConfig(window=40),
         train=TrainConfig(lr=5e-7),
     )
@@ -310,7 +309,7 @@ def _preset_tmr_resnet() -> ExperimentConfig:
     """
     return ExperimentConfig(
         name="tmr-resnet50",
-        model=ModelConfig(head="tmr", lfb_window=30),
+        model=ModelConfig(head="tmr"),
         memory=MemoryConfig(window=30),
         train=TrainConfig(lr=5e-7),
     )
@@ -323,7 +322,7 @@ def _preset_tmr_resnest() -> ExperimentConfig:
     """
     return ExperimentConfig(
         name="tmr-resnest50",
-        model=ModelConfig(backbone="resnest50", head="tmr", lfb_window=30),
+        model=ModelConfig(backbone="resnest50", head="tmr"),
         memory=MemoryConfig(window=30),
         train=TrainConfig(lr=5e-7),
     )
@@ -333,7 +332,7 @@ def _preset_inference() -> ExperimentConfig:
     """Config 5: end-to-end inference pipeline over the 40-video Cholec80 test split."""
     return ExperimentConfig(
         name="inference-e2e",
-        model=ModelConfig(head="tmr", lfb_window=30, compute_dtype="bfloat16"),
+        model=ModelConfig(head="tmr", compute_dtype="bfloat16"),
         memory=MemoryConfig(window=30),
         eval=EvalConfig(batch_clips=128),
     )
