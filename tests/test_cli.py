@@ -117,6 +117,11 @@ def test_stats_command(tmp_path, capsys):
                  "--workers", "2"]) == 0
     out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out2 == out
+    # population / no-resize escape hatches run and differ in kind
+    assert main(["stats", "--manifest", str(manifest_path),
+                 "--population", "--no-resize"]) == 0
+    out3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(out3["std"]) == 3
 
 
 def test_doctor_basic(capsys):

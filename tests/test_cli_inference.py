@@ -485,8 +485,14 @@ def test_cli_ref_pickle_roundtrip(tmp_path, tiny_cfg_json, capsys):
         ref_preds = pickle.load(f)
     npz = np.load(preds_path)
     assert ref_preds == [int(x) for x in npz["preds"]]
+    # the reference score pickle holds per-clip MAX softmax probabilities
+    # (`test_..._2fc_copy.py:421-426`), one scalar per clip
     with open(str(ref_pkl) + ".score.pkl", "rb") as f:
-        np.testing.assert_allclose(pickle.load(f), npz["scores"])
+        scores = pickle.load(f)
+    assert isinstance(scores, list) and all(
+        isinstance(s, float) for s in scores)
+    np.testing.assert_allclose(scores, npz["scores"].max(axis=1),
+                               atol=1e-7)
 
     def run_export(preds_file, tag):
         pd, gd = tmp_path / f"p{tag}", tmp_path / f"g{tag}"

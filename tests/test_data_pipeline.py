@@ -61,14 +61,87 @@ def test_clip_transforms_deterministic_and_vary_by_clip():
     assert not np.array_equal(a, d)  # different epoch -> different aug
 
 
+def test_jitter_hue_default_is_reference_half_range():
+    """Every reference driver hard-codes ColorJitter(..., hue=0.05) next to
+    the 0.1 brightness/contrast/saturation ranges (`train_memorybank.py:86`)
+    — the hue knob must not silently inherit the 0.1 range."""
+    import inspect
+
+    from tmrnet_tpu.config import DataConfig
+    from tmrnet_tpu.data.transforms import color_jitter
+
+    assert TrainTransform().hue == 0.05
+    assert DataConfig().color_jitter_hue == 0.05
+    assert inspect.signature(color_jitter).parameters["hue"].default == 0.05
+
+
+def test_flip_runs_in_both_train_stacks():
+    """The reference's --flip flag gates ColorJitter+Rotation only —
+    RandomHorizontalFlip appears in BOTH stacks (`train_memorybank.py:74-90`
+    and identically in all four training drivers). use_flip=False must
+    therefore be Resize -> RandomCrop -> Flip -> Normalize, not crop-only."""
+    from tmrnet_tpu.data.transforms import (
+        clip_rng, random_crop, random_horizontal_flip, resize_clip, normalize)
+
+    clip = np.random.RandomState(7).randint(
+        0, 255, (3, 250, 250, 3), dtype=np.uint8)
+    tf = TrainTransform(use_flip=False)
+    got = tf(clip, epoch=1, clip_id=4)
+
+    rng = clip_rng(1, 4, tf.base_seed)
+    want = resize_clip(clip, (tf.resize, tf.resize))
+    want = random_crop(want, tf.crop_size, rng)
+    want = random_horizontal_flip(want, rng)
+    np.testing.assert_array_equal(got, normalize(want, tf.mean, tf.std))
+
+    # and over many clips, some ARE flipped (differ from the crop alone)
+    flipped = 0
+    for cid in range(16):
+        rng = clip_rng(0, cid, tf.base_seed)
+        base = random_crop(resize_clip(clip, (250, 250)), 224, rng)
+        out = tf(clip, epoch=0, clip_id=cid)
+        if not np.array_equal(out, normalize(base, tf.mean, tf.std)):
+            flipped += 1
+    assert flipped > 0
+
+
 def test_eval_transform_modes():
     clip = np.random.RandomState(2).randint(0, 255, (2, 250, 250, 3), dtype=np.uint8)
-    for ct in (0, 1, 2):
+    for ct in (0, 1, 2, 3):
         out = EvalTransform(crop_type=ct)(clip)
         assert out.shape == (2, 224, 224, 3)
     assert EvalTransform(crop_type=5)(clip).shape == (5, 2, 224, 224, 3)
     with pytest.raises(ValueError):
         EvalTransform(crop_type=7)(clip)
+
+
+def test_eval_crop0_is_per_frame_random():
+    """Reference TEST crop 0 is the plain torchvision RandomCrop applied per
+    image (`train_memorybank.py:93-98`) — frames of one clip get INDEPENDENT
+    offsets, unlike the clip-shared train-stack crop."""
+    # identical frames: per-frame offsets on a non-uniform image must differ
+    frame = np.arange(250 * 250 * 3, dtype=np.int64).reshape(250, 250, 3)
+    clip = np.tile((frame % 255).astype(np.uint8)[None], (6, 1, 1, 1))
+    out = EvalTransform(crop_type=0, normalize=False)(clip, epoch=0, clip_id=1)
+    assert out.shape == (6, 224, 224, 3)
+    assert any(not np.array_equal(out[0], out[i]) for i in range(1, 6))
+    # still deterministic per (epoch, clip_id)
+    out2 = EvalTransform(crop_type=0, normalize=False)(clip, epoch=0, clip_id=1)
+    np.testing.assert_array_equal(out, out2)
+
+
+def test_eval_transform_resize_only_is_single_interpolation():
+    """Reference crop 2 (and the base eval driver's crop 3) is a DIRECT
+    Resize((224,224)) with no 250 intermediate (`train_memorybank.py:107-112`)
+    — on raw-size frames the result must equal one resize, not two."""
+    from tmrnet_tpu.data.transforms import resize_clip
+
+    clip = np.random.RandomState(3).randint(
+        0, 255, (2, 480, 640, 3), dtype=np.uint8)
+    direct = resize_clip(clip, (224, 224)).astype(np.float32) / 255.0
+    for ct in (2, 3):
+        out = EvalTransform(crop_type=ct, normalize=False)(clip)
+        np.testing.assert_array_equal(out.astype(np.float32) / 255.0, direct)
 
 
 def test_normalize_matches_torchvision_formula():
@@ -153,11 +226,34 @@ def test_clip_loader_shuffle_deterministic_per_epoch():
     assert not np.array_equal(r1, r3)
 
 
-def test_channel_stats():
+def test_channel_stats_reference_procedure():
+    """Default mode reproduces meanStd.py's aggregate (`meanStd.py:42-61`):
+    mean over images of per-image channel means and per-image channel stds.
+    Two constant images (0 and 255) each have std 0, so the reference
+    statistic is std=0 — NOT the pooled-population 0.5."""
     frames = [np.full((4, 4, 3), v, np.uint8) for v in (0, 255)]
     mean, std = channel_stats(frames)
     np.testing.assert_allclose(mean, 0.5, atol=1e-6)
+    np.testing.assert_allclose(std, 0.0, atol=1e-6)
+
+    # and against an independent transliteration on random images
+    rng = np.random.RandomState(3)
+    frames = [rng.randint(0, 256, (6, 5, 3), np.uint8) for _ in range(7)]
+    mean, std = channel_stats(frames)
+    per = np.array([f.reshape(-1, 3) / 255.0 for f in frames])
+    np.testing.assert_allclose(mean, per.mean(axis=1).mean(axis=0), atol=1e-6)
+    np.testing.assert_allclose(std, per.std(axis=1).mean(axis=0), atol=1e-6)
+
+
+def test_channel_stats_population():
+    frames = [np.full((4, 4, 3), v, np.uint8) for v in (0, 255)]
+    mean, std = channel_stats(frames, per_image=False)
+    np.testing.assert_allclose(mean, 0.5, atol=1e-6)
     np.testing.assert_allclose(std, 0.5, atol=1e-6)
+    # unequal image sizes: pixels pool, images don't count equally
+    frames = [np.zeros((2, 2, 3), np.uint8), np.full((4, 4, 3), 255, np.uint8)]
+    mean, _ = channel_stats(frames, per_image=False)
+    np.testing.assert_allclose(mean, 16 / 20, atol=1e-6)
 
 
 def test_clip_loader_process_workers_match_threads():

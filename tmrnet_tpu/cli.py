@@ -185,7 +185,8 @@ def _dataset(cfg, manifest, train: bool, device_normalize: bool = False):
     d = cfg.data
     if train:
         tf = TrainTransform(d.crop_size, d.resize, d.use_flip,
-                            d.rotate_degrees, d.color_jitter, d.mean, d.std,
+                            d.rotate_degrees, d.color_jitter,
+                            hue=d.color_jitter_hue, mean=d.mean, std=d.std,
                             use_native=d.use_native_preproc)
     else:
         tf = EvalTransform(d.crop_size, d.resize, d.test_crop_type,
@@ -362,20 +363,27 @@ def cmd_manifest(args) -> int:
 
 def cmd_stats(args) -> int:
     from tmrnet_tpu.data.pipeline import load_frame
-    from tmrnet_tpu.data.stats import channel_stats
+    from tmrnet_tpu.data.stats import channel_stats, resize_224
 
     m = _load_manifest(args.manifest)
     paths = m.flat_paths()[:: max(1, args.subsample)]
+    per_image = not args.population
+
+    def load(p):
+        img = load_frame(p)
+        return img if args.no_resize else resize_224(img)
+
     workers = args.workers or min(len(paths) or 1, os.cpu_count() or 1)
     if workers > 1:
         # decode releases the GIL; the accumulator consumes in order
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=workers) as pool:
-            mean, std = channel_stats(pool.map(load_frame, paths,
-                                               chunksize=16))
+            mean, std = channel_stats(pool.map(load, paths, chunksize=16),
+                                      per_image=per_image)
     else:
-        mean, std = channel_stats(load_frame(p) for p in paths)
+        mean, std = channel_stats((load(p) for p in paths),
+                                  per_image=per_image)
     print(json.dumps({"mean": mean.tolist(), "std": std.tolist(),
                       "frames": len(paths)}))
     return 0
@@ -421,7 +429,7 @@ def cmd_build_lfb(args) -> int:
         # features — VERDICT r2 #2); auto-fall back to clip when only it
         # applies (video-direct datasets, non-deterministic crop types)
         args.engine = ("clip" if args.videos
-                       or cfg.data.test_crop_type not in (1, 2) else "video")
+                       or cfg.data.test_crop_type not in (1, 2, 3) else "video")
     if args.engine == "video" and args.videos:
         # fail before the (slow) dataset probe and checkpoint restore
         raise SystemExit("build-lfb --engine video needs a frame manifest")
@@ -501,7 +509,7 @@ def cmd_test(args) -> int:
         # lazy host RAM — VERDICT r2 #2); auto-fall back to the clip engine
         # for the cases only it supports (multi-crop eval, the reference
         # cross-video quirk, an explicit prebuilt-bank workflow)
-        if (cfg.data.test_crop_type not in (1, 2)
+        if (cfg.data.test_crop_type not in (1, 2, 3)
                 or cfg.memory.compat_cross_video
                 or args.lfb or args.load_lfb):
             # multi-crop (5/10) and random-crop (0) protocols need the
@@ -535,14 +543,14 @@ def cmd_test(args) -> int:
         from tmrnet_tpu.eval.infer import VideoInference
 
         extractor2 = _extractor_for(cfg, args, variables)
-        if cfg.data.test_crop_type not in (1, 2):
-            # crop 5/10 (multi-crop) and crop 0 (per-clip random crops)
+        if cfg.data.test_crop_type not in (1, 2, 3):
+            # crop 5/10 (multi-crop) and crop 0 (per-frame random crops)
             # both need the per-clip transform path; the video engines
             # transform once per whole video, which would silently change
             # crop-0 outputs vs the reference protocol
             raise SystemExit(
                 f"--engine video/corpus needs a deterministic frame-wise "
-                f"crop (test_crop_type 1/2, got "
+                f"crop (test_crop_type 1/2/3, got "
                 f"{cfg.data.test_crop_type}); use --engine clip")
         if cfg.memory.compat_cross_video:
             raise SystemExit(
@@ -611,8 +619,11 @@ def cmd_test(args) -> int:
 
         with open(args.ref_pickle, "wb") as f:
             pickle.dump([int(x) for x in res.preds], f)
+        # the reference's score pickle holds the per-clip MAX softmax
+        # probability (`possibility, preds = torch.max(...)`,
+        # `test_..._2fc_copy.py:421-426`), not the full score row
         with open(args.ref_pickle + ".score.pkl", "wb") as f:
-            pickle.dump(np.asarray(res.scores), f)
+            pickle.dump([float(x) for x in res.scores.max(axis=1)], f)
     # per-class precision/recall like the reference's sklearn report
     # (`train_singlenet_phase_1fc.py:655-658`)
     from tmrnet_tpu.eval.metrics import classification_metrics
@@ -646,10 +657,10 @@ def cmd_stream(args) -> int:
     _, variables = _restore_variables(cfg, cfg.model.head, args.ckpt,
                                       args.torch_ckpt, cfg.data.crop_size)
     extractor = _extractor_for(cfg, args, variables)
-    if cfg.data.test_crop_type not in (1, 2):
+    if cfg.data.test_crop_type not in (1, 2, 3):
         raise SystemExit(
             "stream needs a deterministic frame-wise crop (test_crop_type "
-            f"1/2, got {cfg.data.test_crop_type}): multi-crop and per-clip "
+            f"1/2/3, got {cfg.data.test_crop_type}): multi-crop and per-clip "
             "random crops have no streaming equivalent")
 
     d = cfg.data
@@ -750,10 +761,10 @@ def cmd_serve(args) -> int:
     _, variables = _restore_variables(cfg, cfg.model.head, args.ckpt,
                                       args.torch_ckpt, cfg.data.crop_size)
     extractor = _extractor_for(cfg, args, variables)
-    if cfg.data.test_crop_type not in (1, 2):
+    if cfg.data.test_crop_type not in (1, 2, 3):
         raise SystemExit(
             "serve needs a deterministic frame-wise crop (test_crop_type "
-            f"1/2, got {cfg.data.test_crop_type}): multi-crop and per-clip "
+            f"1/2/3, got {cfg.data.test_crop_type}): multi-crop and per-clip "
             "random crops have no streaming equivalent")
 
     d = cfg.data
@@ -1157,6 +1168,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="parallel frame decodes (0 = one per core)")
     sp.add_argument("--manifest", required=True)
     sp.add_argument("--subsample", type=int, default=1)
+    sp.add_argument("--no-resize", action="store_true",
+                    help="skip the reference's 224x224 resize step")
+    sp.add_argument("--population", action="store_true",
+                    help="population std over all pixels instead of the "
+                         "reference's mean of per-image stds")
     sp.set_defaults(fn=cmd_stats)
 
     sp = sub.add_parser("train-bank", help="stage-1 memory-bank training")

@@ -65,12 +65,18 @@ class DataConfig:
     resize: int = 250
     crop_size: int = 224
     # Augmentation (train): clip-deterministic crop/flip/rotate/jitter.
+    # use_flip = the reference's --flip: gates ColorJitter+Rotation only;
+    # the horizontal flip itself runs in BOTH stacks (transforms.py).
     use_flip: bool = True
     rotate_degrees: float = 5.0
     color_jitter: float = 0.1
+    # hue has its own (narrower) range in every reference driver:
+    # ColorJitter(brightness=0.1, contrast=0.1, saturation=0.1, hue=0.05)
+    color_jitter_hue: float = 0.05
     # Test-time crop type (matches the reference's --crop flag): 0 random /
-    # 1 center / 2 resize-only / 5 five-crop / 10 ten-crop. Five/ten-crop
-    # scores are softmax-averaged over crops in ClipInference.run.
+    # 1 center / 2 resize-only (3 = the base eval driver's number for the
+    # same stack, `test_..._2fc_copy.py:244-249`) / 5 five-crop / 10
+    # ten-crop. Five/ten-crop scores are softmax-averaged in ClipInference.
     test_crop_type: int = 1
     mean: Tuple[float, float, float] = CHOLEC80_MEAN
     std: Tuple[float, float, float] = CHOLEC80_STD

@@ -57,6 +57,21 @@ def random_crop(clip: np.ndarray, size: int, rng: np.random.Generator
     return clip[:, y:y + size, x:x + size]
 
 
+def random_crop_per_frame(clip: np.ndarray, size: int,
+                          rng: np.random.Generator) -> np.ndarray:
+    """Independent crop offset PER FRAME — the reference's TEST crop 0 is
+    the plain torchvision `transforms.RandomCrop(224)` applied per image
+    (`train_memorybank.py:93-98`), not the clip-shared custom RandomCrop
+    the train stacks use."""
+    t, h, w = clip.shape[:3]
+    if h == size and w == size:
+        return clip
+    ys = rng.integers(0, h - size + 1, size=t)
+    xs = rng.integers(0, w - size + 1, size=t)
+    return np.stack([clip[i, y:y + size, x:x + size]
+                     for i, (y, x) in enumerate(zip(ys, xs))])
+
+
 def center_crop(clip: np.ndarray, size: int) -> np.ndarray:
     h, w = clip.shape[1:3]
     y, x = (h - size) // 2, (w - size) // 2
@@ -171,7 +186,7 @@ def _grayscale(clip_f: np.ndarray) -> np.ndarray:
 
 def color_jitter(clip: np.ndarray, rng: np.random.Generator,
                  brightness: float = 0.1, contrast: float = 0.1,
-                 saturation: float = 0.1, hue: float = 0.1) -> np.ndarray:
+                 saturation: float = 0.1, hue: float = 0.05) -> np.ndarray:
     """One shared jitter per clip, applying brightness -> contrast ->
     saturation -> hue in the reference's order
     (`train_singlenet_phase_1fc.py:172-177`)."""
@@ -212,7 +227,7 @@ def normalize(clip: np.ndarray, mean: Sequence[float],
 
 @dataclasses.dataclass
 class TrainTransform:
-    """Resize(250) -> RandomCrop(224) [-> ColorJitter -> Flip -> Rotation]
+    """Resize(250) -> RandomCrop(224) [-> ColorJitter] -> Flip [-> Rotation]
     -> Normalize; one shared random draw per clip.
 
     use_native=True routes the crop+flip+normalize tail through the threaded
@@ -223,12 +238,16 @@ class TrainTransform:
 
     crop_size: int = 224
     resize: int = 250
-    # use_flip mirrors the reference's --flip flag, which selects the WHOLE
-    # augmentation pipeline (jitter+flip+rotation) vs none
-    # (`train_memorybank.py:72-130`) — it is not a flip-only switch.
+    # use_flip mirrors the reference's --flip flag, which gates ColorJitter
+    # and Rotation ONLY — RandomHorizontalFlip is applied in BOTH stacks
+    # (flip=0: Resize->Crop->Flip; flip=1 adds jitter before and rotation
+    # after, `train_memorybank.py:74-90` and identically in every driver).
     use_flip: bool = True
     rotate_degrees: float = 5.0
     jitter: float = 0.1
+    # every reference driver hard-codes hue=0.05 next to the 0.1 ranges
+    # (`train_memorybank.py:86` and identically in all four trainers)
+    hue: float = 0.05
     mean: Sequence[float] = (0.41757566, 0.26098573, 0.25888634)
     std: Sequence[float] = (0.21938758, 0.1983, 0.19342837)
     base_seed: int = 0
@@ -242,8 +261,11 @@ class TrainTransform:
         clip = random_crop(clip, self.crop_size, rng)
         if self.use_flip:
             clip = color_jitter(clip, rng, self.jitter, self.jitter,
-                                self.jitter, self.jitter)
-            clip = random_horizontal_flip(clip, rng)
+                                self.jitter, self.hue)
+        # the horizontal flip is unconditional in the reference: both
+        # --flip stacks contain RandomHorizontalFlip
+        clip = random_horizontal_flip(clip, rng)
+        if self.use_flip:
             clip = random_rotation(clip, self.rotate_degrees, rng)
         if self.use_native:
             from tmrnet_tpu.data import native
@@ -303,8 +325,15 @@ class VideoEvalTransform:
 
 @dataclasses.dataclass
 class EvalTransform:
-    """crop_type 0: random crop / 1: center crop / 2: resize only /
+    """crop_type 0: random crop / 1: center crop / 2 or 3: resize only /
     5: five-crop / 10: ten-crop (`train_memorybank.py:101-127`).
+
+    The reference numbers the direct-resize stack inconsistently: 2 in all
+    four training drivers and the resnest eval driver, 3 in the base and
+    mutiConv6_3 eval drivers (whose crop 2 duplicates crop 1's
+    resize-250 + center-crop, `test_..._2fc_copy.py:237-249`) — both
+    numbers map to the single-resize stack here, and the odd drivers'
+    crop-2 behavior stays reachable as crop 1.
 
     Types 5/10 return (ncrops, T, size, size, C); inference averages the
     softmax over crops like the reference's multi-crop evaluation."""
@@ -331,14 +360,22 @@ class EvalTransform:
 
     def __call__(self, clip: np.ndarray, epoch: int = 0, clip_id: int = 0
                  ) -> np.ndarray:
+        if self.crop_type in (2, 3):
+            # reference crop 2 is Resize((224,224)) DIRECTLY, with no 250
+            # intermediate (`train_memorybank.py:107-112`) — identical on
+            # prepared 250x250 frames, single interpolation on raw ones.
+            # The base eval driver numbers the same stack 3
+            # (`test_..._2fc_copy.py:244-249`); accept both.
+            return self._finish(
+                resize_clip(clip, (self.crop_size, self.crop_size)))
         clip = resize_clip(clip, (self.resize, self.resize))
         if self.crop_type == 0:
-            clip = random_crop(clip, self.crop_size,
-                               clip_rng(epoch, clip_id, self.base_seed))
+            # reference test crop 0 crops each frame INDEPENDENTLY (plain
+            # torchvision RandomCrop per image); deterministic per clip here
+            clip = random_crop_per_frame(
+                clip, self.crop_size, clip_rng(epoch, clip_id, self.base_seed))
         elif self.crop_type == 1:
             clip = center_crop(clip, self.crop_size)
-        elif self.crop_type == 2:
-            clip = resize_clip(clip, (self.crop_size, self.crop_size))
         elif self.crop_type == 5:
             return self._finish(five_crop(clip, self.crop_size))
         elif self.crop_type == 10:

@@ -426,10 +426,10 @@ def _build_lfb_video(cfg: ExperimentConfig, extractor_variables, ds,
     # getattr default None: an unknown transform (e.g. a random
     # TrainTransform, which has no crop_type) must be rejected loudly —
     # per-video vs per-clip randomness would silently diverge the banks
-    if tf is not None and getattr(tf, "crop_type", None) not in (1, 2):
+    if tf is not None and getattr(tf, "crop_type", None) not in (1, 2, 3):
         raise ValueError(
             "engine='video' needs a deterministic frame-wise transform "
-            f"(EvalTransform crop types 1/2); got {type(tf).__name__}")
+            f"(EvalTransform crop types 1/2/3); got {type(tf).__name__}")
 
     def load_video_frames(video):
         # same decode-failure policy as ClipDataset.get_clip: zero-fill
