@@ -625,6 +625,14 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
+    import os
+
+    if os.environ.get("TMRNET_COMPILE_CACHE"):
+        # persist compiled executables across bench runs (compile_cache.py)
+        from tmrnet_tpu.utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache()
+
     if args.mode == "video":
         return bench_video(args)
     if args.mode == "cholec80":

@@ -1057,6 +1057,19 @@ def cmd_doctor(args) -> int:
             "C++ preprocess lib unavailable (numpy fallback active; "
             "check a C compiler is on PATH)")
 
+    from tmrnet_tpu.utils.compile_cache import cache_info
+
+    ci = cache_info(args.compile_cache or None)
+    import jax as _jax
+
+    enabled = bool(_jax.config.jax_compilation_cache_dir)
+    add("ok", "compile-cache",
+        f"{'ON' if enabled else 'off'} ({ci['dir']}: {ci['entries']} "
+        f"entries, {ci['bytes'] / 1e6:.1f} MB)"
+        + ("" if enabled else " — --compile-cache persists executables "
+           "across restarts (skip on remote-compile/axon hosts: their "
+           "service cache is faster — docs/PERFORMANCE.md)"))
+
     if args.manifest:
         try:
             m = _load_manifest(args.manifest)
@@ -1139,6 +1152,11 @@ def cmd_doctor(args) -> int:
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="tmrnet-tpu", description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("--compile-cache", nargs="?", const="", metavar="DIR",
+                   help="persist compiled XLA executables to DIR (default "
+                        "~/.cache/tmrnet_tpu/xla or $TMRNET_COMPILE_CACHE); "
+                        "restarted jobs skip recompiling every program "
+                        "they've compiled before")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     sp = sub.add_parser("prepare", help="videos -> 1fps cutmargin frames")
@@ -1376,6 +1394,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.compile_cache is not None or os.environ.get("TMRNET_COMPILE_CACHE"):
+        from tmrnet_tpu.utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache(args.compile_cache or None)
     return args.fn(args)
 
 
