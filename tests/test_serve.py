@@ -427,3 +427,51 @@ def test_serve_loop_stale_saturation_survives_rejoin_churn():
     # occupied by stale decodes
     assert "pool saturated" in errs[2]
     assert elapsed < 4.0  # never waited on any 5 s sleep
+
+
+def test_serve_loop_self_ticking():
+    """tick_interval > 0: frames flush on wall-clock ticks with no
+    {"step": true} lines anywhere — two frames of one stream land in
+    different ticks (same-tick duplicates would error), explicit EOF still
+    flushes the trailing frame, and rows match the solo engine run."""
+    import os
+    import threading
+    import time as _time
+
+    cfg = _cfg()
+    variables, extractor = _variables(cfg, key=5)
+    engine = StreamingInference(cfg, variables, extractor)
+
+    n = 3
+    video = np.random.RandomState(11).rand(n, HW, HW, 3).astype(np.float32)
+    ref = _solo(engine, video)
+    load = lambda key: video[int(key)]
+
+    r_fd, w_fd = os.pipe()
+    in_f = os.fdopen(r_fd, "r")
+
+    def feed():
+        with os.fdopen(w_fd, "w") as w:
+            for t in range(n):
+                w.write(json.dumps({"id": "s", "image": str(t)}) + "\n")
+                w.flush()
+                if t < n - 1:
+                    _time.sleep(0.35)  # > tick_interval: frame t flushes
+                # last frame rides the EOF flush
+
+    th = threading.Thread(target=feed)
+    th.start()
+    out = io.StringIO()
+    summary = serve_loop(engine, 1, in_f, out, load,
+                         decode_workers=0, tick_interval=0.1)
+    th.join()
+
+    rows = [json.loads(l) for l in out.getvalue().splitlines()]
+    assert not [r for r in rows if "error" in r]
+    assert [r["frame"] for r in rows] == list(range(n))
+    for r in rows:
+        pred, valid = ref[r["frame"]]
+        assert r["valid"] == valid
+        assert r["pred"] == (pred if valid else None)
+    assert summary["rows"] == n
+    assert summary["ticks"] == n  # one tick per frame, none empty

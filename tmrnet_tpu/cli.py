@@ -810,7 +810,8 @@ def cmd_serve(args) -> int:
             checkpoint_every=args.checkpoint_every,
             term_guard=guard,
             decode_workers=args.decode_workers,
-            decode_timeout=args.decode_timeout)
+            decode_timeout=args.decode_timeout,
+            tick_interval=args.tick_interval)
     finally:
         if in_f is not sys.stdin:
             in_f.close()
@@ -1307,6 +1308,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--decode-timeout", type=float, default=5.0,
                     help="seconds before a tick drops a frame whose decode "
                          "hasn't finished (the stream freezes that tick)")
+    sp.add_argument("--tick-interval", type=float, default=0.0,
+                    help="self-ticking: flush pending frames every this "
+                         "many wall-clock seconds (1.0 for 1-fps OR feeds) "
+                         "instead of waiting for {\"step\": true} lines; "
+                         "0 = client-driven ticks only")
     sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("parity", help="reference .pth + frames -> Main.m "

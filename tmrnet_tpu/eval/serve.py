@@ -87,7 +87,8 @@ def serve_loop(engine, num_slots: int, in_f: IO[str], out_f: IO[str],
                checkpoint_every: int = 64,
                term_guard: Optional[dict] = None,
                decode_workers: int = 4,
-               decode_timeout: float = 5.0) -> dict:
+               decode_timeout: float = 5.0,
+               tick_interval: float = 0.0) -> dict:
     """Run the protocol until EOF on in_f. Returns a summary dict.
 
     engine: StreamingInference (possibly meshed). load_frame_fn maps the
@@ -120,6 +121,14 @@ def serve_loop(engine, num_slots: int, in_f: IO[str], out_f: IO[str],
     the clip ring stays consistent), so one slow/corrupt feed can't stall
     every live stream past the timeout. Reported latency includes decode
     wait (`latency_ms`); `step_ms` isolates the model step.
+
+    tick_interval: > 0 makes the daemon SELF-TICKING — pending frames flush
+    every `tick_interval` seconds of wall clock (a reader thread feeds the
+    protocol), so live feeds (e.g. 1 fps ORs: 1.0) never need to send
+    `{"step": true}` lines; explicit step lines still work and flush
+    immediately. A tick that outlasts the interval (first compile) delays
+    the cadence rather than bursting catch-up ticks. 0 (default): ticks
+    happen only on step lines / EOF — the fully client-driven protocol.
     """
     restored = _load_state(state_dir, engine, num_slots) if state_dir else None
     if restored is not None:
@@ -231,8 +240,52 @@ def serve_loop(engine, num_slots: int, in_f: IO[str], out_f: IO[str],
                 and ticks % checkpoint_every == 0:
             _save_state(state_dir, state, slot_of, frame_idx, ticks)
 
+    if tick_interval and tick_interval > 0:
+        import queue as _queue
+        import threading
+
+        _eof = object()
+        q: _queue.Queue = _queue.Queue(maxsize=4096)
+
+        def _reader():
+            try:
+                for ln in in_f:
+                    q.put(ln)
+            finally:
+                q.put(_eof)
+
+        threading.Thread(target=_reader, daemon=True,
+                         name="serve-reader").start()
+
+        def _lines():
+            # None = wall-clock tick marker; resumes AFTER the caller's
+            # flush, so a slow tick (first compile) pushes the next
+            # deadline out instead of firing a burst of catch-up ticks
+            deadline = time.monotonic() + tick_interval
+            while True:
+                now = time.monotonic()
+                if now >= deadline:
+                    yield None
+                    deadline = max(deadline + tick_interval,
+                                   time.monotonic())
+                    continue
+                try:
+                    item = q.get(timeout=deadline - now)
+                except _queue.Empty:
+                    continue
+                if item is _eof:
+                    return
+                yield item
+
+        source = _lines()
+    else:
+        source = in_f
+
     try:
-        for line in in_f:
+        for line in source:
+            if line is None:   # wall-clock tick (self-ticking mode)
+                flush()
+                continue
             line = line.strip()
             if not line:
                 continue
