@@ -344,6 +344,87 @@ def test_cli_serve_daemon(tmp_path, tiny_cfg_json, capsys):
     assert (sdir / "state.npz").exists()
 
 
+def test_cli_serve_listen_tcp(tmp_path, tiny_cfg_json, capsys, monkeypatch):
+    """`serve --listen` through the CLI: a TCP client drives one stream and
+    reads its rows off the socket; the bound address is advertised on
+    stderr; --listen + --input is rejected before any model work."""
+    import json as _json
+    import socket
+    import threading
+    import time as _time
+
+    from pathlib import Path
+
+    import pytest
+
+    with pytest.raises(SystemExit, match="exclusive"):
+        main(["serve", "--config", tiny_cfg_json, "--input", "x.jsonl",
+              "--listen", "127.0.0.1:0"])
+    capsys.readouterr()
+
+    frames_dir, _ = _write_frames_tree(tmp_path, n_videos=1, seconds=8)
+    v0 = sorted(sorted(Path(frames_dir).iterdir())[0].glob("*"))
+
+    # capture the server instance the CLI builds (port 0 = ephemeral; the
+    # in-process test needs the bound port before stderr is readable)
+    from tmrnet_tpu.eval import serve_net
+
+    created = []
+    real = serve_net.JsonlTcpServer
+
+    class _Spy(real):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            created.append(self)
+
+    monkeypatch.setattr(serve_net, "JsonlTcpServer", _Spy)
+
+    got = {}
+
+    def client():
+        deadline = _time.monotonic() + 120
+        while not created:
+            assert _time.monotonic() < deadline, "server never started"
+            _time.sleep(0.05)
+        srv = created[0]
+        sock = socket.create_connection(("127.0.0.1", srv.port),
+                                        timeout=120)
+        f = sock.makefile("r")
+        try:
+            for t in range(3):
+                sock.sendall(_json.dumps(
+                    {"id": "or-1", "image": str(v0[t])}).encode() + b"\n")
+                sock.sendall(b'{"step": true}\n')
+                got.setdefault("rows", []).append(_json.loads(f.readline()))
+        finally:
+            sock.shutdown(socket.SHUT_RDWR)
+            f.close()
+            sock.close()
+            srv.stop()   # ends serve_loop -> main() returns
+
+    th = threading.Thread(target=client)
+    th.start()
+    # main() stays on the main thread (cmd_serve installs signal handlers)
+    assert main(["serve", "--config", tiny_cfg_json,
+                 "--listen", "127.0.0.1:0", "--slots", "1",
+                 "--set", "mesh.data_parallel=1"]) == 0
+    th.join(timeout=30)
+    assert not th.is_alive()
+
+    rows = got["rows"]
+    assert [r["frame"] for r in rows] == [0, 1, 2]
+    assert all(r["id"] == "or-1" and "error" not in r for r in rows)
+    cap = capsys.readouterr()
+    listening = next(_json.loads(l)["listening"]
+                     for l in cap.err.splitlines() if "listening" in l)
+    assert listening["port"] == created[0].port
+    summary = _json.loads(cap.err.strip().splitlines()[-1])["summary"]
+    assert summary["rows"] == 3
+    # the client's Disconnect races the shutdown sentinel: the stream is
+    # either ended by it (0) or still mapped at exit (1) — never negative
+    assert summary["live_streams"] in (0, 1)
+
+
 def test_cli_train_bank_explicit_mesh(tmp_path, tiny_cfg_json, capsys):
     """CLI builds a dp4 x tp2 mesh from --set overrides and trains through it
     (VERDICT r1 item 2: multi-device execution reachable from the CLI)."""

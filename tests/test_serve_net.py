@@ -1,0 +1,197 @@
+"""Multi-client TCP serving transport (eval/serve_net.JsonlTcpServer):
+line merging, per-owner response routing, ownership enforcement, and
+disconnect slot recovery — the network front end the reference's offline
+eval drivers (`code/eval/python/test_*.py`) never had."""
+
+import json
+import socket
+import threading
+import time
+
+import numpy as np
+
+from tests.test_serve import _solo
+from tests.test_streaming import HW, _cfg, _variables
+from tmrnet_tpu.eval.serve import serve_loop
+from tmrnet_tpu.eval.serve_net import JsonlTcpServer
+from tmrnet_tpu.eval.stream import StreamingInference
+
+
+class _Client:
+    def __init__(self, port):
+        self.sock = socket.create_connection(("127.0.0.1", port), timeout=10)
+        self.f = self.sock.makefile("r")
+
+    def send(self, obj):
+        self.sock.sendall((json.dumps(obj) + "\n").encode())
+
+    def recv(self):
+        line = self.f.readline()
+        assert line, "connection closed while expecting a row"
+        return json.loads(line)
+
+    def close(self):
+        # shutdown, not just close: makefile() holds an io ref that would
+        # otherwise keep the OS socket open and never send FIN
+        self.sock.shutdown(socket.SHUT_RDWR)
+        self.f.close()
+        self.sock.close()
+
+
+def _start(engine, server, frames, slots=2):
+    res = {}
+
+    def go():
+        res["summary"] = serve_loop(
+            engine, slots, server.lines(), server,
+            lambda key: frames[key], decode_workers=0)
+
+    th = threading.Thread(target=go, name="serve-loop")
+    th.start()
+    return th, res
+
+
+def test_tcp_two_clients_route_isolate_and_recover_slots():
+    """Two clients drive one stream each through a 2-slot daemon: every row
+    routes to the connection that owns the stream and matches the solo
+    engine run; an ownership violation errors to the OFFENDER; a dropped
+    connection frees its slot (with a pending frame in the tick) for a new
+    stream to claim."""
+    cfg = _cfg()
+    variables, extractor = _variables(cfg, key=9)
+    engine = StreamingInference(cfg, variables, extractor)
+
+    n = 4
+    rng = np.random.RandomState(21)
+    vids = {k: rng.rand(n, HW, HW, 3).astype(np.float32) for k in "abc"}
+    ref = {k: _solo(engine, v) for k, v in vids.items()}
+    frames = {f"{k}{t}": vids[k][t] for k in vids for t in range(n)}
+
+    server = JsonlTcpServer("127.0.0.1", 0)
+    th, res = _start(engine, server, frames, slots=2)
+    try:
+        c1, c2 = _Client(server.port), _Client(server.port)
+
+        # alternating ticks, one stream per client. Each tick is driven by
+        # ONE connection (frame + step), because only per-connection line
+        # order is guaranteed — the other client's stream freezes that
+        # tick, which per-stream state makes equivalent to its solo run.
+        for t in range(2):
+            c1.send({"id": "a", "image": f"a{t}"})
+            c1.send({"step": True})
+            r1 = c1.recv()
+            assert (r1["id"], r1["frame"]) == ("a", t)
+            assert r1["valid"] == ref["a"][t][1]
+            c2.send({"id": "b", "image": f"b{t}"})
+            c2.send({"step": True})
+            r2 = c2.recv()
+            assert (r2["id"], r2["frame"]) == ("b", t)
+            assert r2["pred"] == (ref["b"][t][0] if ref["b"][t][1] else None)
+
+        # c2 pokes c1's stream: the error goes to c2, and c1's stream state
+        # is untouched (its next row still matches the solo run)
+        c2.send({"id": "a", "image": "a2"})
+        err = c2.recv()
+        assert "owned by another client" in err["error"]
+        c1.send({"id": "a", "image": "a2"})
+        c1.send({"step": True})
+        r = c1.recv()
+        assert (r["id"], r["frame"]) == ("a", 2)
+        assert r["valid"] == ref["a"][2][1]
+
+        # c2 drops its connection with a frame PENDING in the tick: the
+        # disconnect must end stream b (dropping the pending frame) and
+        # free the slot for c1's new stream
+        c2.send({"id": "b", "image": "b2"})
+        c2.close()
+        deadline = time.monotonic() + 5
+        while True:    # join retries until the Disconnect frees the slot
+            c1.send({"id": "c", "image": "c0"})
+            c1.send({"step": True})
+            row = c1.recv()
+            if "error" not in row:
+                break
+            assert "no free slot" in row["error"]
+            assert time.monotonic() < deadline, "slot never freed"
+            time.sleep(0.05)
+        # the join tick also stepped stream a? no — a had no pending frame,
+        # so the first success row is c frame 0
+        assert (row["id"], row["frame"]) == ("c", 0)
+        assert row["valid"] == ref["c"][0][1]
+        c1.close()
+    finally:
+        server.stop()
+        th.join(timeout=30)
+    assert not th.is_alive()
+    summary = res["summary"]
+    # a0,b0,a1,b1,a2,c0 — b2 was pending at the disconnect and dropped
+    assert summary["rows"] == 6
+    # stream b ended by disconnect, a and c still live at shutdown
+    assert summary["live_streams"] == 2
+
+
+def test_tcp_restored_stream_reclaimed_by_new_connection(tmp_path):
+    """A checkpointed stream belongs to no connection after a daemon
+    restart; the first client to send its next frame claims it and resumes
+    mid-video (ring intact), matching the solo run."""
+    cfg = _cfg()
+    variables, extractor = _variables(cfg, key=10)
+    engine = StreamingInference(cfg, variables, extractor)
+
+    n = 6
+    video = np.random.RandomState(31).rand(n, HW, HW, 3).astype(np.float32)
+    ref = _solo(engine, video)
+    frames = {f"v{t}": video[t] for t in range(n)}
+    state_dir = str(tmp_path / "state")
+
+    # run 1: stdin mode writes the checkpoint (checkpoint on exit)
+    import io
+
+    lines = []
+    for t in range(3):
+        lines.append({"id": "v", "image": f"v{t}"})
+        lines.append({"step": True})
+    in_f = io.StringIO("".join(json.dumps(o) + "\n" for o in lines))
+    serve_loop(engine, 2, in_f, io.StringIO(), lambda k: frames[k],
+               state_dir=state_dir, decode_workers=0)
+
+    # run 2: TCP mode restores it; a fresh connection reclaims stream v
+    server = JsonlTcpServer("127.0.0.1", 0)
+    res = {}
+
+    def go():
+        res["summary"] = serve_loop(
+            engine, 2, server.lines(), server, lambda k: frames[k],
+            state_dir=state_dir, decode_workers=0)
+
+    th = threading.Thread(target=go)
+    th.start()
+    try:
+        c = _Client(server.port)
+        for t in range(3, n):
+            c.send({"id": "v", "image": f"v{t}"})
+            c.send({"step": True})
+            row = c.recv()
+            assert (row["id"], row["frame"]) == ("v", t)
+            assert row["valid"] == ref[t][1]
+            assert row["pred"] == (ref[t][0] if ref[t][1] else None)
+        c.close()
+    finally:
+        server.stop()
+        th.join(timeout=30)
+    assert res["summary"]["resumed_at_tick"] == 3
+
+
+def test_tcp_server_stop_unblocks_idle_loop():
+    """stop() must end lines() promptly even with no clients ever
+    connected — the daemon's clean-shutdown path."""
+    cfg = _cfg()
+    variables, extractor = _variables(cfg, key=11)
+    engine = StreamingInference(cfg, variables, extractor)
+    server = JsonlTcpServer("127.0.0.1", 0)
+    th, res = _start(engine, server, {}, slots=1)
+    time.sleep(0.2)
+    server.stop()
+    th.join(timeout=10)
+    assert not th.is_alive()
+    assert res["summary"]["rows"] == 0

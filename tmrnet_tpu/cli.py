@@ -748,10 +748,15 @@ def cmd_stream(args) -> int:
 
 
 def cmd_serve(args) -> int:
-    """Serving daemon: JSONL protocol on stdin/stdout over B compiled stream
-    slots (eval/serve.py). Streams join on first frame, leave on "end", and
-    any number of them multiplex onto the fixed slots; `{"step": true}`
-    runs one tick. The reference has no serving path at all."""
+    """Serving daemon: JSONL protocol on stdin/stdout — or over TCP with
+    --listen (eval/serve_net.py) — over B compiled stream slots
+    (eval/serve.py). Streams join on first frame, leave on "end", and any
+    number of them multiplex onto the fixed slots; `{"step": true}` runs
+    one tick. The reference has no serving path at all."""
+    if args.listen and args.input != "-":
+        # fail before the (slow) model restore and engine build
+        raise SystemExit("--listen and --input are exclusive "
+                         "(TCP clients replace the input file)")
     from tmrnet_tpu.data.pipeline import load_frame
     from tmrnet_tpu.data.transforms import EvalTransform
     from tmrnet_tpu.eval.serve import serve_loop
@@ -777,6 +782,17 @@ def cmd_serve(args) -> int:
         num_slots = -(-num_slots // dp) * dp
     engine = StreamingInference(cfg, variables, extractor, mesh=mesh)
 
+    server = None
+    if args.listen:
+        from tmrnet_tpu.eval.serve_net import JsonlTcpServer
+
+        host, _, port = args.listen.rpartition(":")
+        server = JsonlTcpServer(host or "127.0.0.1", int(port))
+        # advertise the bound address (port may have been 0 = ephemeral)
+        print(json.dumps({"listening": {"host": server.host,
+                                        "port": server.port}}),
+              file=sys.stderr, flush=True)
+
     # SIGTERM (the standard daemon shutdown) must unwind through
     # serve_loop's finally so the state checkpoint is written — but never
     # mid-tick, where it would checkpoint half-updated bookkeeping; the
@@ -788,6 +804,8 @@ def cmd_serve(args) -> int:
     def _on_term(*_):
         if guard["busy"]:
             guard["stop"] = True
+            if server is not None:
+                server.stop()   # unblock lines() so the boundary arrives
         else:
             sys.exit(0)
 
@@ -800,7 +818,9 @@ def cmd_serve(args) -> int:
     crop = cfg.data.crop_size
     try:
         summary = serve_loop(
-            engine, num_slots, in_f, sys.stdout,
+            engine, num_slots,
+            server.lines() if server is not None else in_f,
+            server if server is not None else sys.stdout,
             lambda p: tf(np.stack([load_frame(p)]))[0],
             emit_probs=args.probs,
             # pay the first compile at startup, not on the first request
@@ -813,6 +833,8 @@ def cmd_serve(args) -> int:
             decode_timeout=args.decode_timeout,
             tick_interval=args.tick_interval)
     finally:
+        if server is not None:
+            server.stop()
         if in_f is not sys.stdin:
             in_f.close()
     print(json.dumps({"summary": summary}), file=sys.stderr)
@@ -1313,6 +1335,13 @@ def build_parser() -> argparse.ArgumentParser:
                          "many wall-clock seconds (1.0 for 1-fps OR feeds) "
                          "instead of waiting for {\"step\": true} lines; "
                          "0 = client-driven ticks only")
+    sp.add_argument("--listen", metavar="HOST:PORT",
+                    help="serve the JSONL protocol over TCP instead of "
+                         "stdin/stdout: any number of clients connect, "
+                         "each stream's rows route to the connection that "
+                         "owns it, and a dropped connection frees its "
+                         "streams' slots (port 0 = ephemeral, bound "
+                         "address printed to stderr)")
     sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("parity", help="reference .pth + frames -> Main.m "

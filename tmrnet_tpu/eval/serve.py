@@ -29,6 +29,12 @@ from typing import Callable, IO, Optional
 import numpy as np
 
 
+class Disconnect:
+    """Sentinel line value in multi-client mode: the tagged client closed
+    its connection. serve_loop ends every stream that client owned (frees
+    the slots) — the TCP equivalent of per-stream {"end": true} lines."""
+
+
 def _save_state(state_dir: str, state, slot_of: dict,
                 frame_idx: dict, ticks: int) -> None:
     """Atomic serving-state checkpoint: rings/counts (bf16 -> f32 losslessly)
@@ -129,6 +135,15 @@ def serve_loop(engine, num_slots: int, in_f: IO[str], out_f: IO[str],
     immediately. A tick that outlasts the interval (first compile) delays
     the cadence rather than bursting catch-up ticks. 0 (default): ticks
     happen only on step lines / EOF — the fully client-driven protocol.
+
+    Multi-client transports (serve_net.JsonlTcpServer): in_f may yield
+    `(client, line)` tuples instead of bare lines, and out_f may expose
+    `send(text, client)` — rows then route to the client that OWNS the
+    stream (ownership = whoever sent its first frame; other clients get
+    "stream owned by another client" errors), id-less errors to the sender
+    of the offending line. A `(client, Disconnect())` item ends every
+    stream that client owned, so a dropped TCP connection frees its slots.
+    Bare-line mode (stdin) is the degenerate single-client case.
     """
     restored = _load_state(state_dir, engine, num_slots) if state_dir else None
     if restored is not None:
@@ -161,12 +176,41 @@ def serve_loop(engine, num_slots: int, in_f: IO[str], out_f: IO[str],
         pool = ThreadPoolExecutor(max_workers=decode_workers,
                                   thread_name_prefix="decode")
 
-    def emit(obj):
-        out_f.write(json.dumps(obj) + "\n")
+    owner: dict = {}        # stream id -> client (None in stdin mode)
+    cur = [None]            # client of the line being processed (mutable
+    #                         cell: emit is a closure over it)
+    send = getattr(out_f, "send", None)
+
+    _AUTO = object()
+
+    def emit(obj, dest=_AUTO):
+        text = json.dumps(obj) + "\n"
+        if send is not None:
+            if dest is _AUTO:
+                # route to the stream's owner; id-less errors (bad json,
+                # missing id) go back to whoever sent the offending line
+                sid = obj.get("id")
+                dest = (owner.get(sid, cur[0]) if sid is not None
+                        else cur[0])
+            send(text, dest)
+            return
+        out_f.write(text)
         # error rows arrive between ticks: flush per row so a client waiting
         # on a join/frame response never deadlocks on the pipe buffer
         if "error" in obj:
             out_f.flush()
+
+    def end_stream(sid) -> bool:
+        """Release a stream's slot and bookkeeping; False if unknown."""
+        owner.pop(sid, None)
+        slot = slot_of.pop(sid, None)
+        if slot is None:
+            return False
+        frame_idx.pop(sid, None)
+        tick.pop(slot, None)
+        inflight.pop(sid, None)
+        free.append(slot)
+        return True
 
     def flush():
         nonlocal state, blank, ticks, emitted
@@ -286,6 +330,16 @@ def serve_loop(engine, num_slots: int, in_f: IO[str], out_f: IO[str],
             if line is None:   # wall-clock tick (self-ticking mode)
                 flush()
                 continue
+            if isinstance(line, tuple):   # multi-client: (client, line)
+                cur[0], line = line
+            else:
+                cur[0] = None
+            if isinstance(line, Disconnect):
+                # the client vanished: end every stream it owned so the
+                # slots free up (pending tick frames are dropped with them)
+                for sid in [s for s, c in owner.items() if c == cur[0]]:
+                    end_stream(sid)
+                continue
             line = line.strip()
             if not line:
                 continue
@@ -304,15 +358,18 @@ def serve_loop(engine, num_slots: int, in_f: IO[str], out_f: IO[str],
             # ids are strings everywhere (JSON keys stringify in the state
             # checkpoint — a numeric id would stop matching after a resume)
             sid = str(sid)
+            # ownership: the client whose frame joined a stream owns it; a
+            # restored (checkpointed) stream is unowned until any client
+            # reattaches with its next frame or end line
+            if sid in owner and owner[sid] != cur[0]:
+                # to the OFFENDER, not the owner (auto-routing would pick
+                # the owner — the one client that didn't send this line)
+                emit({"id": sid, "error": "stream owned by another client"},
+                     dest=cur[0])
+                continue
             if obj.get("end"):
-                slot = slot_of.pop(sid, None)
-                if slot is None:
+                if not end_stream(sid):
                     emit({"id": sid, "error": "unknown stream"})
-                    continue
-                frame_idx.pop(sid, None)
-                tick.pop(slot, None)
-                inflight.pop(sid, None)
-                free.append(slot)
                 continue
             if "image" not in obj:
                 emit({"id": sid, "error": "missing image"})
@@ -334,6 +391,7 @@ def serve_loop(engine, num_slots: int, in_f: IO[str], out_f: IO[str],
                 frame_idx[sid] = 0
                 slot_of[sid] = slot
             slot = slot_of[sid]
+            owner[sid] = cur[0]   # claim (idempotent for the owner)
             if slot in tick:
                 emit({"id": sid, "error": "multiple frames in one tick"})
                 continue
