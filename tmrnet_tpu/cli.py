@@ -1029,6 +1029,31 @@ def cmd_export_ckpt(args) -> int:
     return 0
 
 
+def cmd_migrate(args) -> int:
+    """Translate a reference command line into the equivalent tmrnet-tpu
+    command(s) — docs/MIGRATION.md's flag mapping as a tool (migrate.py)."""
+    import shlex
+
+    from tmrnet_tpu.migrate import MigrateError, translate
+
+    tokens = shlex.split(args.cmd) if args.cmd else list(args.tokens or [])
+    if tokens and tokens[0] == "--":
+        tokens = tokens[1:]
+    if not tokens:
+        raise SystemExit("pass the reference command: migrate -- python "
+                         "train_non-local_mutiConv_resnet.py -t 90 ... "
+                         "(or --cmd '...')")
+    try:
+        out = translate(tokens)
+    except MigrateError as e:
+        raise SystemExit(str(e))
+    for note in out["notes"]:
+        print(f"# {note}")
+    for cmd in out["commands"]:
+        print(cmd)
+    return 0
+
+
 def cmd_doctor(args) -> int:
     """Environment/artifact diagnostics before a long job: versions, devices,
     optional deps, the native preprocess lib, and (when pointed at them)
@@ -1411,6 +1436,16 @@ def build_parser() -> argparse.ArgumentParser:
                     help="orbax checkpoint dir (best/ preferred)")
     sp.add_argument("--out", required=True, help="output .pth path")
     sp.set_defaults(fn=cmd_export_ckpt)
+
+    sp = sub.add_parser("migrate", help="reference command line -> the "
+                        "equivalent tmrnet-tpu command(s)")
+    sp.add_argument("--cmd", help="the reference command as one quoted "
+                    "string (alternative to positional tokens)")
+    sp.add_argument("tokens", nargs=argparse.REMAINDER,
+                    help="the reference command, e.g. "
+                         "migrate -- python train_non-local_mutiConv_"
+                         "resnet.py -t 90 -e 25 --LFB_l 30")
+    sp.set_defaults(fn=cmd_migrate)
 
     sp = sub.add_parser("doctor", help="environment + artifact diagnostics")
     _add_config_args(sp)
