@@ -429,6 +429,56 @@ def test_serve_loop_stale_saturation_survives_rejoin_churn():
     assert elapsed < 4.0  # never waited on any 5 s sleep
 
 
+def test_serve_loop_idle_eviction():
+    """idle_ticks=2: a stream that stops sending frames is evicted after
+    missing 2 consecutive ticks (one evicted-row emitted, slot freed for a
+    new join); the active stream is never evicted and a rejoin of the
+    evicted id starts fresh at frame 0."""
+    cfg = _cfg()
+    variables, extractor = _variables(cfg, key=6)
+    engine = StreamingInference(cfg, variables, extractor)
+
+    n = 8
+    rng = np.random.RandomState(13)
+    vids = {k: rng.rand(n, HW, HW, 3).astype(np.float32) for k in "ab"}
+    frames = {f"{k}{t}": vids[k][t] for k in vids for t in range(n)}
+    load = lambda key: frames[key]
+
+    lines = []
+    # b sends one frame then goes silent; a keeps streaming
+    lines.append({"id": "b", "image": "b0"})
+    for t in range(5):
+        lines.append({"id": "a", "image": f"a{t}"})
+        lines.append({"step": True})
+    # by tick 3 b has missed ticks 2 and 3 -> evicted; with slots=2 the
+    # post-eviction join of c must succeed
+    lines.append({"id": "c", "image": "a0"})
+    lines.append({"id": "a", "image": "a5"})
+    lines.append({"step": True})
+    # and the evicted id can rejoin fresh (c ends to free its slot first:
+    # a still holds the other one and keeps streaming so ITS idle clock
+    # never fires)
+    lines.append({"id": "c", "end": True})
+    lines.append({"id": "b", "image": "b1"})
+    lines.append({"id": "a", "image": "a6"})
+    lines.append({"step": True})
+
+    out = io.StringIO()
+    summary = serve_loop(engine, 2, _protocol(lines), out, load,
+                         decode_workers=0, idle_ticks=2)
+    rows = [json.loads(l) for l in out.getvalue().splitlines()]
+    ev = [r for r in rows if r.get("evicted")]
+    assert len(ev) == 1 and ev[0]["id"] == "b"
+    assert summary["evicted"] == 1
+    # no "no free slot" errors anywhere: the evicted slot was reclaimed
+    assert not [r for r in rows if "error" in r and not r.get("evicted")]
+    b_rows = [r for r in rows if r["id"] == "b" and "frame" in r]
+    # b0 at frame 0, then the rejoin starts fresh at frame 0 again
+    assert [r["frame"] for r in b_rows] == [0, 0]
+    a_rows = [r for r in rows if r["id"] == "a" and "frame" in r]
+    assert [r["frame"] for r in a_rows] == list(range(7))
+
+
 def test_serve_loop_self_ticking():
     """tick_interval > 0: frames flush on wall-clock ticks with no
     {"step": true} lines anywhere — two frames of one stream land in

@@ -831,7 +831,8 @@ def cmd_serve(args) -> int:
             term_guard=guard,
             decode_workers=args.decode_workers,
             decode_timeout=args.decode_timeout,
-            tick_interval=args.tick_interval)
+            tick_interval=args.tick_interval,
+            idle_ticks=args.idle_ticks)
     finally:
         if server is not None:
             server.stop()
@@ -1360,6 +1361,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "many wall-clock seconds (1.0 for 1-fps OR feeds) "
                          "instead of waiting for {\"step\": true} lines; "
                          "0 = client-driven ticks only")
+    sp.add_argument("--idle-ticks", type=int, default=0,
+                    help="evict a stream that contributed no frame to this "
+                         "many consecutive ticks (abandoned feeds free "
+                         "their slots; one {'evicted': true} row is "
+                         "emitted); 0 = streams live until end/disconnect")
     sp.add_argument("--listen", metavar="HOST:PORT",
                     help="serve the JSONL protocol over TCP instead of "
                          "stdin/stdout: any number of clients connect, "

@@ -94,7 +94,8 @@ def serve_loop(engine, num_slots: int, in_f: IO[str], out_f: IO[str],
                term_guard: Optional[dict] = None,
                decode_workers: int = 4,
                decode_timeout: float = 5.0,
-               tick_interval: float = 0.0) -> dict:
+               tick_interval: float = 0.0,
+               idle_ticks: int = 0) -> dict:
     """Run the protocol until EOF on in_f. Returns a summary dict.
 
     engine: StreamingInference (possibly meshed). load_frame_fn maps the
@@ -135,6 +136,13 @@ def serve_loop(engine, num_slots: int, in_f: IO[str], out_f: IO[str],
     immediately. A tick that outlasts the interval (first compile) delays
     the cadence rather than bursting catch-up ticks. 0 (default): ticks
     happen only on step lines / EOF — the fully client-driven protocol.
+
+    idle_ticks: > 0 evicts a stream that hasn't contributed a frame to any
+    of the last `idle_ticks` ticks — an abandoned feed (client that never
+    sends "end" and never disconnects) frees its slot instead of leaking it
+    until "no free slot". The evicted stream gets one
+    `{"id": ..., "evicted": true}` row; rejoining later starts it fresh.
+    0 (default): streams live until "end"/disconnect.
 
     Multi-client transports (serve_net.JsonlTcpServer): in_f may yield
     `(client, line)` tuples instead of bare lines, and out_f may expose
@@ -180,6 +188,10 @@ def serve_loop(engine, num_slots: int, in_f: IO[str], out_f: IO[str],
     cur = [None]            # client of the line being processed (mutable
     #                         cell: emit is a closure over it)
     send = getattr(out_f, "send", None)
+    # stream id -> tick of its last stepped frame (idle eviction); restored
+    # streams start their idle clock at the restore tick
+    last_seen: dict = {sid: ticks for sid in slot_of}
+    evicted = 0
 
     _AUTO = object()
 
@@ -203,6 +215,7 @@ def serve_loop(engine, num_slots: int, in_f: IO[str], out_f: IO[str],
     def end_stream(sid) -> bool:
         """Release a stream's slot and bookkeeping; False if unknown."""
         owner.pop(sid, None)
+        last_seen.pop(sid, None)
         slot = slot_of.pop(sid, None)
         if slot is None:
             return False
@@ -227,7 +240,7 @@ def serve_loop(engine, num_slots: int, in_f: IO[str], out_f: IO[str],
             raise SystemExit(0)  # deferred SIGTERM: exit at tick boundary
 
     def _flush_tick():
-        nonlocal state, blank, ticks, emitted
+        nonlocal state, blank, ticks, emitted, evicted
         t0 = time.perf_counter()
         if pool is not None:
             # gather this tick's decodes under one shared deadline; a frame
@@ -278,7 +291,16 @@ def serve_loop(engine, num_slots: int, in_f: IO[str], out_f: IO[str],
             emit(row)
             emitted += 1
             frame_idx[sid] += 1
+            last_seen[sid] = ticks
         tick.clear()
+        if idle_ticks > 0:
+            for sid in [s for s in slot_of
+                        if ticks - last_seen.get(s, ticks) >= idle_ticks]:
+                emit({"id": sid, "evicted": True,
+                      "error": f"idle for {idle_ticks} ticks: slot "
+                               f"reclaimed (rejoin starts fresh)"})
+                end_stream(sid)
+                evicted += 1
         out_f.flush()
         if state_dir and checkpoint_every > 0 \
                 and ticks % checkpoint_every == 0:
@@ -389,6 +411,7 @@ def serve_loop(engine, num_slots: int, in_f: IO[str], out_f: IO[str],
                 # KeyError on its first row)
                 state = engine.reset_streams(state, mask)  # fresh stream
                 frame_idx[sid] = 0
+                last_seen[sid] = ticks  # idle clock starts at join
                 slot_of[sid] = slot
             slot = slot_of[sid]
             owner[sid] = cur[0]   # claim (idempotent for the owner)
@@ -434,6 +457,7 @@ def serve_loop(engine, num_slots: int, in_f: IO[str], out_f: IO[str],
             _save_state(state_dir, state, slot_of, frame_idx, ticks)
     summary = {"ticks": ticks, "rows": emitted,
                "live_streams": len(slot_of), "slots": num_slots,
+               "evicted": evicted,
                "resumed_at_tick": int(meta["ticks"]) if restored else 0}
     if lat_ms:  # first tick excluded: it can carry the compile
         steady = lat_ms[1:] or lat_ms

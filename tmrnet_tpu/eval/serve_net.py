@@ -107,10 +107,11 @@ class JsonlTcpServer:
 
     def send(self, text: str, cid: Optional[int]) -> None:
         conn = self._conns.get(cid)
-        if conn is None:
+        lock = self._locks.get(cid)
+        if conn is None or lock is None:
             return                       # client gone or unroutable: drop
         try:
-            with self._locks[cid]:
+            with lock:
                 conn.sendall(text.encode("utf-8"))
         except OSError:
             # broken pipe: the reader thread surfaces the Disconnect; just
