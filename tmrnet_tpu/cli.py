@@ -36,41 +36,9 @@ from tmrnet_tpu.config import (
     CHOLEC80_PHASES,
     M2CAI_PHASES,
     ExperimentConfig,
+    apply_override,
     get_preset,
 )
-
-
-def _coerce(value: str, current: Any) -> Any:
-    if isinstance(current, bool):
-        return value.lower() in ("1", "true", "yes")
-    if isinstance(current, int):
-        return int(value)
-    if isinstance(current, float):
-        return float(value)
-    if isinstance(current, tuple):
-        parts = [p for p in value.split(",") if p]
-        elem = current[0] if current else value
-        return tuple(_coerce(p, elem) for p in parts)
-    return value
-
-
-def apply_override(cfg: ExperimentConfig, dotted: str) -> ExperimentConfig:
-    """--set data.batch_clips=64 style dotted overrides."""
-    key, eq, value = dotted.partition("=")
-    if not eq:
-        raise SystemExit(f"--set {dotted!r}: expected KEY=VALUE")
-    parts = key.strip().split(".")
-    if len(parts) == 1:
-        return dataclasses.replace(cfg, **{parts[0]: _coerce(value, getattr(cfg, parts[0]))})
-
-    def rec(node, path):
-        if len(path) == 1:
-            return dataclasses.replace(
-                node, **{path[0]: _coerce(value, getattr(node, path[0]))})
-        child = getattr(node, path[0])
-        return dataclasses.replace(node, **{path[0]: rec(child, path[1:])})
-
-    return rec(cfg, parts)
 
 
 def load_config(args) -> ExperimentConfig:

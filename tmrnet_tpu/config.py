@@ -369,6 +369,41 @@ PRESETS = {
 }
 
 
+def _coerce(value: str, current: Any) -> Any:
+    if isinstance(current, bool):
+        return value.lower() in ("1", "true", "yes")
+    if isinstance(current, int):
+        return int(value)
+    if isinstance(current, float):
+        return float(value)
+    if isinstance(current, tuple):
+        parts = [p for p in value.split(",") if p]
+        elem = current[0] if current else value
+        return tuple(_coerce(p, elem) for p in parts)
+    return value
+
+
+def apply_override(cfg: ExperimentConfig, dotted: str) -> ExperimentConfig:
+    """Dotted-string override, the CLI's --set semantics as a library call:
+    apply_override(cfg, "data.batch_clips=64"). Values coerce to the field's
+    current type (bools accept 1/true/yes, tuples split on commas)."""
+    key, eq, value = dotted.partition("=")
+    if not eq:
+        raise ValueError(f"override {dotted!r}: expected KEY=VALUE")
+    parts = key.strip().split(".")
+    if len(parts) == 1:
+        return dataclasses.replace(cfg, **{parts[0]: _coerce(value, getattr(cfg, parts[0]))})
+
+    def rec(node, path):
+        if len(path) == 1:
+            return dataclasses.replace(
+                node, **{path[0]: _coerce(value, getattr(node, path[0]))})
+        child = getattr(node, path[0])
+        return dataclasses.replace(node, **{path[0]: rec(child, path[1:])})
+
+    return rec(cfg, parts)
+
+
 def get_preset(name: str) -> ExperimentConfig:
     if name not in PRESETS:
         raise KeyError(f"unknown preset {name!r}; available: {sorted(PRESETS)}")
