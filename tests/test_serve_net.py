@@ -182,6 +182,49 @@ def test_tcp_restored_stream_reclaimed_by_new_connection(tmp_path):
     assert res["summary"]["resumed_at_tick"] == 3
 
 
+def test_tcp_oversize_line_disconnects_offender_only():
+    """A client streaming an over-long line (no newline) is told off and
+    disconnected — its streams' slots free up — while other clients keep
+    serving untouched."""
+    cfg = _cfg()
+    variables, extractor = _variables(cfg, key=12)
+    engine = StreamingInference(cfg, variables, extractor)
+    video = np.random.RandomState(41).rand(4, HW, HW, 3).astype(np.float32)
+    frames = {f"v{t}": video[t] for t in range(4)}
+
+    server = JsonlTcpServer("127.0.0.1", 0, max_line=4096)
+    th, res = _start(engine, server, frames, slots=1)
+    try:
+        bad, good = _Client(server.port), _Client(server.port)
+        # bad joins a stream first (occupies the only slot)...
+        bad.send({"id": "x", "image": "v0"})
+        bad.send({"step": True})
+        assert bad.recv()["frame"] == 0
+        # ...then violates the protocol with an endless line
+        bad.sock.sendall(b"a" * 10000)
+        err = bad.recv()
+        assert "exceeds" in err["error"]
+        assert bad.f.readline() == ""    # connection closed on us
+
+        # the freed slot serves the well-behaved client
+        deadline = time.monotonic() + 5
+        while True:
+            good.send({"id": "y", "image": "v1"})
+            good.send({"step": True})
+            row = good.recv()
+            if "error" not in row:
+                break
+            assert "no free slot" in row["error"]
+            assert time.monotonic() < deadline, "slot never freed"
+            time.sleep(0.05)
+        assert (row["id"], row["frame"]) == ("y", 0)
+        good.close()
+    finally:
+        server.stop()
+        th.join(timeout=30)
+    assert not th.is_alive()
+
+
 def test_tcp_server_stop_unblocks_idle_loop():
     """stop() must end lines() promptly even with no clients ever
     connected — the daemon's clean-shutdown path."""

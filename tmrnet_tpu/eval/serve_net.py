@@ -24,6 +24,7 @@ invariant explicit and cheap).
 from __future__ import annotations
 
 import itertools
+import json
 import queue
 import socket
 import threading
@@ -51,9 +52,10 @@ class JsonlTcpServer:
     """
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0,
-                 max_pending: int = 8192):
+                 max_pending: int = 8192, max_line: int = 1 << 20):
         self._srv = socket.create_server((host, port))
         self.host, self.port = self._srv.getsockname()[:2]
+        self.max_line = max_line
         self._q: queue.Queue = queue.Queue(maxsize=max_pending)
         self._conns: dict = {}           # client id -> socket
         self._locks: dict = {}           # client id -> write lock
@@ -79,15 +81,38 @@ class JsonlTcpServer:
 
     def _read(self, cid: int, conn: socket.socket) -> None:
         try:
-            # makefile buffers line assembly in C; text mode decodes utf-8
-            f = conn.makefile("r", encoding="utf-8", errors="replace")
-            for line in f:
-                self._q.put((cid, line))
+            # manual line assembly with a hard cap: makefile().readline has
+            # no limit, so one client streaming bytes without a newline
+            # would grow the buffer unboundedly. An over-long line
+            # disconnects the client (protocol violation), freeing its
+            # slots like any other disconnect.
+            buf = bytearray()
+            while True:
+                chunk = conn.recv(65536)
+                if not chunk:
+                    break
+                buf += chunk
+                while True:
+                    nl = buf.find(b"\n")
+                    if nl < 0:
+                        break
+                    line = bytes(buf[:nl + 1])
+                    del buf[:nl + 1]
+                    self._q.put((cid, line.decode("utf-8", "replace")))
+                if len(buf) > self.max_line:
+                    self.send(json.dumps(
+                        {"error": f"line exceeds {self.max_line} bytes: "
+                                  "disconnecting"}) + "\n", cid)
+                    return
+            if buf:                      # trailing line without newline
+                self._q.put((cid, buf.decode("utf-8", "replace")))
         except (OSError, ValueError):
             pass                         # dropped connection mid-line
         finally:
-            # queue the departure BEFORE closing, so every line the client
-            # did send is processed first (FIFO), then its streams end
+            self._close_client(cid)
+            # queue the departure AFTER the lines the client did send (the
+            # queue is FIFO), so they are processed first, then its streams
+            # end
             self._q.put((cid, Disconnect()))
 
     def lines(self) -> Iterator[Tuple[int, object]]:
