@@ -479,6 +479,30 @@ def test_serve_loop_idle_eviction():
     assert [r["frame"] for r in a_rows] == list(range(7))
 
 
+def test_serve_loop_stats_heartbeat():
+    """stats_every=2: one JSON heartbeat per 2 ticks lands on stats_f (not
+    the protocol stream), with rolling latency and live-stream counts."""
+    cfg = _cfg()
+    variables, extractor = _variables(cfg, key=7)
+    engine = StreamingInference(cfg, variables, extractor)
+    video = np.random.RandomState(17).rand(5, HW, HW, 3).astype(np.float32)
+    frames = {f"v{t}": video[t] for t in range(5)}
+
+    lines = []
+    for t in range(5):
+        lines.append({"id": "s", "image": f"v{t}"})
+        lines.append({"step": True})
+    out, stats = io.StringIO(), io.StringIO()
+    serve_loop(engine, 1, _protocol(lines), out, lambda k: frames[k],
+               decode_workers=0, stats_every=2, stats_f=stats)
+    beats = [json.loads(l)["stats"] for l in stats.getvalue().splitlines()]
+    assert [b["tick"] for b in beats] == [2, 4]
+    assert all(b["live_streams"] == 1 and b["lat_ms_p50"] > 0
+               for b in beats)
+    # the protocol stream carries no stats lines
+    assert not [l for l in out.getvalue().splitlines() if "stats" in l]
+
+
 def test_serve_loop_self_ticking():
     """tick_interval > 0: frames flush on wall-clock ticks with no
     {"step": true} lines anywhere — two frames of one stream land in

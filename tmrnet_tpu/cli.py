@@ -800,7 +800,12 @@ def cmd_serve(args) -> int:
             decode_workers=args.decode_workers,
             decode_timeout=args.decode_timeout,
             tick_interval=args.tick_interval,
-            idle_ticks=args.idle_ticks)
+            idle_ticks=args.idle_ticks,
+            stats_every=args.stats_every,
+            # readiness: warmup compiles done, steady-state latency from
+            # here — probes should key on this line, not on "listening"
+            on_ready=lambda: print(json.dumps({"ready": True}),
+                                   file=sys.stderr, flush=True))
     finally:
         if server is not None:
             server.stop()
@@ -1329,6 +1334,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "many wall-clock seconds (1.0 for 1-fps OR feeds) "
                          "instead of waiting for {\"step\": true} lines; "
                          "0 = client-driven ticks only")
+    sp.add_argument("--stats-every", type=int, default=0,
+                    help="print a JSON stats heartbeat (tick, rows, live "
+                         "streams, rolling latency p50/p95) to stderr "
+                         "every N ticks; 0 = only the exit summary")
     sp.add_argument("--idle-ticks", type=int, default=0,
                     help="evict a stream that contributed no frame to this "
                          "many consecutive ticks (abandoned feeds free "

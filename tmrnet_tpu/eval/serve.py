@@ -95,7 +95,10 @@ def serve_loop(engine, num_slots: int, in_f: IO[str], out_f: IO[str],
                decode_workers: int = 4,
                decode_timeout: float = 5.0,
                tick_interval: float = 0.0,
-               idle_ticks: int = 0) -> dict:
+               idle_ticks: int = 0,
+               stats_every: int = 0,
+               stats_f: Optional[IO[str]] = None,
+               on_ready: Optional[Callable[[], None]] = None) -> dict:
     """Run the protocol until EOF on in_f. Returns a summary dict.
 
     engine: StreamingInference (possibly meshed). load_frame_fn maps the
@@ -137,6 +140,11 @@ def serve_loop(engine, num_slots: int, in_f: IO[str], out_f: IO[str],
     the cadence rather than bursting catch-up ticks. 0 (default): ticks
     happen only on step lines / EOF — the fully client-driven protocol.
 
+    stats_every: > 0 prints one JSON stats line (tick count, rows, live
+    streams, rolling latency p50/p95) to stats_f (default stderr) every
+    N ticks — a long-running daemon's liveness/latency heartbeat, separate
+    from the protocol stream on out_f.
+
     idle_ticks: > 0 evicts a stream that hasn't contributed a frame to any
     of the last `idle_ticks` ticks — an abandoned feed (client that never
     sends "end" and never disconnects) frees its slot instead of leaking it
@@ -168,6 +176,14 @@ def serve_loop(engine, num_slots: int, in_f: IO[str], out_f: IO[str],
         blank_b = np.zeros((num_slots,) + tuple(warmup_shape), warmup_dtype)
         state, _, _, _ = engine.step(
             state, blank_b, active=np.zeros((num_slots,), bool))
+        # also compile the slot-reset program (all-False mask = no-op):
+        # otherwise the FIRST stream join pays it on remote-compile hosts
+        state = engine.reset_streams(state, np.zeros((num_slots,), bool))
+    if on_ready is not None:
+        # the real readiness signal: warmup compiles are done, the next
+        # frame is served at steady-state latency (a TCP "listening" line
+        # fires minutes earlier, before warmup — probes should key on this)
+        on_ready()
     free = [s for s in range(num_slots - 1, -1, -1)
             if s not in slot_of.values()]
     tick: dict = {}         # slot -> (stream id, frame array or Future)
@@ -302,6 +318,16 @@ def serve_loop(engine, num_slots: int, in_f: IO[str], out_f: IO[str],
                 end_stream(sid)
                 evicted += 1
         out_f.flush()
+        if stats_every > 0 and ticks % stats_every == 0:
+            import sys as _sys
+
+            window = lat_ms[-stats_every:]
+            line = {"tick": ticks, "rows": emitted,
+                    "live_streams": len(slot_of), "evicted": evicted,
+                    "lat_ms_p50": round(float(np.percentile(window, 50)), 2),
+                    "lat_ms_p95": round(float(np.percentile(window, 95)), 2)}
+            print(json.dumps({"stats": line}),
+                  file=stats_f or _sys.stderr, flush=True)
         if state_dir and checkpoint_every > 0 \
                 and ticks % checkpoint_every == 0:
             _save_state(state_dir, state, slot_of, frame_idx, ticks)
