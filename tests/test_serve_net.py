@@ -238,3 +238,18 @@ def test_tcp_server_stop_unblocks_idle_loop():
     th.join(timeout=10)
     assert not th.is_alive()
     assert res["summary"]["rows"] == 0
+
+def test_tcp_server_stop_never_blocks_on_full_queue():
+    """stop() runs on the protocol-loop thread when invoked from a signal
+    handler; with the pending-line queue FULL its shutdown sentinel must be
+    best-effort (put_nowait), or the handler deadlocks the consumer it is
+    waiting on."""
+    server = JsonlTcpServer("127.0.0.1", 0, max_pending=2)
+    server._q.put((1, '{"x": 1}\n'))
+    server._q.put((1, '{"x": 2}\n'))    # queue now at maxsize
+    t0 = time.monotonic()
+    server.stop()                        # must return immediately
+    assert time.monotonic() - t0 < 1.0
+    # the queued lines still drain, then lines() exits via the _stop event
+    got = list(server.lines())
+    assert [json.loads(l)["x"] for _, l in got] == [1, 2]

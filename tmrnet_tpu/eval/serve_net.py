@@ -170,4 +170,12 @@ class JsonlTcpServer:
             pass
         for cid in list(self._conns):
             self._close_client(cid)
-        self._q.put(_SHUTDOWN)
+        # best-effort wakeup only: stop() runs on the protocol-loop thread
+        # when invoked from a signal handler, so a BLOCKING put on a full
+        # queue would deadlock (the only consumer is suspended under this
+        # very call). lines() also exits via its 0.25 s timeout once _stop
+        # is set, so losing the sentinel costs at most one timeout tick.
+        try:
+            self._q.put_nowait(_SHUTDOWN)
+        except queue.Full:
+            pass
