@@ -298,6 +298,10 @@ def bench_e2e(args):
             f"video{v:02d}", paths,
             np.zeros(frames_per_video, np.int64)))
     manifest = Manifest(videos)
+    if args.e2e_packed:
+        from tmrnet_tpu.data.packed import pack_manifest
+
+        manifest = pack_manifest(manifest, os.path.join(tmp, "packed"))
 
     seq, window = 10, args.window
     cfg = ExperimentConfig(
@@ -342,6 +346,7 @@ def bench_e2e(args):
         "unit": "frames/sec (host-inclusive)",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
         "host_cores": os.cpu_count(),
+        "packed": bool(args.e2e_packed),
     }))
     return 0
 
@@ -594,6 +599,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--e2e-frames", type=int, default=400,
                     help="frames per synthetic video in e2e mode")
     ap.add_argument("--e2e-workers", type=int, default=8)
+    ap.add_argument("--e2e-packed", action="store_true",
+                    help="pack the frame tree (per-video raw .npy) before "
+                         "timing: measures the zero-decode read path")
     ap.add_argument("--e2e-processes", action="store_true",
                     help="process-pool host workers in e2e mode")
     ap.add_argument("--e2e-device-normalize", action="store_true",

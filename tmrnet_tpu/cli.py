@@ -329,6 +329,53 @@ def cmd_manifest(args) -> int:
     return 0
 
 
+def cmd_pack(args) -> int:
+    """Pack a manifest's frame images into per-video raw uint8 .npy files
+    plus a manifest whose paths read them back ('<file>.npy#<idx>',
+    data/packed.py). Kills the per-frame image decode the reference pays on
+    every epoch (PNG trees from `code/video2frame_cutmargin.py:55-81`) —
+    the measured bottleneck of the disk->logits path on weak hosts. The
+    packed manifest drops into every subcommand unchanged."""
+    from tmrnet_tpu.data.manifests import (
+        load_csv_manifest,
+        load_pickle_manifest,
+        save_csv_manifest,
+        save_pickle_manifest,
+    )
+    from tmrnet_tpu.data.packed import pack_manifest, split_packed_path
+
+    if args.manifest.endswith(".csv"):
+        splits = [load_csv_manifest(args.manifest)]
+    else:
+        primary, secondary = load_pickle_manifest(args.manifest)
+        splits = [primary] + ([secondary] if secondary is not None else [])
+    ids = [v.video_id for m in splits for v in m.videos]
+    if len(set(ids)) != len(ids):
+        dup = sorted({i for i in ids if ids.count(i) > 1})
+        raise SystemExit(f"video ids shared across splits {dup}: their "
+                         "packed .npy files would collide")
+    packed = [pack_manifest(m, args.out_dir, workers=args.workers or None)
+              for m in splits]
+    if args.manifest_out.endswith(".csv"):
+        if len(packed) > 1:
+            raise SystemExit("a CSV manifest holds one split; pack the "
+                             "6-list pickle to a .pkl instead")
+        save_csv_manifest(args.manifest_out, packed[0])
+    else:
+        save_pickle_manifest(args.manifest_out, packed[0],
+                             packed[1] if len(packed) > 1 else None)
+    files = sorted({split_packed_path(p)[0]
+                    for m in packed for p in m.flat_paths()})
+    print(json.dumps({
+        "videos": sum(len(m.videos) for m in packed),
+        "frames": sum(m.num_frames for m in packed),
+        "packed_files": len(files),
+        "bytes": sum(os.path.getsize(f) for f in files),
+        "manifest": args.manifest_out,
+    }))
+    return 0
+
+
 def cmd_stats(args) -> int:
     from tmrnet_tpu.data.pipeline import load_frame
     from tmrnet_tpu.data.stats import channel_stats, resize_224
@@ -1094,10 +1141,13 @@ def cmd_doctor(args) -> int:
 
     if args.manifest:
         try:
+            from tmrnet_tpu.data.packed import packed_file_of
+
             m = _load_manifest(args.manifest)
             missing = sum(
                 1 for v in m.videos
-                if v.frame_paths and not os.path.exists(v.frame_paths[0]))
+                if v.frame_paths and not os.path.exists(
+                    packed_file_of(v.frame_paths[0]) or v.frame_paths[0]))
             det = f"{len(m.videos)} videos, {m.num_frames} frames"
             if missing:
                 add("warn", "manifest",
@@ -1202,6 +1252,20 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--train-videos", type=int, default=0,
                     help="first N videos to the train split (0 = single split)")
     sp.set_defaults(fn=cmd_manifest)
+
+    sp = sub.add_parser("pack", help="frame images -> per-video raw .npy "
+                                     "(zero-decode reads)")
+    sp.add_argument("--manifest", required=True,
+                    help="source manifest (pickle or CSV; frames may be any "
+                         "image tree)")
+    sp.add_argument("--out-dir", required=True,
+                    help="directory for the <video_id>.npy packs")
+    sp.add_argument("--manifest-out", required=True,
+                    help="where to write the packed manifest (.pkl keeps "
+                         "the source's split structure; .csv for one split)")
+    sp.add_argument("--workers", type=int, default=0,
+                    help="videos packed in parallel (0 = min(8, cores))")
+    sp.set_defaults(fn=cmd_pack)
 
     sp = sub.add_parser("stats", help="channel mean/std (meanStd tool)")
     sp.add_argument("--workers", type=int, default=0,

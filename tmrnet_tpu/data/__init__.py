@@ -6,6 +6,12 @@ from tmrnet_tpu.data.indexing import (  # noqa: F401
     memory_window_rows,
     memory_window_rows_reference,
 )
+from tmrnet_tpu.data.packed import (  # noqa: F401
+    is_packed_path,
+    load_packed_frame,
+    pack_manifest,
+    pack_video,
+)
 from tmrnet_tpu.data.manifests import (  # noqa: F401
     Manifest,
     VideoRecord,

@@ -97,6 +97,9 @@ def _group_by_video(paths: List[str], labels: np.ndarray,
 
 
 def _video_id_from_path(path: str) -> str:
+    if ".npy#" in path:  # packed frame (data/packed.py): id is the file stem
+        return os.path.splitext(
+            os.path.basename(path.rpartition("#")[0]))[0]
     parent = os.path.basename(os.path.dirname(path))
     return parent or os.path.splitext(os.path.basename(path))[0]
 

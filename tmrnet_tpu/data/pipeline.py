@@ -27,7 +27,14 @@ from tmrnet_tpu.data.manifests import Manifest
 
 
 def load_frame(path: str) -> np.ndarray:
-    """Decode one image file to RGB uint8 (cv2, C++ decode path)."""
+    """Decode one image file to RGB uint8 (cv2, C++ decode path).
+    '<file>.npy#<idx>' paths read from packed videos instead (data/packed.py:
+    memmap slice, no codec) — every CLI surface loads through here, so packed
+    manifests work everywhere image trees do."""
+    if ".npy#" in path:
+        from tmrnet_tpu.data.packed import load_packed_frame
+
+        return load_packed_frame(path)
     import cv2
 
     img = cv2.imread(path, cv2.IMREAD_COLOR)
