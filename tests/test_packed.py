@@ -165,3 +165,51 @@ def test_cli_doctor_accepts_packed_manifest(tmp_path, capsys):
     lines = capsys.readouterr().out.splitlines()
     row = next(l for l in lines if "manifest" in l)
     assert "missing" not in row
+
+
+def test_prepare_pack_manifest_chain(tmp_path, capsys):
+    """prepare --pack -> manifest on the packs dir: same video ids, labels,
+    and pixel content as the PNG-tree path (mp4 decode is deterministic)."""
+    import cv2
+
+    from tmrnet_tpu.config import CHOLEC80_PHASES
+
+    vids = tmp_path / "vids"
+    vids.mkdir()
+    ann = tmp_path / "ann"
+    ann.mkdir()
+    for name in ("video01", "video02"):
+        w = cv2.VideoWriter(str(vids / f"{name}.mp4"),
+                            cv2.VideoWriter_fourcc(*"mp4v"), 25, (64, 64))
+        assert w.isOpened()
+        for i in range(80):
+            w.write(np.full((64, 64, 3), 30 + 2 * i, np.uint8))
+        w.release()
+        with open(ann / f"{name}-phase.txt", "w") as f:
+            f.write("Frame\tPhase\n")
+            for k in range(80):
+                f.write(f"{k}\t{CHOLEC80_PHASES[k % 7]}\n")
+
+    tree, packs = tmp_path / "frames", tmp_path / "packs"
+    assert main(["prepare", "--videos", str(vids), "--out", str(tree),
+                 "--size", "32"]) == 0
+    assert main(["prepare", "--videos", str(vids), "--out", str(packs),
+                 "--size", "32", "--pack"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert out[2].startswith("video01:") and out[3].startswith("video02:")
+    assert sorted(os.listdir(packs)) == ["video01.npy", "video02.npy"]
+
+    m_tree = tmp_path / "m_tree.pkl"
+    m_pack = tmp_path / "m_pack.pkl"
+    for frames, mani in ((tree, m_tree), (packs, m_pack)):
+        assert main(["manifest", "--frames", str(frames),
+                     "--annotations", str(ann), "--out", str(mani)]) == 0
+    a = load_pickle_manifest(str(m_tree))[0]
+    b = load_pickle_manifest(str(m_pack))[0]
+    assert [v.video_id for v in a.videos] == [v.video_id for v in b.videos]
+    for va, vb in zip(a.videos, b.videos):
+        assert np.array_equal(va.labels, vb.labels)
+        assert len(va.frame_paths) == len(vb.frame_paths)
+        assert all(is_packed_path(p) for p in vb.frame_paths)
+        for pa, pb in zip(va.frame_paths, vb.frame_paths):
+            assert np.array_equal(load_frame(pa), load_frame(pb))

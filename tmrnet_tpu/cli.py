@@ -268,16 +268,24 @@ def _restore_variables(cfg, head: str, ckpt_dir: Optional[str],
 def cmd_prepare(args) -> int:
     from concurrent.futures import ThreadPoolExecutor
 
-    from tmrnet_tpu.data.video import extract_frames
+    from tmrnet_tpu.data.video import extract_frames, extract_frames_packed
 
     from tmrnet_tpu.data.manifests import _natural_key
 
     videos = sorted(
         (f for f in os.listdir(args.videos)
          if f.endswith((".mp4", ".avi", ".mkv"))), key=_natural_key)
+    if args.pack:
+        os.makedirs(args.out, exist_ok=True)
 
     def one(v: str):
         name = os.path.splitext(v)[0]
+        if args.pack:
+            out = os.path.join(args.out, name + ".npy")
+            n = extract_frames_packed(os.path.join(args.videos, v), out,
+                                      stride=args.stride, size=args.size,
+                                      cut_margin=not args.no_cutmargin)
+            return name, n, out
         out = os.path.join(args.out, name)
         written = extract_frames(os.path.join(args.videos, v), out,
                                  stride=args.stride, size=args.size,
@@ -1237,6 +1245,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--stride", type=int, default=25)
     sp.add_argument("--size", type=int, default=250)
     sp.add_argument("--no-cutmargin", action="store_true")
+    sp.add_argument("--pack", action="store_true",
+                    help="write one raw uint8 <video>.npy per video instead "
+                         "of a PNG tree (zero-decode reads, data/packed.py); "
+                         "`manifest --frames` walks packs and dirs alike")
     sp.add_argument("--workers", type=int, default=0,
                     help="videos extracted in parallel (0 = one per core)")
     sp.set_defaults(fn=cmd_prepare)

@@ -246,28 +246,47 @@ def build_manifest_from_frames(
 
     Annotation txts have a header then `frame_idx <TAB> PhaseName` rows at
     source fps; the phase of kept frame k is the row at frame index k.
+
+    `data_root/<video>.npy` packs (from `prepare --pack`, data/packed.py)
+    are walked alongside frame dirs: pack frame j maps to source frame
+    sample_stride*j and emits the packed path '<video>.npy#<j>'.
     """
     name_to_id = {n: i for i, n in enumerate(phase_names)}
     videos: List[VideoRecord] = []
-    for vid in sorted(os.listdir(data_root), key=_natural_key):
-        vdir = os.path.join(data_root, vid)
-        if not os.path.isdir(vdir) or vid.startswith("."):
+    for entry in sorted(os.listdir(data_root), key=_natural_key):
+        vdir = os.path.join(data_root, entry)
+        if entry.startswith("."):
             continue
+        packed = entry.endswith(".npy") and os.path.isfile(vdir)
+        if not packed and not os.path.isdir(vdir):
+            continue
+        vid = os.path.splitext(entry)[0] if packed else entry
         ann_path = os.path.join(annotation_root, annotation_pattern.format(vid=vid))
         if not os.path.exists(ann_path):
             continue
         frame_to_phase = read_phase_annotation(ann_path, name_to_id)
         paths, labels = [], []
-        for fname in sorted(os.listdir(vdir), key=_frame_number):
-            if fname.startswith("."):
-                continue
-            num = _frame_number(fname)
-            if num < 0 or num % sample_stride != 0:
-                continue
-            if num not in frame_to_phase:
-                continue
-            paths.append(os.path.join(vdir, fname))
-            labels.append(frame_to_phase[num])
+        if packed:
+            # a `prepare --pack` video: frame j of the .npy is source frame
+            # sample_stride*j (extract_frames_packed keeps every stride-th)
+            n = int(np.load(vdir, mmap_mode="r").shape[0])
+            for j in range(n):
+                num = sample_stride * j
+                if num not in frame_to_phase:
+                    continue
+                paths.append(f"{vdir}#{j}")
+                labels.append(frame_to_phase[num])
+        else:
+            for fname in sorted(os.listdir(vdir), key=_frame_number):
+                if fname.startswith("."):
+                    continue
+                num = _frame_number(fname)
+                if num < 0 or num % sample_stride != 0:
+                    continue
+                if num not in frame_to_phase:
+                    continue
+                paths.append(os.path.join(vdir, fname))
+                labels.append(frame_to_phase[num])
         if paths:
             videos.append(VideoRecord(vid, paths, np.asarray(labels, dtype=np.int64)))
     return Manifest(videos)

@@ -103,6 +103,33 @@ def extract_frames(
     return written
 
 
+def extract_frames_packed(
+    video_path: str,
+    out_npy: str,
+    stride: int = 25,
+    size: int = 250,
+    cut_margin: bool = True,
+) -> int:
+    """Decode -> 1 fps -> cutmargin -> size² -> ONE raw uint8 .npy
+    (data/packed.py layout), skipping the reference's PNG tree and its
+    per-frame decode tax on every later read. Written to a temp file and
+    renamed, so a crash never leaves a half-written pack. Returns the
+    frame count (0 writes nothing)."""
+    frames = []
+    for frame in iter_video_frames(video_path, stride):
+        if cut_margin:
+            frame = cut_black_margin(frame)
+        frames.append(resize_square(frame, size))
+    if not frames:
+        return 0
+    arr = np.stack(frames).astype(np.uint8, copy=False)
+    tmp = out_npy + ".tmp"
+    with open(tmp, "wb") as f:
+        np.lib.format.write_array(f, arr)
+    os.replace(tmp, out_npy)
+    return len(frames)
+
+
 class VideoClipReader:
     """Read seq_len-frame clips straight from video files.
 
