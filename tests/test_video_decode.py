@@ -51,6 +51,62 @@ def test_extract_frames_writes_pngs(synthetic_video, tmp_path):
     assert img.shape == (32, 32, 3)
 
 
+def test_extract_frames_packed_streams_to_npy(synthetic_video, tmp_path):
+    """The streamed pack (fixed-size header rewritten in place) must load
+    as a normal .npy holding exactly the frames extract_frames writes."""
+    from tmrnet_tpu.data.video import extract_frames_packed
+
+    out = str(tmp_path / "video01.npy")
+    n = extract_frames_packed(synthetic_video, out, stride=25, size=32,
+                              cut_margin=False)
+    assert n == 3
+    arr = np.load(out)
+    assert arr.shape == (3, 32, 32, 3) and arr.dtype == np.uint8
+    # PNG is lossless: the pack must byte-match the PNG-tree frames
+    pngs = extract_frames(synthetic_video, str(tmp_path / "frames"),
+                          stride=25, size=32, cut_margin=False)
+    for k, p in enumerate(pngs):
+        ref = cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
+        assert np.array_equal(arr[k], ref)
+    assert not os.path.exists(out + ".tmp")  # placeholder cleaned up
+
+
+def test_extract_frames_packed_empty_video_writes_nothing(tmp_path):
+    from tmrnet_tpu.data.video import extract_frames_packed
+
+    # zero-byte file: decode yields no frames (cv2 open fails -> IOError;
+    # either zero-frame return or raise must leave no .npy/.tmp behind)
+    bad = str(tmp_path / "empty.mp4")
+    open(bad, "wb").close()
+    out = str(tmp_path / "empty.npy")
+    try:
+        n = extract_frames_packed(bad, out, stride=25, size=32)
+        assert n == 0
+    except Exception:
+        pass
+    assert not os.path.exists(out)
+    assert not os.path.exists(out + ".tmp")
+
+
+def test_npy_uint8_header_matches_numpy_loader():
+    """The hand-built fixed-size header must parse identically to numpy's
+    own writer for representative shapes (incl. wide leading dims)."""
+    import io
+
+    from tmrnet_tpu.data.video import _NPY_HEADER_BYTES, _npy_uint8_header
+
+    rng = np.random.RandomState(0)
+    for shape in [(1, 8, 8, 3), (123, 250, 250, 3), (999999, 2, 2, 3)]:
+        hdr = _npy_uint8_header(shape)
+        assert len(hdr) == _NPY_HEADER_BYTES
+        small = (min(shape[0], 4),) + shape[1:]
+        data = rng.randint(0, 255, small, dtype=np.uint8)
+        buf = io.BytesIO(_npy_uint8_header(small) + data.tobytes())
+        out = np.load(buf)
+        assert out.shape == small and out.dtype == np.uint8
+        assert np.array_equal(out, data)
+
+
 def test_video_clip_reader_real_decode(synthetic_video):
     reader = VideoClipReader([synthetic_video], num_frames=[3], seq_len=2,
                              stride=25, error_policy="raise")

@@ -114,20 +114,70 @@ def extract_frames_packed(
     (data/packed.py layout), skipping the reference's PNG tree and its
     per-frame decode tax on every later read. Written to a temp file and
     renamed, so a crash never leaves a half-written pack. Returns the
-    frame count (0 writes nothing)."""
-    frames = []
-    for frame in iter_video_frames(video_path, stride):
-        if cut_margin:
-            frame = cut_black_margin(frame)
-        frames.append(resize_square(frame, size))
-    if not frames:
-        return 0
-    arr = np.stack(frames).astype(np.uint8, copy=False)
+    frame count (0 writes nothing).
+
+    Frames stream straight to disk (peak host memory = one frame): the
+    frame count isn't known until decode ends, so a fixed-size npy header
+    placeholder is written first and rewritten with the real shape at the
+    end. A long Cholec80 video is ~1 GB raw — buffering it per worker
+    would put `prepare --pack --workers` (default one per core) at tens
+    of GB on a many-core host."""
+    n = 0
     tmp = out_npy + ".tmp"
-    with open(tmp, "wb") as f:
-        np.lib.format.write_array(f, arr)
-    os.replace(tmp, out_npy)
-    return len(frames)
+    try:
+        with open(tmp, "wb") as f:
+            f.write(b"\x00" * _NPY_HEADER_BYTES)  # placeholder, fixed size
+            for frame in iter_video_frames(video_path, stride):
+                if cut_margin:
+                    frame = cut_black_margin(frame)
+                frame = np.ascontiguousarray(
+                    resize_square(frame, size).astype(np.uint8, copy=False))
+                if n == 0:
+                    first_shape = frame.shape
+                f.write(frame.tobytes())
+                n += 1
+            if n == 0:
+                raise _EmptyVideo
+            f.seek(0)
+            f.write(_npy_uint8_header((n,) + first_shape))
+        os.replace(tmp, out_npy)
+    except _EmptyVideo:
+        _remove_quiet(tmp)
+        return 0
+    except BaseException:
+        _remove_quiet(tmp)
+        raise
+    return n
+
+
+def _remove_quiet(path: str) -> None:
+    try:
+        os.remove(path)
+    except OSError:
+        pass
+
+
+class _EmptyVideo(Exception):
+    """Internal: decode produced zero frames (write nothing, return 0)."""
+
+
+_NPY_HEADER_BYTES = 128  # 64-byte aligned; fits any (n,h,w,c) uint8 shape
+
+
+def _npy_uint8_header(shape: Tuple[int, ...]) -> bytes:
+    """A v1.0 .npy header for a C-order uint8 array, padded to exactly
+    _NPY_HEADER_BYTES so it can be rewritten in place once the leading
+    dimension is known (numpy's own writer pads to a shape-dependent
+    size). Format per numpy.lib.format: magic, version, little-endian
+    header length, then the dict literal space-padded to end in \\n."""
+    head = ("{'descr': '|u1', 'fortran_order': False, "
+            f"'shape': {tuple(int(d) for d in shape)!r}, }}").encode("latin1")
+    pad = _NPY_HEADER_BYTES - 10 - len(head)  # magic(6)+version(2)+len(2)
+    if pad < 1:
+        raise ValueError(f"shape {shape} overflows the fixed npy header")
+    head += b" " * (pad - 1) + b"\n"
+    return (b"\x93NUMPY\x01\x00"
+            + len(head).to_bytes(2, "little") + head)
 
 
 class VideoClipReader:
