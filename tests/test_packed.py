@@ -167,6 +167,27 @@ def test_cli_doctor_accepts_packed_manifest(tmp_path, capsys):
     assert "missing" not in row
 
 
+def test_cli_doctor_flags_out_of_range_packed_index(tmp_path, capsys):
+    """A manifest referencing frames past a pack's real length (pack and
+    manifest out of sync) must FAIL doctor, not blow up mid-epoch."""
+    frames_dir, ann_dir = _write_frames_tree(tmp_path, n_videos=1, seconds=3)
+    src, out = tmp_path / "src.pkl", tmp_path / "packed.pkl"
+    assert main(["manifest", "--frames", str(frames_dir),
+                 "--annotations", str(ann_dir), "--out", str(src)]) == 0
+    assert main(["pack", "--manifest", str(src),
+                 "--out-dir", str(tmp_path / "packs"),
+                 "--manifest-out", str(out)]) == 0
+    # truncate the pack: drop its last frame, keeping the manifest
+    pack = next(str(p) for p in (tmp_path / "packs").iterdir())
+    arr = np.load(pack)
+    np.save(pack, arr[:-1])
+    capsys.readouterr()
+    assert main(["doctor", "--manifest", str(out)]) == 1
+    lines = capsys.readouterr().out.splitlines()
+    row = next(l for l in lines if "manifest" in l)
+    assert "FAIL" in row and "out of range" in row
+
+
 def test_prepare_pack_manifest_chain(tmp_path, capsys):
     """prepare --pack -> manifest on the packs dir: same video ids, labels,
     and pixel content as the PNG-tree path (mp4 decode is deterministic)."""

@@ -1152,12 +1152,43 @@ def cmd_doctor(args) -> int:
             from tmrnet_tpu.data.packed import packed_file_of
 
             m = _load_manifest(args.manifest)
+            vids = list(m.videos)
+            if not args.manifest.endswith(".csv"):
+                # a 6-list pickle carries train AND val: validate both
+                from tmrnet_tpu.data.manifests import load_pickle_manifest
+
+                val = load_pickle_manifest(args.manifest)[1]
+                if val is not None:
+                    vids += list(val.videos)
             missing = sum(
-                1 for v in m.videos
+                1 for v in vids
                 if v.frame_paths and not os.path.exists(
                     packed_file_of(v.frame_paths[0]) or v.frame_paths[0]))
-            det = f"{len(m.videos)} videos, {m.num_frames} frames"
-            if missing:
+            det = (f"{len(vids)} videos, "
+                   f"{sum(len(v.frame_paths) for v in vids)} frames")
+            # packed manifests: validate every referenced index against the
+            # pack's real length (a header-only mmap read per file) — an
+            # out-of-range index would otherwise fail mid-epoch
+            bad_packs = []
+            for v in vids:
+                packs = {}
+                for p in v.frame_paths:
+                    f = packed_file_of(p)
+                    if f and os.path.exists(f):
+                        packs.setdefault(f, []).append(
+                            int(p.rpartition("#")[2]))
+                for f, idxs in packs.items():
+                    n = int(np.load(f, mmap_mode="r").shape[0])
+                    if max(idxs) >= n:
+                        bad_packs.append(
+                            f"{v.video_id} ({os.path.basename(f)}: frame "
+                            f"{max(idxs)} >= {n})")
+            if bad_packs:
+                add("FAIL", "manifest",
+                    f"{det}; packed index out of range for "
+                    f"{len(bad_packs)} video(s): {bad_packs[:3]} — the "
+                    "manifest and packs are out of sync (re-run pack)")
+            elif missing:
                 add("warn", "manifest",
                     f"{det}; first frame missing on disk for {missing} "
                     f"video(s) — paths may be relative to another root")
