@@ -429,6 +429,54 @@ def test_serve_loop_stale_saturation_survives_rejoin_churn():
     assert elapsed < 4.0  # never waited on any 5 s sleep
 
 
+def test_serve_loop_end_orphaned_decode_counts_as_stale():
+    """Ending a stream while its decode is still RUNNING (no tick in
+    between) must move the orphaned future into the stale accounting:
+    otherwise end/rejoin churn occupies every worker with hung decodes the
+    saturation cap never sees, and healthy streams starve behind them."""
+    import threading
+    import time as _time
+
+    cfg = _cfg()
+    variables, extractor = _variables(cfg, key=3)
+    engine = StreamingInference(cfg, variables, extractor)
+
+    started = {k: threading.Event() for k in ("hang1", "hang2")}
+    release = threading.Event()
+
+    def load(key):
+        if key in started:
+            started[key].set()
+            release.wait(10.0)
+        return np.zeros((HW, HW, 3), np.float32)
+
+    def lines():
+        yield json.dumps({"id": "x1", "image": "hang1"}) + "\n"
+        assert started["hang1"].wait(5.0)  # decode running on a worker
+        yield json.dumps({"id": "x1", "end": True}) + "\n"
+        yield json.dumps({"id": "x2", "image": "hang2"}) + "\n"
+        assert started["hang2"].wait(5.0)
+        yield json.dumps({"id": "x2", "end": True}) + "\n"
+        yield json.dumps({"id": "x3", "image": "ok"}) + "\n"
+        yield json.dumps({"step": True}) + "\n"
+
+    out = io.StringIO()
+    t0 = _time.perf_counter()
+    try:
+        serve_loop(engine, 2, lines(), out, load,
+                   decode_workers=2, decode_timeout=0.5)
+    finally:
+        release.set()
+    elapsed = _time.perf_counter() - t0
+    rows = [json.loads(l) for l in out.getvalue().splitlines()]
+    errs = [r["error"] for r in rows if "error" in r]
+    # x3's frame is refused at SUBMIT time — both workers are occupied by
+    # decodes orphaned by the end lines — not silently queued behind them
+    # to die as a per-tick timeout
+    assert len(errs) == 1 and "pool saturated" in errs[0]
+    assert elapsed < 5.0  # never waited on an orphaned decode
+
+
 def test_serve_loop_idle_eviction():
     """idle_ticks=2: a stream that stops sending frames is evicted after
     missing 2 consecutive ticks (one evicted-row emitted, slot freed for a

@@ -237,7 +237,15 @@ def serve_loop(engine, num_slots: int, in_f: IO[str], out_f: IO[str],
             return False
         frame_idx.pop(sid, None)
         tick.pop(slot, None)
-        inflight.pop(sid, None)
+        fut = inflight.pop(sid, None)
+        if fut is not None and fut not in stale \
+                and not fut.cancel() and not fut.done():
+            # an end (or disconnect) with the decode still running orphans
+            # a worker thread that can't be cancelled — track it against
+            # the stale cap, or end/rejoin churn could occupy every worker
+            # with hung decodes the saturation check never sees (a decode
+            # that already TIMED OUT at a tick is in stale already)
+            stale.append(fut)
         free.append(slot)
         return True
 
