@@ -195,3 +195,73 @@ def test_strided_bottleneck_matches_official_ordering():
                    jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
     np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
                                atol=2e-4, rtol=1e-3)
+
+
+def test_strided_bottleneck_gradient_parity():
+    """Backward parity for the official-ordering strided block: train-mode
+    BN (batch-stats normalization), SplAt rSoftMax, avd pool and avg_down
+    shortcut must all backprop identically to torch — pinned by comparing
+    every parameter gradient under a shared random output cotangent."""
+    from tmrnet_tpu.models.resnest import ResNeStBottleneck
+    from tmrnet_tpu.models.torch_import import _np, bn_params, conv2d_kernel
+
+    in_ch, planes = 32, 16
+    tm = TorchResNeStBlock(in_ch, planes, stride=2).train()
+    rng = np.random.RandomState(4)
+    x = rng.randn(2, in_ch, 8, 8).astype(np.float32)
+
+    def map_tree(sd):
+        """torch state-dict-like tensor dict -> flax param tree, via the
+        exact linear mapping of the forward test (valid for grads too)."""
+        p = {"conv1": {"kernel": conv2d_kernel(sd["conv1.weight"])},
+             "conv3": {"kernel": conv2d_kernel(sd["conv3.weight"])},
+             "downsample_conv":
+                 {"kernel": conv2d_kernel(sd["downsample.1.weight"])}}
+        for dst, src in (("bn1", "bn1"), ("bn3", "bn3"),
+                         ("downsample_bn", "downsample.2")):
+            p[dst] = {"scale": _np(sd[f"{src}.weight"]),
+                      "bias": _np(sd[f"{src}.bias"])}
+        p["splat"] = {
+            "conv": {"kernel": conv2d_kernel(sd["conv2.conv.weight"])},
+            "fc1": {"kernel": _np(sd["conv2.fc1.weight"])[..., 0, 0].T,
+                    "bias": _np(sd["conv2.fc1.bias"])},
+            "fc2": {"kernel": _np(sd["conv2.fc2.weight"])[..., 0, 0].T,
+                    "bias": _np(sd["conv2.fc2.bias"])}}
+        for dst, src in (("bn0", "conv2.bn0"), ("bn1", "conv2.bn1")):
+            p["splat"][dst] = {"scale": _np(sd[f"{src}.weight"]),
+                               "bias": _np(sd[f"{src}.bias"])}
+        return p
+
+    sd = {k: v for k, v in tm.state_dict().items()}
+    params = map_tree(sd)
+    stats = {}
+    _, stats["bn1"] = bn_params(sd, "bn1")
+    _, stats["bn3"] = bn_params(sd, "bn3")
+    _, stats["downsample_bn"] = bn_params(sd, "downsample.2")
+    stats["splat"] = {}
+    _, stats["splat"]["bn0"] = bn_params(sd, "conv2.bn0")
+    _, stats["splat"]["bn1"] = bn_params(sd, "conv2.bn1")
+
+    out_t = tm(torch.from_numpy(x))
+    cot = rng.randn(*out_t.shape).astype(np.float32)
+    (out_t * torch.from_numpy(cot)).sum().backward()
+    gsd = {k: p.grad for k, p in tm.named_parameters()}
+    want = map_tree(gsd)
+
+    jm = ResNeStBottleneck(planes=planes, strides=2)
+    jx = jnp.asarray(x.transpose(0, 2, 3, 1))
+    jcot = jnp.asarray(cot.transpose(0, 2, 3, 1))
+
+    def loss(p):
+        out, _ = jm.apply({"params": p, "batch_stats": stats}, jx,
+                          train=True, mutable=["batch_stats"])
+        return (out * jcot).sum()
+
+    got = jax.grad(loss)(params)
+    for path, g in jax.tree_util.tree_leaves_with_path(want):
+        w = got
+        for k in path:
+            w = w[k.key]
+        np.testing.assert_allclose(
+            np.asarray(w), np.asarray(g), rtol=2e-3, atol=3e-3,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
