@@ -597,3 +597,24 @@ def test_cli_ref_pickle_roundtrip(tmp_path, tiny_cfg_json, capsys):
     with open(torch_pkl, "wb") as f:
         pickle.dump([torch.tensor(int(x)) for x in npz["preds"]], f)
     assert run_export(torch_pkl, "tpkl") == run_export(preds_path, "npz")
+
+
+def test_cli_train_preempted_empty_history_exits_clean(
+        tmp_path, tiny_cfg_json, capsys, monkeypatch):
+    """A preemption before the first completed epoch returns an empty
+    history; the CLI must exit 0 with a resume hint, not crash on
+    max() of an empty sequence (found by the SIGTERM e2e drive)."""
+    import tmrnet_tpu.train.loop as loop_mod
+
+    frames_dir, ann_dir = _write_frames_tree(tmp_path, n_videos=2, seconds=8)
+    manifest = tmp_path / "tv.pkl"
+    main(["manifest", "--frames", str(frames_dir), "--annotations",
+          str(ann_dir), "--out", str(manifest), "--train-videos", "1"])
+    capsys.readouterr()
+
+    monkeypatch.setattr(loop_mod, "train_stage1",
+                        lambda *a, **k: (None, []))
+    rc = main(["train-bank", "--config", tiny_cfg_json,
+               "--train-manifest", str(manifest)])
+    assert rc == 0
+    assert "preempted" in capsys.readouterr().out

@@ -278,3 +278,88 @@ def test_training_bitwise_reproducible(tmp_path):
 
     a, b = run("a"), run("b")
     assert a == b, f"non-deterministic training: {a} vs {b}"
+
+
+def test_preemption_checkpoints_and_resumes(tmp_path):
+    """SIGTERM mid-epoch (train.preempt_save, on by default): the loop
+    finishes the in-flight step, saves a checkpoint marked for epoch
+    replay, and unwinds cleanly; a resumed run replays the interrupted
+    epoch and finishes training. The handlers restore on exit."""
+    import signal
+
+    from tmrnet_tpu.utils.checkpoint import CheckpointManager
+    from tmrnet_tpu.utils.logging import MetricLogger
+
+    manifest, store = _synthetic()
+    loader = array_frame_loader(store)
+    train_ds = ClipDataset(manifest, SEQ, frame_loader=loader)
+
+    before = {s: signal.getsignal(s)
+              for s in (signal.SIGTERM, signal.SIGINT)}
+
+    class Interrupter(MetricLogger):
+        """Raises SIGTERM from the first train/ log — i.e. mid-epoch,
+        from the main thread, exactly like a preemption notice."""
+
+        fired = False
+
+        def log(self, step, metrics, prefix=""):
+            super().log(step, metrics, prefix)
+            if prefix == "train/" and not Interrupter.fired:
+                Interrupter.fired = True
+                signal.raise_signal(signal.SIGTERM)
+
+    cfg = _cfg(tmp_path, "stage1", epochs=3)
+    cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, log_every=1))
+    _, hist = train_stage1(cfg, train_ds, None,
+                           log=Interrupter(quiet=True))
+    assert hist == []  # epoch 0 never completed
+    assert Interrupter.fired
+
+    ckpt = CheckpointManager(cfg.train.checkpoint_dir)
+    step = ckpt.latest_step()
+    assert step is not None and step >= 1  # at least one applied step
+    meta = ckpt.metadata(step)["metrics"]
+    assert meta.get("preempted") is True
+    assert meta["epoch"] == -1  # no completed epoch -> replay epoch 0
+
+    # handlers restored after _fit
+    after = {s: signal.getsignal(s)
+             for s in (signal.SIGTERM, signal.SIGINT)}
+    assert after == before
+
+    # resume: replays epoch 0 from the preempted weights, runs to the end
+    _, hist2 = train_stage1(cfg, train_ds, None)
+    assert [h.epoch for h in hist2] == [0, 1, 2]
+
+
+def test_preempt_save_off_leaves_signals_alone(tmp_path):
+    import signal
+
+    manifest, store = _synthetic()
+    loader = array_frame_loader(store)
+    train_ds = ClipDataset(manifest, SEQ, frame_loader=loader)
+
+    seen = []
+    prev = signal.signal(signal.SIGTERM, lambda *a: seen.append(a))
+    try:
+        from tmrnet_tpu.utils.logging import MetricLogger
+
+        class Raiser(MetricLogger):
+            fired = False
+
+            def log(self, step, metrics, prefix=""):
+                super().log(step, metrics, prefix)
+                if prefix == "train/" and not Raiser.fired:
+                    Raiser.fired = True
+                    signal.raise_signal(signal.SIGTERM)
+
+        cfg = _cfg(tmp_path, "stage1", epochs=1)
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, log_every=1, preempt_save=False))
+        _, hist = train_stage1(cfg, train_ds, None, log=Raiser(quiet=True))
+        # the pre-existing handler received the signal; training ran on
+        assert seen and len(hist) == 1
+    finally:
+        signal.signal(signal.SIGTERM, prev)

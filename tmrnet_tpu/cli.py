@@ -438,6 +438,12 @@ def cmd_train_bank(args) -> int:
     state, hist = train_stage1(cfg, train_ds, val_ds,
                                init_variables=init, mesh=_mesh_for(cfg),
                                log=log)
+    if not hist:
+        # preempted (SIGTERM/^C) before the first epoch completed: the
+        # replay checkpoint is saved; resume by re-running the command
+        print("preempted before any completed epoch; checkpoint saved — "
+              "re-run to resume")
+        return 0
     best = max(hist, key=lambda h: h.val_acc)
     print(f"best epoch {best.epoch}: val_acc={best.val_acc:.4f}")
     return 0
@@ -516,6 +522,12 @@ def cmd_train_tmr(args) -> int:
         cfg, train_ds, bank,
         _dataset(cfg, val_m, False) if val_m else None, val_bank,
         init_variables=init, mesh=_mesh_for(cfg), log=log)
+    if not hist:
+        # preempted (SIGTERM/^C) before the first epoch completed: the
+        # replay checkpoint is saved; resume by re-running the command
+        print("preempted before any completed epoch; checkpoint saved — "
+              "re-run to resume")
+        return 0
     best = max(hist, key=lambda h: h.val_acc)
     print(f"best epoch {best.epoch}: val_acc={best.val_acc:.4f}")
     return 0

@@ -168,6 +168,13 @@ class TrainConfig:
     checkpoint_dir: str = "./checkpoints"
     keep_checkpoints: int = 3
     resume: bool = True  # resume from latest checkpoint if present
+    # Preemption-safe training: catch SIGTERM/SIGINT (the TPU-pod preemption
+    # and operator-^C signals), finish the in-flight step, save a checkpoint
+    # marked for epoch replay, and exit cleanly — `resume` then replays the
+    # interrupted epoch from the preempted weights instead of losing all
+    # work since the last epoch boundary. A second signal force-interrupts.
+    # Handlers only install on the main thread; False = raw signals.
+    preempt_save: bool = True
     remat: bool = False  # jax.checkpoint the backbone to trade FLOPs for HBM
     donate_state: bool = True
     # Accumulate gradients over k micro-batches before each optimizer step

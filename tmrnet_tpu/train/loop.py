@@ -120,8 +120,10 @@ def _run_epoch_train(train_step, state, loader, epoch, rng,
                      memory_fn: Optional[Callable] = None, mesh=None,
                      log: Optional[MetricLogger] = None, log_every: int = 50,
                      minibatch_val: Optional[Callable] = None,
-                     minibatch_val_every: int = 0, log_images_every: int = 0):
+                     minibatch_val_every: int = 0, log_images_every: int = 0,
+                     stop: Optional[dict] = None):
     acc = None  # device-resident (loss_sum, correct, count)
+    interrupted = False
     prev_loss, prev_count = 0.0, 0   # last log snapshot (host floats)
     timer = Timer()
     for i, (clips, labels, rows, pad) in enumerate(loader.epoch(epoch)):
@@ -161,10 +163,16 @@ def _run_epoch_train(train_step, state, loader, epoch, rng,
             vm = minibatch_val(state)
             if log is not None:
                 log.log(int(state.step), vm, prefix="val_minibatch/")
+        if stop is not None and stop.get("stop"):
+            # preemption signal: the step that was in flight has been
+            # applied; leave at this step boundary so the caller can
+            # checkpoint a consistent state (config train.preempt_save)
+            interrupted = True
+            break
     if acc is None:
-        return state, 0.0, 0.0
+        return state, 0.0, 0.0, interrupted
     count = max(int(acc[2]), 1)
-    return state, float(acc[0]) / count, int(acc[1]) / count
+    return state, float(acc[0]) / count, int(acc[1]) / count, interrupted
 
 
 def _run_epoch_eval(eval_step, state, loader,
@@ -301,12 +309,70 @@ def _fit(cfg: ExperimentConfig, model, train_ds: ClipDataset,
             return {"loss": float(np.asarray(m["losses"])[:b].sum()) / max(b, 1),
                     "acc": float((preds == vb_labels[:b]).mean())}
 
+    # Preemption-safe exit (train.preempt_save): SIGTERM/SIGINT set a flag
+    # the step loop checks at each step boundary; the interrupted epoch is
+    # checkpointed marked for replay and the loop unwinds cleanly. A second
+    # signal forces the default behavior (hard interrupt — e.g. to break
+    # out of a hung compile). Handlers restore on exit; registration is
+    # main-thread-only (ValueError elsewhere -> raw signals, as before).
+    stop = {"stop": False}
+    restore_sigs = []
+    if t.preempt_save:
+        import signal
+
+        def _on_preempt(signum, frame):
+            if stop["stop"]:   # second signal: stop deferring
+                raise KeyboardInterrupt
+            stop["stop"] = True
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                restore_sigs.append((sig, signal.signal(sig, _on_preempt)))
+            except ValueError:
+                pass
+    try:
+        return _epoch_loop(
+            cfg, state, stop, start_epoch, train_step, eval_step,
+            train_loader, val_loader, rng, memory_fn, val_memory_fn, mesh,
+            log, minibatch_val, schedule, tracker, ckpt, history)
+    finally:
+        if restore_sigs:
+            import signal
+
+            for sig, prev in restore_sigs:
+                signal.signal(sig, prev)
+
+
+def _epoch_loop(cfg, state, stop, start_epoch, train_step, eval_step,
+                train_loader, val_loader, rng, memory_fn, val_memory_fn,
+                mesh, log, minibatch_val, schedule, tracker,
+                ckpt: CheckpointManager, history: List[EpochStats]):
+    """The epoch loop of _fit (split out so the signal-handler install/
+    restore brackets exactly the region that honors the stop flag).
+    Mutates and returns `history`; `state` threads through and the caller
+    returns the final value via the closure below."""
+    t = cfg.train
     for epoch in range(start_epoch, t.epochs):
         t0 = time.time()
-        state, tr_loss, tr_acc = _run_epoch_train(
+        state, tr_loss, tr_acc, interrupted = _run_epoch_train(
             train_step, state, train_loader, epoch, rng, memory_fn,
             mesh, log, t.log_every, minibatch_val, t.val_minibatch_every,
-            t.log_images_every)
+            t.log_images_every, stop)
+        if interrupted:
+            # checkpoint the preempted weights marked for EPOCH REPLAY
+            # (metrics.epoch = last completed epoch): resume restarts this
+            # epoch from the partially-trained params instead of losing
+            # everything since the last epoch boundary. No best tracking —
+            # there is no val pass for an interrupted epoch.
+            metrics = {"epoch": epoch - 1, "preempted": True}
+            if hasattr(schedule, "scale"):
+                metrics.update(sched_best=schedule.best,
+                               sched_bad_epochs=schedule.bad_epochs,
+                               sched_scale=schedule.scale)
+            ckpt.save(state, step=int(state.step), metrics=metrics)
+            if log is not None:
+                log.log(epoch, {"preempted": 1.0}, prefix="epoch/")
+            break
         if val_loader is not None:
             va_loss, va_acc, va_preds, va_labels, _ = _run_epoch_eval(
                 eval_step, state, val_loader, val_memory_fn, mesh)
@@ -344,6 +410,13 @@ def _fit(cfg: ExperimentConfig, model, train_ds: ClipDataset,
                            sched_scale=schedule.scale)
         ckpt.save(state, step=int(state.step), metrics=metrics,
                   is_best=is_best)
+        if stop.get("stop"):
+            # the signal landed during the val pass / bookkeeping: this
+            # epoch completed and is checkpointed — exit at the boundary
+            # (resume continues with the next epoch, no replay needed)
+            if log is not None:
+                log.log(epoch, {"preempted": 1.0}, prefix="epoch/")
+            break
         if (t.early_stop_patience
                 and epoch - tracker.best_epoch >= t.early_stop_patience):
             # the best checkpoint is already saved; the remaining epochs
