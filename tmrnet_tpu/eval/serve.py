@@ -189,8 +189,15 @@ def serve_loop(engine, num_slots: int, in_f: IO[str], out_f: IO[str],
     tick: dict = {}         # slot -> (stream id, frame array or Future)
     blank: Optional[np.ndarray] = None
     emitted = 0
-    lat_ms: list = []       # per-tick decode-wait+step+fetch latency
-    step_ms: list = []      # model step+fetch only
+    # Rolling latency windows, bounded so a weeks-long daemon doesn't grow
+    # one float per tick forever; the first tick (which carries the compile
+    # when warmup is off) is held separately and excluded from the steady
+    # percentiles, exactly as before.
+    from collections import deque
+
+    lat_ms: deque = deque(maxlen=8192)   # decode-wait+step+fetch per tick
+    step_ms: deque = deque(maxlen=8192)  # model step+fetch only
+    first_tick_ms: list = []             # [latency, step] of tick 1 only
     pool = None
     inflight: dict = {}     # stream id -> last submitted decode Future
     stale: list = []        # timed-out decodes still occupying workers
@@ -302,8 +309,11 @@ def serve_loop(engine, num_slots: int, in_f: IO[str], out_f: IO[str],
         preds, valid = np.asarray(preds), np.asarray(valid)
         p = np.asarray(probs) if emit_probs else None
         now = time.perf_counter()
-        step_ms.append((now - t1) * 1e3)
-        lat_ms.append((now - t0) * 1e3)
+        if not first_tick_ms:
+            first_tick_ms[:] = [(now - t0) * 1e3, (now - t1) * 1e3]
+        else:
+            lat_ms.append((now - t0) * 1e3)
+            step_ms.append((now - t1) * 1e3)
         ticks += 1
         for slot in sorted(tick, key=lambda s: tick[s][0]):
             sid = tick[slot][0]
@@ -329,7 +339,8 @@ def serve_loop(engine, num_slots: int, in_f: IO[str], out_f: IO[str],
         if stats_every > 0 and ticks % stats_every == 0:
             import sys as _sys
 
-            window = lat_ms[-stats_every:]
+            window = (list(lat_ms)[-stats_every:]
+                      or first_tick_ms[:1])  # tick 1 lives outside the deque
             line = {"tick": ticks, "rows": emitted,
                     "live_streams": len(slot_of), "evicted": evicted,
                     "lat_ms_p50": round(float(np.percentile(window, 50)), 2),
@@ -493,13 +504,13 @@ def serve_loop(engine, num_slots: int, in_f: IO[str], out_f: IO[str],
                "live_streams": len(slot_of), "slots": num_slots,
                "evicted": evicted,
                "resumed_at_tick": int(meta["ticks"]) if restored else 0}
-    if lat_ms:  # first tick excluded: it can carry the compile
-        steady = lat_ms[1:] or lat_ms
+    if first_tick_ms:  # first tick excluded: it can carry the compile
+        steady = list(lat_ms) or first_tick_ms[:1]
         summary["latency_ms"] = {   # includes decode wait
             "p50": round(float(np.percentile(steady, 50)), 2),
             "p95": round(float(np.percentile(steady, 95)), 2),
-            "first": round(lat_ms[0], 2)}
-        steady_s = step_ms[1:] or step_ms
+            "first": round(first_tick_ms[0], 2)}
+        steady_s = list(step_ms) or first_tick_ms[1:]
         summary["step_ms"] = {      # model step+fetch only
             "p50": round(float(np.percentile(steady_s, 50)), 2),
             "p95": round(float(np.percentile(steady_s, 95)), 2)}

@@ -349,8 +349,7 @@ def _epoch_loop(cfg, state, stop, start_epoch, train_step, eval_step,
                 ckpt: CheckpointManager, history: List[EpochStats]):
     """The epoch loop of _fit (split out so the signal-handler install/
     restore brackets exactly the region that honors the stop flag).
-    Mutates and returns `history`; `state` threads through and the caller
-    returns the final value via the closure below."""
+    Returns (final state, history)."""
     t = cfg.train
     for epoch in range(start_epoch, t.epochs):
         t0 = time.time()
