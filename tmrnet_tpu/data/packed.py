@@ -89,9 +89,14 @@ def pack_video(video, out_dir: str,
         raise ValueError(f"{video.video_id}: packed frames must be uint8, "
                          f"decoder returned {first.dtype}")
     n = len(video.frame_paths)
+    # Stage to .tmp and rename: open_memmap writes the full-size header
+    # up front, so a hard kill mid-pack would otherwise leave a VALID-
+    # looking .npy whose tail frames are silently zero (the exception
+    # handler below only covers in-process failures).
+    tmp = out + ".tmp"  # no .npy suffix: pack-dir walkers must skip it
     try:
         mm = np.lib.format.open_memmap(
-            out, mode="w+", dtype=np.uint8, shape=(n,) + first.shape)
+            tmp, mode="w+", dtype=np.uint8, shape=(n,) + first.shape)
         mm[0] = first
         for j in range(1, n):
             frame = np.asarray(loader(video.frame_paths[j]))
@@ -103,9 +108,10 @@ def pack_video(video, out_dir: str,
             mm[j] = frame
         mm.flush()
         del mm
+        os.replace(tmp, out)
     except BaseException:
         try:
-            os.remove(out)  # never leave a half-written pack behind
+            os.remove(tmp)  # never leave a half-written pack behind
         except OSError:
             pass
         raise
