@@ -14,6 +14,9 @@ drivers (SURVEY.md section 5, config notes):
   export     predictions -> video<N>-phase.txt trees (export_phase_copy.py)
   evaluate   relaxed-boundary protocol scoring (MATLAB Main.m, in Python)
   export-ckpt checkpoint -> reference-format torch .pth (migration out)
+  export-model inference step -> portable StableHLO artifact (jax.export)
+  pack       image-tree manifest -> raw per-video .npy packs (zero-decode)
+  migrate    reference command line -> equivalent tmrnet-tpu command(s)
   doctor     environment + artifact diagnostics (no reference equivalent)
 
 Config: --preset <name> selects a BASELINE config; --config <json> loads a
@@ -1070,6 +1073,31 @@ def cmd_export_ckpt(args) -> int:
     return 0
 
 
+def cmd_export_model(args) -> int:
+    """Serialize the jitted inference step to a portable StableHLO
+    artifact (jax.export) with the weights baked in: a deployment host
+    runs the model with plain JAX — no model code, no checkpoint load,
+    no matching framework version (eval/saved.py). The reference
+    re-instantiates the torch model from source and loads a .pth per run
+    (`test_..._2fc_copy.py:371-379`); this is the TorchScript/ONNX-style
+    export it never had."""
+    from tmrnet_tpu.eval.saved import export_inference, save_artifact
+
+    cfg = load_config(args)
+    head = cfg.model.head
+    _, variables = _restore_variables(cfg, head, args.ckpt, args.torch_ckpt,
+                                      cfg.data.crop_size)
+    batch = args.batch or cfg.eval.batch_clips
+    platforms = tuple(p.strip() for p in args.platforms.split(",")
+                      if p.strip())
+    blob, meta = export_inference(cfg, variables, batch, platforms)
+    save_artifact(args.out, blob, meta)
+    print(json.dumps({"out": args.out, "bytes": len(blob), "head": head,
+                      "batch": batch, "platforms": list(platforms),
+                      "inputs": meta["inputs"]}))
+    return 0
+
+
 def cmd_migrate(args) -> int:
     """Translate a reference command line into the equivalent tmrnet-tpu
     command(s) — docs/MIGRATION.md's flag mapping as a tool (migrate.py)."""
@@ -1538,6 +1566,25 @@ def build_parser() -> argparse.ArgumentParser:
                     help="orbax checkpoint dir (best/ preferred)")
     sp.add_argument("--out", required=True, help="output .pth path")
     sp.set_defaults(fn=cmd_export_ckpt)
+
+    sp = sub.add_parser("export-model",
+                        help="serialize the jitted inference step to a "
+                             "portable StableHLO artifact (weights baked "
+                             "in; runs anywhere with plain JAX)")
+    _add_config_args(sp)
+    sp.add_argument("--ckpt", help="orbax checkpoint dir (best/ preferred)")
+    sp.add_argument("--torch-ckpt", help="reference .pth to convert + export")
+    sp.add_argument("--out", required=True,
+                    help="artifact path (sidecar <out>.json carries the "
+                         "calling convention)")
+    sp.add_argument("--batch", type=int, default=0,
+                    help="exported batch size (fixed shape; default "
+                         "eval.batch_clips). Export one artifact per "
+                         "deployed batch size")
+    sp.add_argument("--platforms", default="cpu,tpu",
+                    help="comma-separated lowering targets (default "
+                         "cpu,tpu)")
+    sp.set_defaults(fn=cmd_export_model)
 
     sp = sub.add_parser("migrate", help="reference command line -> the "
                         "equivalent tmrnet-tpu command(s)")
