@@ -160,3 +160,26 @@ def test_cli_export_model(tmp_path, capsys):
                        np.zeros((2, WIN, HID), np.float32))
     assert np.asarray(preds).shape == (2,)
     assert np.asarray(probs).shape == (2, 7)
+
+
+def test_doctor_validates_artifact(tmp_path, capsys):
+    from tmrnet_tpu.cli import main
+
+    cfg = _cfg("lfb")
+    _, variables = _variables(cfg)
+    blob, meta = export_inference(cfg, variables, batch=1,
+                                  platforms=("cpu",))
+    path = str(tmp_path / "ok.bin")
+    save_artifact(path, blob, meta)
+    assert main(["doctor", "--artifact", path]) == 0
+    out = capsys.readouterr().out
+    assert "head=lfb" in out
+
+    # sidecar missing -> advisory warn, still exit 0
+    os.remove(path + ".json")
+    assert main(["doctor", "--artifact", path]) == 0
+    assert "sidecar" in capsys.readouterr().out
+
+    bad = tmp_path / "junk.bin"
+    bad.write_bytes(b"not an artifact")
+    assert main(["doctor", "--artifact", str(bad)]) == 1

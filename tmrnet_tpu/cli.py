@@ -1263,6 +1263,24 @@ def cmd_doctor(args) -> int:
         except Exception as e:
             add("FAIL", "lfb", f"{args.lfb}: {e}")
 
+    if args.artifact:
+        try:
+            from tmrnet_tpu.eval.saved import load_artifact
+
+            art = load_artifact(args.artifact)
+            ins = art.meta.get("inputs")
+            plats = art.meta.get("platforms", "?")
+            det = (f"head={art.head or '?'} platforms={plats} "
+                   f"inputs={ins}")
+            if not os.path.exists(args.artifact + ".json"):
+                add("warn", "artifact",
+                    det + " — sidecar .json missing (calling convention "
+                          "unknown to loaders)")
+            else:
+                add("ok", "artifact", det)
+        except Exception as e:
+            add("FAIL", "artifact", f"{args.artifact}: {e}")
+
     if args.mesh:
         try:
             cfg = load_config(args)
@@ -1601,6 +1619,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--manifest", help="validate a manifest pickle/CSV")
     sp.add_argument("--checkpoint", help="validate a checkpoint directory")
     sp.add_argument("--lfb", help="validate a feature-bank .npz")
+    sp.add_argument("--artifact",
+                    help="validate an export-model StableHLO artifact "
+                         "(deserializes + reports calling convention)")
     sp.add_argument("--mesh", action="store_true",
                     help="build the config's device mesh and report its shape")
     sp.add_argument("--smoke", action="store_true",
