@@ -183,3 +183,27 @@ def test_doctor_validates_artifact(tmp_path, capsys):
     bad = tmp_path / "junk.bin"
     bad.write_bytes(b"not an artifact")
     assert main(["doctor", "--artifact", str(bad)]) == 1
+
+
+def test_cli_export_model_fold_bn_parity(tmp_path, capsys):
+    """--fold-bn artifacts carry no BN yet match the unfolded artifact's
+    probabilities within float rounding."""
+    from tmrnet_tpu.cli import main
+
+    cfg = _cfg("stage1")
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(cfg.to_json())
+    outs = {}
+    for name, extra in (("plain", []), ("folded", ["--fold-bn"])):
+        out = tmp_path / f"{name}.bin"
+        assert main(["export-model", "--config", str(cfg_path),
+                     "--out", str(out), "--batch", "1",
+                     "--platforms", "cpu"] + extra) == 0
+        outs[name] = load_artifact(str(out))
+    capsys.readouterr()
+    clips = np.random.RandomState(7).rand(1, SEQ, HW, HW, 3).astype(
+        np.float32)
+    _, p_plain = outs["plain"](clips)
+    _, p_fold = outs["folded"](clips)
+    np.testing.assert_allclose(np.asarray(p_fold), np.asarray(p_plain),
+                               rtol=2e-4, atol=2e-5)

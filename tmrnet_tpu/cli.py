@@ -1087,6 +1087,14 @@ def cmd_export_model(args) -> int:
     head = cfg.model.head
     _, variables = _restore_variables(cfg, head, args.ckpt, args.torch_ckpt,
                                       cfg.data.crop_size)
+    if args.fold_bn:
+        # BN is an affine map at inference: fold it into the conv weights
+        # so the artifact carries no BN ops at all (models/fold_bn)
+        from tmrnet_tpu.models.fold_bn import fold_variables
+
+        variables = fold_variables(variables)
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, folded=True))
     batch = args.batch or cfg.eval.batch_clips
     platforms = tuple(p.strip() for p in args.platforms.split(",")
                       if p.strip())
@@ -1602,6 +1610,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--platforms", default="cpu,tpu",
                     help="comma-separated lowering targets (default "
                          "cpu,tpu)")
+    sp.add_argument("--fold-bn", action="store_true",
+                    help="fold BatchNorm into conv weights before export "
+                         "(inference-only; removes every BN op from the "
+                         "artifact)")
     sp.set_defaults(fn=cmd_export_model)
 
     sp = sub.add_parser("migrate", help="reference command line -> the "
