@@ -201,14 +201,19 @@ def test_strided_bottleneck_gradient_parity():
     """Backward parity for the official-ordering strided block: train-mode
     BN (batch-stats normalization), SplAt rSoftMax, avd pool and avg_down
     shortcut must all backprop identically to torch — pinned by comparing
-    every parameter gradient under a shared random output cotangent."""
+    every parameter gradient under a shared random output cotangent.
+
+    Runs BOTH frameworks in float64: at float32, conv-backward reduction
+    order (which shifts with torch's oneDNN/threading) perturbs borderline
+    ReLU gates enough to flip single gradient elements — a flake, not a
+    semantics signal. In f64 the comparison is tight and deterministic."""
     from tmrnet_tpu.models.resnest import ResNeStBottleneck
     from tmrnet_tpu.models.torch_import import _np, bn_params, conv2d_kernel
 
     in_ch, planes = 32, 16
-    tm = TorchResNeStBlock(in_ch, planes, stride=2).train()
+    tm = TorchResNeStBlock(in_ch, planes, stride=2).double().train()
     rng = np.random.RandomState(4)
-    x = rng.randn(2, in_ch, 8, 8).astype(np.float32)
+    x = rng.randn(2, in_ch, 8, 8)
 
     def map_tree(sd):
         """torch state-dict-like tensor dict -> flax param tree, via the
@@ -243,25 +248,27 @@ def test_strided_bottleneck_gradient_parity():
     _, stats["splat"]["bn1"] = bn_params(sd, "conv2.bn1")
 
     out_t = tm(torch.from_numpy(x))
-    cot = rng.randn(*out_t.shape).astype(np.float32)
+    cot = rng.randn(*out_t.shape)
     (out_t * torch.from_numpy(cot)).sum().backward()
     gsd = {k: p.grad for k, p in tm.named_parameters()}
     want = map_tree(gsd)
 
-    jm = ResNeStBottleneck(planes=planes, strides=2)
-    jx = jnp.asarray(x.transpose(0, 2, 3, 1))
-    jcot = jnp.asarray(cot.transpose(0, 2, 3, 1))
+    with jax.enable_x64():
+        jm = ResNeStBottleneck(planes=planes, strides=2,
+                               compute_dtype=jnp.float64)
+        jx = jnp.asarray(x.transpose(0, 2, 3, 1))
+        jcot = jnp.asarray(cot.transpose(0, 2, 3, 1))
 
-    def loss(p):
-        out, _ = jm.apply({"params": p, "batch_stats": stats}, jx,
-                          train=True, mutable=["batch_stats"])
-        return (out * jcot).sum()
+        def loss(p):
+            out, _ = jm.apply({"params": p, "batch_stats": stats}, jx,
+                              train=True, mutable=["batch_stats"])
+            return (out * jcot).sum()
 
-    got = jax.grad(loss)(params)
-    for path, g in jax.tree_util.tree_leaves_with_path(want):
-        w = got
-        for k in path:
-            w = w[k.key]
-        np.testing.assert_allclose(
-            np.asarray(w), np.asarray(g), rtol=2e-3, atol=3e-3,
-            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
+        got = jax.grad(loss)(params)
+        for path, g in jax.tree_util.tree_leaves_with_path(want):
+            w = got
+            for k in path:
+                w = w[k.key]
+            np.testing.assert_allclose(
+                np.asarray(w), np.asarray(g), rtol=1e-9, atol=1e-9,
+                err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")

@@ -73,7 +73,10 @@ class SplitAttention(nn.Module):
         # each radix chunk's (g, c/g) layout lines up with the conv
         # splits. Identity at g=1; required for any groups > 1.
         a = a.reshape(b, g, r, c // g)
-        a = jax.nn.softmax(a.astype(jnp.float32), axis=2).astype(cdt)
+        # softmax at >= f32 (a floor, not a cast: bf16 upcasts, f64 stays
+        # f64 — downcasting f64 here broke float64 parity testing)
+        sdt = jnp.promote_types(a.dtype, jnp.float32)
+        a = jax.nn.softmax(a.astype(sdt), axis=2).astype(cdt)
         a = a.transpose(0, 2, 1, 3).reshape(b, r, c)
         return jnp.einsum("bhwrc,brc->bhwc", splits, a)
 
