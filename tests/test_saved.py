@@ -207,3 +207,84 @@ def test_cli_export_model_fold_bn_parity(tmp_path, capsys):
     _, p_fold = outs["folded"](clips)
     np.testing.assert_allclose(np.asarray(p_fold), np.asarray(p_plain),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_stream_artifact_matches_live_engine(tmp_path):
+    """export_stream + ArtifactStreamEngine reproduce StreamingInference
+    step-for-step, including active-mask freezing and slot resets."""
+    from tmrnet_tpu.eval.saved import ArtifactStreamEngine, export_stream
+    from tmrnet_tpu.eval.stream import StreamingInference
+
+    cfg = _cfg("tmr")
+    model, variables = _variables(cfg)
+    extractor = {
+        "params": {"backbone": variables["params"]["backbone"],
+                   "encoder": variables["params"]["encoder"]},
+        "batch_stats": {"backbone": variables["batch_stats"]["backbone"]},
+    }
+    live = StreamingInference(cfg, variables, extractor)
+    blob, meta = export_stream(cfg, variables, extractor, num_slots=2,
+                               platforms=("cpu",))
+    path = str(tmp_path / "stream.bin")
+    save_artifact(path, blob, meta)
+    art = ArtifactStreamEngine(load_artifact(path))
+    assert art.slots == 2 and art.seq == SEQ and art.window == WIN
+
+    rng = np.random.RandomState(5)
+    s_live, s_art = live.init_state(2), art.init_state(2)
+    for t in range(SEQ + 3):
+        frames = rng.rand(2, HW, HW, 3).astype(np.float32)
+        active = np.array([True, t % 2 == 0])  # slot 1 drops alternate ticks
+        s_live, p1, pr1, v1 = live.step(s_live, frames, active)
+        s_art, p2, pr2, v2 = art.step(s_art, frames, active)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+        np.testing.assert_allclose(np.asarray(pr1), np.asarray(pr2),
+                                   rtol=1e-6, atol=1e-7)
+        if t == SEQ:   # recycle slot 0 mid-run on both engines
+            mask = np.array([True, False])
+            s_live = live.reset_streams(s_live, mask)
+            s_art = art.reset_streams(s_art, mask)
+
+    with pytest.raises(ValueError, match="slots"):
+        art.init_state(3)
+
+
+def test_serve_cli_from_artifact(tmp_path, capsys):
+    """The full daemon runs from ONE artifact file: export-model --stream,
+    then serve --artifact with no checkpoints or model config."""
+    import cv2
+
+    from tmrnet_tpu.cli import main
+
+    cfg = _cfg("tmr")
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(cfg.to_json())
+    out = tmp_path / "stream.bin"
+    assert main(["export-model", "--config", str(cfg_path), "--stream",
+                 "--slots", "2", "--out", str(out),
+                 "--platforms", "cpu"]) == 0
+    capsys.readouterr()
+
+    rng = np.random.RandomState(6)
+    frames = []
+    for t in range(SEQ + 2):
+        p = str(tmp_path / f"f{t}.png")
+        cv2.imwrite(p, rng.randint(0, 255, (HW, HW, 3), np.uint8))
+        frames.append(p)
+    proto = tmp_path / "events.jsonl"
+    with open(proto, "w") as f:
+        for t, p in enumerate(frames):
+            f.write(json.dumps({"id": "or-1", "image": p}) + "\n")
+            f.write(json.dumps({"step": True}) + "\n")
+
+    # --slots deliberately left at its default (16): the artifact's baked-in
+    # 2 must win
+    assert main(["serve", "--artifact", str(out), "--input", str(proto),
+                 "--probs"]) == 0
+    cap = capsys.readouterr()
+    rows = [json.loads(l) for l in cap.out.splitlines()]
+    assert len(rows) == SEQ + 2
+    valid = [r for r in rows if r["valid"]]
+    assert len(valid) == 3  # frames seq-1 .. seq+1
+    assert all(len(r["probs"]) == 7 for r in valid)

@@ -801,9 +801,32 @@ def cmd_serve(args) -> int:
     from tmrnet_tpu.eval.stream import StreamingInference
 
     cfg = load_config(args)
-    _, variables = _restore_variables(cfg, cfg.model.head, args.ckpt,
-                                      args.torch_ckpt, cfg.data.crop_size)
-    extractor = _extractor_for(cfg, args, variables)
+    if args.artifact:
+        # model-code-free serving: the exported stream step IS the model,
+        # and its sidecar carries the data pipeline it was exported with
+        # (crop, normalization, wire dtype) — no checkpoints, no mesh
+        from tmrnet_tpu.eval.saved import ArtifactStreamEngine, load_artifact
+
+        art = load_artifact(args.artifact)
+        engine = ArtifactStreamEngine(art)
+        if art.meta.get("config"):
+            cfg = type(cfg).from_json(json.dumps(art.meta["config"]))
+        num_slots = engine.slots
+        if args.slots not in (0, num_slots):
+            print(json.dumps({"note": f"--slots {args.slots} ignored: the "
+                              f"artifact bakes in {num_slots} slots"}),
+                  file=sys.stderr, flush=True)
+    else:
+        _, variables = _restore_variables(cfg, cfg.model.head, args.ckpt,
+                                          args.torch_ckpt,
+                                          cfg.data.crop_size)
+        extractor = _extractor_for(cfg, args, variables)
+        num_slots = args.slots
+        mesh = _mesh_for(cfg, batch=0)
+        if mesh is not None:
+            dp = mesh.shape[cfg.mesh.data_axis]
+            num_slots = -(-num_slots // dp) * dp
+        engine = StreamingInference(cfg, variables, extractor, mesh=mesh)
     if cfg.data.test_crop_type not in (1, 2, 3):
         raise SystemExit(
             "serve needs a deterministic frame-wise crop (test_crop_type "
@@ -813,12 +836,6 @@ def cmd_serve(args) -> int:
     d = cfg.data
     tf = EvalTransform(d.crop_size, d.resize, d.test_crop_type, d.mean,
                        d.std, normalize=not d.device_normalize)
-    num_slots = args.slots
-    mesh = _mesh_for(cfg, batch=0)
-    if mesh is not None:
-        dp = mesh.shape[cfg.mesh.data_axis]
-        num_slots = -(-num_slots // dp) * dp
-    engine = StreamingInference(cfg, variables, extractor, mesh=mesh)
 
     server = None
     if args.listen:
@@ -1081,26 +1098,46 @@ def cmd_export_model(args) -> int:
     re-instantiates the torch model from source and loads a .pth per run
     (`test_..._2fc_copy.py:371-379`); this is the TorchScript/ONNX-style
     export it never had."""
-    from tmrnet_tpu.eval.saved import export_inference, save_artifact
+    from tmrnet_tpu.eval.saved import (
+        export_inference,
+        export_stream,
+        save_artifact,
+    )
 
     cfg = load_config(args)
     head = cfg.model.head
     _, variables = _restore_variables(cfg, head, args.ckpt, args.torch_ckpt,
                                       cfg.data.crop_size)
-    if args.fold_bn:
-        # BN is an affine map at inference: fold it into the conv weights
-        # so the artifact carries no BN ops at all (models/fold_bn)
-        from tmrnet_tpu.models.fold_bn import fold_variables
-
-        variables = fold_variables(variables)
-        cfg = dataclasses.replace(
-            cfg, model=dataclasses.replace(cfg.model, folded=True))
-    batch = args.batch or cfg.eval.batch_clips
     platforms = tuple(p.strip() for p in args.platforms.split(",")
                       if p.strip())
-    blob, meta = export_inference(cfg, variables, batch, platforms)
+    if args.stream:
+        # the serve daemon's per-tick step (both trunks + rings + head):
+        # `serve --artifact <out>` then runs with no model code at all
+        if head not in ("tmr", "nl_only"):
+            raise SystemExit(f"--stream needs a memory head (tmr/nl_only), "
+                             f"got {head!r}")
+        if args.fold_bn:
+            raise SystemExit("--fold-bn is not supported with --stream "
+                             "(the stream step reads train-layout "
+                             "variables); export without it")
+        extractor = _extractor_for(cfg, args, variables)
+        batch = args.slots
+        blob, meta = export_stream(cfg, variables, extractor, batch,
+                                   platforms)
+    else:
+        if args.fold_bn:
+            # BN is an affine map at inference: fold it into the conv
+            # weights so the artifact carries no BN ops (models/fold_bn)
+            from tmrnet_tpu.models.fold_bn import fold_variables
+
+            variables = fold_variables(variables)
+            cfg = dataclasses.replace(
+                cfg, model=dataclasses.replace(cfg.model, folded=True))
+        batch = args.batch or cfg.eval.batch_clips
+        blob, meta = export_inference(cfg, variables, batch, platforms)
     save_artifact(args.out, blob, meta)
     print(json.dumps({"out": args.out, "bytes": len(blob), "head": head,
+                      "kind": meta.get("kind", "clip"),
                       "batch": batch, "platforms": list(platforms),
                       "inputs": meta["inputs"]}))
     return 0
@@ -1485,6 +1522,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--extractor-torch-ckpt")
     sp.add_argument("--slots", type=int, default=16,
                     help="compiled stream slots (max concurrent streams)")
+    sp.add_argument("--artifact",
+                    help="serve from an export-model --stream artifact "
+                         "instead of model code + checkpoints (slot count "
+                         "and data pipeline come from its sidecar)")
     sp.add_argument("--probs", action="store_true",
                     help="include per-class probabilities in output rows")
     sp.add_argument("--input", default="-",
@@ -1614,6 +1655,18 @@ def build_parser() -> argparse.ArgumentParser:
                     help="fold BatchNorm into conv weights before export "
                          "(inference-only; removes every BN op from the "
                          "artifact)")
+    sp.add_argument("--stream", action="store_true",
+                    help="export the serve daemon's per-tick stream step "
+                         "instead of the clip step (run with `serve "
+                         "--artifact <out>`)")
+    sp.add_argument("--slots", type=int, default=16,
+                    help="--stream: slot count baked into the artifact "
+                         "(default 16)")
+    sp.add_argument("--extractor-ckpt",
+                    help="--stream: frozen extractor from a stage-1 orbax "
+                         "checkpoint (default: subset of the main weights)")
+    sp.add_argument("--extractor-torch-ckpt",
+                    help="--stream: frozen extractor from a reference .pth")
     sp.set_defaults(fn=cmd_export_model)
 
     sp = sub.add_parser("migrate", help="reference command line -> the "

@@ -106,6 +106,124 @@ def export_inference(cfg, variables, batch: int,
     return exported.serialize(), meta
 
 
+def export_stream(cfg, variables, extractor_variables, num_slots: int,
+                  platforms: Sequence[str] = ("cpu", "tpu")
+                  ) -> Tuple[bytes, dict]:
+    """Lower + serialize the streaming SERVE step (eval/stream.py) for a
+    fixed slot count: per-tick state rings in/out, new frames + active mask
+    in, (preds, probs, valid) out — both trunks, both LSTMs, the memory
+    head and the ring updates in one program, weights baked in. With this
+    artifact the `serve` daemon runs with NO model code or checkpoints
+    (`serve --artifact model.bin`); `ArtifactStreamEngine` adapts it to
+    serve_loop's engine interface (init/reset are weight-free host ops).
+
+    The slot count is baked in (serving slots are the compiled batch);
+    export one artifact per deployed slot count. Single-device: mesh
+    sharding is not captured by the artifact."""
+    from tmrnet_tpu.eval.stream import StreamingInference, StreamState
+
+    eng = StreamingInference(cfg, variables, extractor_variables)
+    b = int(num_slots)
+    crop = int(cfg.data.crop_size)
+    wire = jnp.uint8 if cfg.data.device_normalize else jnp.float32
+    cdt = eng.cdt
+
+    def fn(ext_ring, tmr_ring, bank_ring, count, frames, active):
+        st = StreamState(ext_ring, tmr_ring, bank_ring, count)
+        new, preds, probs, valid = eng._step_impl(st, frames, active)
+        return ((new.ext_ring, new.tmr_ring, new.bank_ring, new.count),
+                preds, probs, valid)
+
+    specs = (
+        jax.ShapeDtypeStruct((b, eng.seq, eng.feature_dim), cdt),
+        jax.ShapeDtypeStruct((b, eng.seq, eng.feature_dim), cdt),
+        jax.ShapeDtypeStruct((b, eng.window, eng.hidden), cdt),
+        jax.ShapeDtypeStruct((b,), jnp.int32),
+        jax.ShapeDtypeStruct((b, crop, crop, 3), wire),
+        jax.ShapeDtypeStruct((b,), jnp.bool_),
+    )
+    exported = jax.export.export(jax.jit(fn),
+                                 platforms=list(platforms))(*specs)
+    meta = {
+        "kind": "stream",
+        "slots": b,
+        "seq": int(eng.seq),
+        "window": int(eng.window),
+        "hidden": int(eng.hidden),
+        "feature_dim": int(eng.feature_dim),
+        "compute_dtype": str(np.dtype(cdt)),
+        "num_classes": int(cfg.model.num_classes),
+        "platforms": list(platforms),
+        "inputs": [{"shape": list(s.shape), "dtype": str(np.dtype(s.dtype))}
+                   for s in specs],
+        "wire": ("uint8+device-normalize" if wire == jnp.uint8
+                 else "float32 pre-normalized"),
+        "config": dataclasses.asdict(cfg),
+    }
+    return exported.serialize(), meta
+
+
+class ArtifactStreamEngine:
+    """serve_loop-compatible engine over an `export_stream` artifact.
+
+    step() runs the artifact; init_state/reset_streams are weight-free
+    host-side ring ops, so the whole daemon needs only JAX + the artifact.
+    Single device (no mesh); the slot count is baked into the artifact."""
+
+    def __init__(self, artifact: "Artifact"):
+        m = artifact.meta
+        if m.get("kind") != "stream":
+            raise ValueError(
+                "not a stream artifact (export with `export-model "
+                f"--stream`); sidecar kind={m.get('kind')!r}")
+        self._art = artifact
+        self.meta = m
+        self.slots = int(m["slots"])
+        self.seq = int(m["seq"])
+        self.window = int(m["window"])
+        self.hidden = int(m["hidden"])
+        self.feature_dim = int(m["feature_dim"])
+        self.cdt = jnp.dtype(m["compute_dtype"])
+        self._bsh = None   # no mesh: serve_loop checkpoints need this attr
+
+    def init_state(self, num_streams: int):
+        from tmrnet_tpu.eval.stream import StreamState
+
+        if int(num_streams) != self.slots:
+            raise ValueError(f"artifact was exported with {self.slots} "
+                             f"slots (asked for {num_streams}); re-export "
+                             "for a different slot count")
+        b = self.slots
+        return StreamState(
+            ext_ring=jnp.zeros((b, self.seq, self.feature_dim), self.cdt),
+            tmr_ring=jnp.zeros((b, self.seq, self.feature_dim), self.cdt),
+            bank_ring=jnp.zeros((b, self.window, self.hidden), self.cdt),
+            count=jnp.zeros((b,), jnp.int32))
+
+    def reset_streams(self, state, mask):
+        from tmrnet_tpu.eval.stream import StreamState
+
+        mask = jnp.asarray(np.asarray(mask, bool))
+
+        def z(ring):
+            return jnp.where(mask[:, None, None], jnp.zeros_like(ring), ring)
+
+        return StreamState(
+            ext_ring=z(state.ext_ring), tmr_ring=z(state.tmr_ring),
+            bank_ring=z(state.bank_ring),
+            count=jnp.where(mask, jnp.zeros_like(state.count), state.count))
+
+    def step(self, state, frames, active=None):
+        from tmrnet_tpu.eval.stream import StreamState
+
+        if active is None:
+            active = np.ones((self.slots,), bool)
+        (e, t, bk, c), preds, probs, valid = self._art(
+            state.ext_ring, state.tmr_ring, state.bank_ring, state.count,
+            frames, np.asarray(active, bool))
+        return StreamState(e, t, bk, c), preds, probs, valid
+
+
 def save_artifact(path: str, blob: bytes, meta: dict) -> None:
     """Write the serialized artifact + JSON sidecar atomically."""
     for p, data, mode in ((path, blob, "wb"),
