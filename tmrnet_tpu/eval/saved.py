@@ -101,6 +101,7 @@ def export_inference(cfg, variables, batch: int,
         "hidden_dim": int(cfg.model.hidden_dim),
         "wire": ("uint8+device-normalize" if wire == jnp.uint8
                  else "float32 pre-normalized"),
+        "jax_version": jax.__version__,
         "config": dataclasses.asdict(cfg),
     }
     return exported.serialize(), meta
@@ -158,6 +159,7 @@ def export_stream(cfg, variables, extractor_variables, num_slots: int,
                    for s in specs],
         "wire": ("uint8+device-normalize" if wire == jnp.uint8
                  else "float32 pre-normalized"),
+        "jax_version": jax.__version__,
         "config": dataclasses.asdict(cfg),
     }
     return exported.serialize(), meta
