@@ -288,3 +288,53 @@ def test_serve_cli_from_artifact(tmp_path, capsys):
     valid = [r for r in rows if r["valid"]]
     assert len(valid) == 3  # frames seq-1 .. seq+1
     assert all(len(r["probs"]) == 7 for r in valid)
+
+
+def test_stream_cli_from_artifact_matches_live(tmp_path, capsys):
+    """`stream --artifact` reproduces the checkpoint-path `stream` run
+    row-for-row (same random-init weights via the shared seed)."""
+    import cv2
+
+    from tmrnet_tpu.cli import main
+
+    cfg = _cfg("tmr")
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(cfg.to_json())
+
+    frames_dir = tmp_path / "frames"
+    ann = tmp_path / "ann"
+    ann.mkdir()
+    rng = np.random.RandomState(8)
+    phases = ["Preparation", "CalotTriangleDissection", "ClippingCutting",
+              "GallbladderDissection", "GallbladderPackaging",
+              "CleaningCoagulation", "GallbladderRetraction"]
+    for v in (1, 2):
+        vdir = frames_dir / f"video{v:02d}"
+        vdir.mkdir(parents=True)
+        with open(ann / f"video{v:02d}-phase.txt", "w") as f:
+            f.write("Frame\tPhase\n")
+            for k in range(7 * 25):
+                f.write(f"{k}\t{phases[(k // 50) % 7]}\n")
+        for k in range(0, 7 * 25, 25):
+            cv2.imwrite(str(vdir / f"frame{k}.png"),
+                        rng.randint(0, 255, (HW, HW, 3), np.uint8))
+    manifest = tmp_path / "m.pkl"
+    main(["manifest", "--frames", str(frames_dir), "--annotations",
+          str(ann), "--out", str(manifest)])
+    capsys.readouterr()
+
+    art = tmp_path / "stream.bin"
+    assert main(["export-model", "--config", str(cfg_path), "--stream",
+                 "--slots", "2", "--out", str(art),
+                 "--platforms", "cpu"]) == 0
+    capsys.readouterr()
+
+    out_live = tmp_path / "live.jsonl"
+    assert main(["stream", "--config", str(cfg_path),
+                 "--manifest", str(manifest), "--out", str(out_live),
+                 "--set", "mesh.data_parallel=1"]) == 0
+    out_art = tmp_path / "art.jsonl"
+    assert main(["stream", "--artifact", str(art),
+                 "--manifest", str(manifest), "--out", str(out_art)]) == 0
+    capsys.readouterr()
+    assert out_live.read_text() == out_art.read_text()
