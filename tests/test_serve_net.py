@@ -253,3 +253,53 @@ def test_tcp_server_stop_never_blocks_on_full_queue():
     # the queued lines still drain, then lines() exits via the _stop event
     got = list(server.lines())
     assert [json.loads(l)["x"] for _, l in got] == [1, 2]
+
+
+def test_tcp_slow_consumer_disconnected_not_stalling():
+    """A client that stops READING fills its socket buffers; sendall must
+    time out and disconnect it (freeing its slot) instead of blocking the
+    protocol thread forever and stalling every other stream."""
+    cfg = _cfg()
+    variables, extractor = _variables(cfg, key=11)
+    engine = StreamingInference(cfg, variables, extractor)
+
+    rng = np.random.RandomState(31)
+    frames = {f"x{t}": rng.rand(HW, HW, 3).astype(np.float32)
+              for t in range(4)}
+
+    # tiny kernel buffers + short send timeout so the test fills them fast
+    server = JsonlTcpServer("127.0.0.1", 0, send_timeout=0.5,
+                            so_sndbuf=2048)
+    th, res = _start(engine, server, frames, slots=1)
+    try:
+        slow = socket.socket()
+        slow.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 2048)
+        slow.connect(("127.0.0.1", server.port))
+        # flood ticks, never read a single response row
+        payload = b""
+        for t in range(600):
+            payload += (json.dumps(
+                {"id": "a", "image": f"x{t % 4}"}) + "\n").encode()
+            payload += b'{"step": true}\n'
+        slow.sendall(payload)
+
+        # the daemon must disconnect the slow consumer and free its slot:
+        # a new client can then claim it (slots=1 makes this decisive)
+        deadline = time.time() + 60
+        ok = False
+        while time.time() < deadline and not ok:
+            c2 = _Client(server.port)
+            c2.send({"id": "b", "image": "x0"})
+            c2.send({"step": True})
+            row = c2.recv()
+            if row.get("id") == "b" and "error" not in row:
+                ok = True
+            c2.close()
+            if not ok:
+                time.sleep(0.5)
+        assert ok, "slot never freed: slow consumer was not disconnected"
+        slow.close()
+    finally:
+        server.stop()
+        th.join(timeout=30)
+    assert not th.is_alive()

@@ -52,10 +52,19 @@ class JsonlTcpServer:
     """
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0,
-                 max_pending: int = 8192, max_line: int = 1 << 20):
+                 max_pending: int = 8192, max_line: int = 1 << 20,
+                 send_timeout: float = 10.0, so_sndbuf: int = 0):
         self._srv = socket.create_server((host, port))
         self.host, self.port = self._srv.getsockname()[:2]
         self.max_line = max_line
+        # A client that stops READING eventually fills its kernel socket
+        # buffer and sendall would block the (single) protocol thread —
+        # one slow consumer stalling every live stream. The timeout bounds
+        # that; on expiry the offender is disconnected like any protocol
+        # violation (its reader thread queues the Disconnect that frees
+        # its slots). so_sndbuf shrinks the kernel buffer (tests).
+        self.send_timeout = send_timeout
+        self._so_sndbuf = so_sndbuf
         self._q: queue.Queue = queue.Queue(maxsize=max_pending)
         self._conns: dict = {}           # client id -> socket
         self._locks: dict = {}           # client id -> write lock
@@ -73,6 +82,13 @@ class JsonlTcpServer:
             except OSError:              # listener closed by stop()
                 return
             cid = next(self._ids)
+            if self.send_timeout:
+                # bounds writes; the reader treats its recv timeouts as
+                # keep-waiting, so idle clients are unaffected
+                conn.settimeout(self.send_timeout)
+            if self._so_sndbuf:
+                conn.setsockopt(socket.SOL_SOCKET, socket.SO_SNDBUF,
+                                self._so_sndbuf)
             self._conns[cid] = conn
             self._locks[cid] = threading.Lock()
             threading.Thread(target=self._read, args=(cid, conn),
@@ -88,7 +104,12 @@ class JsonlTcpServer:
             # slots like any other disconnect.
             buf = bytearray()
             while True:
-                chunk = conn.recv(65536)
+                try:
+                    chunk = conn.recv(65536)
+                except TimeoutError:
+                    # send_timeout gates this socket's recv too; an idle
+                    # client is not a protocol violation — keep waiting
+                    continue
                 if not chunk:
                     break
                 buf += chunk
@@ -139,8 +160,11 @@ class JsonlTcpServer:
             with lock:
                 conn.sendall(text.encode("utf-8"))
         except OSError:
-            # broken pipe: the reader thread surfaces the Disconnect; just
-            # stop writing to it
+            # broken pipe, or a SLOW CONSUMER (sendall timed out against a
+            # full kernel buffer — TimeoutError is an OSError): disconnect
+            # so one client that stopped reading can't stall the protocol
+            # thread for everyone; its reader thread surfaces the
+            # Disconnect that frees its streams
             self._close_client(cid)
 
     def write(self, text: str) -> None:
