@@ -338,3 +338,23 @@ def test_stream_cli_from_artifact_matches_live(tmp_path, capsys):
                  "--manifest", str(manifest), "--out", str(out_art)]) == 0
     capsys.readouterr()
     assert out_live.read_text() == out_art.read_text()
+
+
+def test_doctor_reports_stream_artifact(tmp_path, capsys):
+    from tmrnet_tpu.cli import main
+    from tmrnet_tpu.eval.saved import export_stream
+
+    cfg = _cfg("tmr")
+    _, variables = _variables(cfg)
+    extractor = {
+        "params": {"backbone": variables["params"]["backbone"],
+                   "encoder": variables["params"]["encoder"]},
+        "batch_stats": {"backbone": variables["batch_stats"]["backbone"]},
+    }
+    blob, meta = export_stream(cfg, variables, extractor, num_slots=2,
+                               platforms=("cpu",))
+    path = str(tmp_path / "s.bin")
+    save_artifact(path, blob, meta)
+    assert main(["doctor", "--artifact", path]) == 0
+    out = capsys.readouterr().out
+    assert "kind=stream slots=2" in out and "jax=" in out

@@ -1341,8 +1341,14 @@ def cmd_doctor(args) -> int:
             art = load_artifact(args.artifact)
             ins = art.meta.get("inputs")
             plats = art.meta.get("platforms", "?")
-            det = (f"head={art.head or '?'} platforms={plats} "
-                   f"inputs={ins}")
+            if art.meta.get("kind") == "stream":
+                ident = (f"kind=stream slots={art.meta.get('slots')} "
+                         f"seq={art.meta.get('seq')} "
+                         f"window={art.meta.get('window')}")
+            else:
+                ident = f"head={art.head or '?'}"
+            det = (f"{ident} platforms={plats} "
+                   f"jax={art.meta.get('jax_version', '?')} inputs={ins}")
             if not os.path.exists(args.artifact + ".json"):
                 add("warn", "artifact",
                     det + " — sidecar .json missing (calling convention "
