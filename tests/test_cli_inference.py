@@ -618,3 +618,32 @@ def test_cli_train_preempted_empty_history_exits_clean(
                "--train-manifest", str(manifest)])
     assert rc == 0
     assert "preempted" in capsys.readouterr().out
+
+
+def test_cli_train_bank_device_normalize(tmp_path, tiny_cfg_json, capsys):
+    """The uint8 training wire (data.device_normalize): the dataset emits
+    raw uint8 and the jitted step normalizes — one epoch end to end."""
+    import dataclasses as dc
+
+    from tmrnet_tpu.config import ExperimentConfig
+
+    frames_dir, ann_dir = _write_frames_tree(tmp_path, n_videos=1, seconds=10)
+    manifest = tmp_path / "tv.pkl"
+    main(["manifest", "--frames", str(frames_dir), "--annotations",
+          str(ann_dir), "--out", str(manifest), "--train-videos", "1"])
+    capsys.readouterr()
+
+    cfg = ExperimentConfig.from_json(open(tiny_cfg_json).read())
+    cfg = dc.replace(
+        cfg,
+        model=dc.replace(cfg.model, head="stage1"),
+        data=dc.replace(cfg.data, device_normalize=True),
+        train=dc.replace(cfg.train, epochs=1,
+                         checkpoint_dir=str(tmp_path / "ckpt_u8")),
+    )
+    cfg_path = tmp_path / "u8_cfg.json"
+    cfg_path.write_text(cfg.to_json())
+    rc = main(["train-bank", "--config", str(cfg_path),
+               "--train-manifest", str(manifest)])
+    assert rc == 0
+    assert "best epoch" in capsys.readouterr().out

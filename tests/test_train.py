@@ -370,3 +370,62 @@ def test_label_smoothing_wired_into_steps():
     want = tl(torch.from_numpy(logits),
               torch.from_numpy(np.asarray(labels, np.int64))).item()
     np.testing.assert_allclose(float(m1["loss"]), want, rtol=1e-5)
+
+
+def test_train_transform_normalize_false_is_exact_uint8_wire():
+    """normalize=False must return the exact uint8 clip the normalizing
+    stack would have normalized — every preceding op is uint8->uint8, so
+    host-normalize(raw) == the normalized output bit for bit."""
+    from tmrnet_tpu.data.transforms import TrainTransform, normalize
+
+    rng = np.random.RandomState(0)
+    clip = rng.randint(0, 255, (4, 250, 250, 3), np.uint8)
+    for use_flip in (False, True):
+        tf_f = TrainTransform(224, 250, use_flip)
+        tf_u8 = TrainTransform(224, 250, use_flip, normalize=False)
+        raw = tf_u8(clip, epoch=1, clip_id=5)
+        assert raw.dtype == np.uint8 and raw.shape == (4, 224, 224, 3)
+        want = tf_f(clip, epoch=1, clip_id=5)
+        np.testing.assert_array_equal(normalize(raw, tf_f.mean, tf_f.std),
+                                      want)
+
+
+def test_train_step_prep_matches_host_normalize():
+    """A train step fed raw uint8 through DevicePrep must match the same
+    step fed host-normalized floats: same loss/metrics and same updated
+    params (within f32 rounding of the algebraically-equal normalize)."""
+    import dataclasses as dc
+
+    from tmrnet_tpu.config import DataConfig
+    from tmrnet_tpu.data.device_feed import DevicePrep
+    from tmrnet_tpu.data.transforms import normalize
+    from tmrnet_tpu.models.tmrnet import build_model
+
+    mcfg = _tiny_cfg("stage1")
+    dcfg = DataConfig(device_normalize=True)
+    model = build_model(mcfg)
+    rng = np.random.RandomState(1)
+    u8 = rng.randint(0, 255, (4, 3, 24, 24, 3), np.uint8)
+    host = normalize(u8, dcfg.mean, dcfg.std)
+    labels = jnp.asarray(rng.randint(0, mcfg.num_classes, 4))
+
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(host))
+    tcfg = TrainConfig(optimizer="sgd", lr=0.05, momentum=0.9)
+    tx = make_optimizer(tcfg, variables["params"], ("backbone",))
+
+    def one_step(step_fn, clips):
+        state = create_train_state(model, variables, tx)
+        return step_fn(state, jnp.asarray(clips), labels,
+                       jax.random.PRNGKey(2))
+
+    prep = DevicePrep(dcfg, jnp.float32)
+    step_prep, _ = make_stage1_steps(donate=False, prep=prep)
+    step_host, _ = make_stage1_steps(donate=False)
+    s1, m1 = one_step(step_prep, u8)
+    s2, m2 = one_step(step_host, host)
+    assert int(m1["correct"]) == int(m2["correct"])
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-5)
+    for p1, p2 in zip(jax.tree_util.tree_leaves(s1.params),
+                      jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p2),
+                                   rtol=1e-4, atol=1e-6)

@@ -147,9 +147,10 @@ def _clip_labels(manifest, seq_len: int) -> np.ndarray:
 
 
 def _dataset(cfg, manifest, train: bool, device_normalize: bool = False):
-    """device_normalize applies only to the INFERENCE datasets (test/parity):
-    ClipInference and build_lfb normalize uint8 in-jit; the training/val
-    loaders always normalize on host (their jitted steps don't)."""
+    """device_normalize + data.device_normalize: the dataset emits raw
+    uint8 clips (4x fewer host->device bytes) and (x - mean)/std runs
+    in-jit — ClipInference/build_lfb always prep; the train/eval steps
+    prep too (train/steps.py), keyed on the same config knob."""
     from tmrnet_tpu.data.pipeline import ClipDataset
     from tmrnet_tpu.data.transforms import EvalTransform, TrainTransform
 
@@ -158,7 +159,9 @@ def _dataset(cfg, manifest, train: bool, device_normalize: bool = False):
         tf = TrainTransform(d.crop_size, d.resize, d.use_flip,
                             d.rotate_degrees, d.color_jitter,
                             hue=d.color_jitter_hue, mean=d.mean, std=d.std,
-                            use_native=d.use_native_preproc)
+                            use_native=d.use_native_preproc,
+                            normalize=not (device_normalize
+                                           and d.device_normalize))
     else:
         tf = EvalTransform(d.crop_size, d.resize, d.test_crop_type,
                            d.mean, d.std,
@@ -430,8 +433,8 @@ def cmd_train_bank(args) -> int:
                  if args.val_manifest else
                  _load_manifest(args.train_manifest or cfg.data.manifest_path,
                                 "val"))
-        train_ds = _dataset(cfg, train_m, True)
-        val_ds = _dataset(cfg, val_m, False)
+        train_ds = _dataset(cfg, train_m, True, device_normalize=True)
+        val_ds = _dataset(cfg, val_m, False, device_normalize=True)
     log = MetricLogger(args.log_dir)
     init = None
     if args.torch_init:
@@ -468,7 +471,8 @@ def cmd_build_lfb(args) -> int:
     if args.videos:
         ds = _video_dataset(cfg, args.videos, args.annotations, False)
     elif args.manifest:
-        ds = _dataset(cfg, _load_manifest(args.manifest), False)
+        ds = _dataset(cfg, _load_manifest(args.manifest), False,
+                      device_normalize=True)  # build_lfb preps in-jit
     else:
         raise SystemExit("build-lfb needs --manifest or --videos")
     # orbax checkpoints carry the stage-1 structure (restore must match);
@@ -494,7 +498,7 @@ def cmd_train_tmr(args) -> int:
         val_m = None
     else:
         train_m = _load_manifest(args.train_manifest or cfg.data.manifest_path)
-        train_ds = _dataset(cfg, train_m, True)
+        train_ds = _dataset(cfg, train_m, True, device_normalize=True)
         val_m = (_load_manifest(args.val_manifest, "val") if args.val_manifest
                  else None)
     # .pkl paths load the reference's g_LFB_* pickles (validated against
@@ -523,7 +527,8 @@ def cmd_train_tmr(args) -> int:
     log = MetricLogger(args.log_dir)
     state, hist = train_stage2(
         cfg, train_ds, bank,
-        _dataset(cfg, val_m, False) if val_m else None, val_bank,
+        _dataset(cfg, val_m, False, device_normalize=True)
+        if val_m else None, val_bank,
         init_variables=init, mesh=_mesh_for(cfg), log=log)
     if not hist:
         # preempted (SIGTERM/^C) before the first epoch completed: the

@@ -252,6 +252,11 @@ class TrainTransform:
     std: Sequence[float] = (0.21938758, 0.1983, 0.19342837)
     base_seed: int = 0
     use_native: bool = False
+    # normalize=False: stop after the geometric/color ops and return the
+    # raw uint8 clip — the uint8 wire for data.device_normalize training
+    # (the step normalizes in-jit). Exact: every preceding op is
+    # uint8 -> uint8, including color_jitter's trailing astype.
+    normalize: bool = True
 
     def __call__(self, clip: np.ndarray, epoch: int, clip_id: int) -> np.ndarray:
         # Reference transform order: Resize -> RandomCrop -> [ColorJitter ->
@@ -267,6 +272,8 @@ class TrainTransform:
         clip = random_horizontal_flip(clip, rng)
         if self.use_flip:
             clip = random_rotation(clip, self.rotate_degrees, rng)
+        if not self.normalize:
+            return np.ascontiguousarray(clip)
         if self.use_native:
             from tmrnet_tpu.data import native
 

@@ -235,9 +235,17 @@ def _fit(cfg: ExperimentConfig, model, train_ds: ClipDataset,
                                             cfg.model.num_classes)
                      if t.class_weighting else None)
     make_steps = make_stage2_steps if use_memory else make_stage1_steps
+    prep = None
+    if cfg.data.device_normalize:
+        # uint8 training feed: the dataset's transform leaves clips raw
+        # uint8 and (x - mean)/std runs inside the jitted step (4x fewer
+        # host->device bytes; same DevicePrep convention as inference)
+        from tmrnet_tpu.data.device_feed import DevicePrep
+
+        prep = DevicePrep(cfg.data, jnp.dtype(cfg.model.compute_dtype))
     train_step, eval_step = make_steps(class_weights, "sum",
                                        label_smoothing=t.label_smoothing,
-                                       donate=t.donate_state)
+                                       donate=t.donate_state, prep=prep)
 
     train_loader = ClipLoader(train_ds, cfg.data.batch_clips, shuffle=True,
                               num_workers=cfg.data.num_workers,

@@ -24,13 +24,25 @@ from tmrnet_tpu.train.state import TrainState
 
 
 def _make_steps(class_weights, loss_reduction: str = "sum",
-                label_smoothing: float = 0.0, donate: bool = True):
+                label_smoothing: float = 0.0, donate: bool = True,
+                prep: Optional[Callable] = None):
     # stage-1 and stage-2 steps share this body: the *inputs splat carries
     # (clips,) or (clips, memory) transparently
     w = None if class_weights is None else jnp.asarray(class_weights)
     ls = float(label_smoothing)
 
+    def _prep(inputs):
+        # data.device_normalize extended to TRAINING: clips arrive as raw
+        # uint8 (4x fewer host->device bytes than normalized f32) and the
+        # (x - mean)/std runs inside this jit, fused into the first conv's
+        # input transform — the same shared wire convention every
+        # inference engine uses (data/device_feed.py::DevicePrep)
+        if prep is None:
+            return inputs
+        return (prep(inputs[0]),) + tuple(inputs[1:])
+
     def forward_train(state: TrainState, params, inputs, labels, rng):
+        inputs = _prep(inputs)
         variables = {"params": params, "batch_stats": state.batch_stats}
         out, updates = state.apply_fn(
             variables, *inputs, train=True, rngs={"dropout": rng},
@@ -59,7 +71,8 @@ def _make_steps(class_weights, loss_reduction: str = "sum",
     @jax.jit
     def eval_step(state: TrainState, *args):
         *inputs, labels = args
-        out = state.apply_fn(state.variables, *inputs, train=False)
+        out = state.apply_fn(state.variables, *_prep(tuple(inputs)),
+                             train=False)
         logits = out[:, -1, :] if out.ndim == 3 else out
         loss = weighted_cross_entropy(logits, labels, w, loss_reduction,
                                       label_smoothing=ls)
@@ -80,16 +93,22 @@ def _make_steps(class_weights, loss_reduction: str = "sum",
 
 
 def make_stage1_steps(class_weights=None, loss_reduction: str = "sum",
-                      label_smoothing: float = 0.0, donate: bool = True
+                      label_smoothing: float = 0.0, donate: bool = True,
+                      prep: Optional[Callable] = None
                       ) -> Tuple[Callable, Callable]:
     """Steps for MemoryBankModel: train_step(state, clips, labels, rng),
-    eval_step(state, clips, labels). labels are per-clip last-frame labels."""
-    return _make_steps(class_weights, loss_reduction, label_smoothing, donate)
+    eval_step(state, clips, labels). labels are per-clip last-frame labels.
+    prep: optional in-jit wire-dtype cast + normalize applied to clips
+    (DevicePrep, for the uint8 training feed)."""
+    return _make_steps(class_weights, loss_reduction, label_smoothing,
+                       donate, prep)
 
 
 def make_stage2_steps(class_weights=None, loss_reduction: str = "sum",
-                      label_smoothing: float = 0.0, donate: bool = True
+                      label_smoothing: float = 0.0, donate: bool = True,
+                      prep: Optional[Callable] = None
                       ) -> Tuple[Callable, Callable]:
     """Steps for TMRNet: train_step(state, clips, memory, labels, rng),
-    eval_step(state, clips, memory, labels)."""
-    return _make_steps(class_weights, loss_reduction, label_smoothing, donate)
+    eval_step(state, clips, memory, labels). prep as in make_stage1_steps."""
+    return _make_steps(class_weights, loss_reduction, label_smoothing,
+                       donate, prep)
