@@ -363,3 +363,36 @@ def test_preempt_save_off_leaves_signals_alone(tmp_path):
         assert seen and len(hist) == 1
     finally:
         signal.signal(signal.SIGTERM, prev)
+
+
+def test_train_stage1_mesh_uint8_wire_matches_host_normalize(tmp_path):
+    """data.device_normalize training over an 8-device mesh: raw uint8
+    batches shard over the data axis and normalize in-jit; epoch stats
+    match the host-normalized run to float rounding."""
+    from tmrnet_tpu.config import MeshConfig
+    from tmrnet_tpu.data.transforms import normalize
+    from tmrnet_tpu.parallel.mesh import make_mesh
+
+    manifest, store = _synthetic(n_videos=2)
+    mesh = make_mesh(MeshConfig(data_parallel=-1, model_parallel=1))
+    base = _cfg(tmp_path / "u8", "stage1", epochs=1)
+
+    # uint8 path: raw frames + device_normalize
+    cfg_u8 = dataclasses.replace(
+        base, data=dataclasses.replace(base.data, device_normalize=True))
+    ds_u8 = ClipDataset(manifest, SEQ,
+                        frame_loader=array_frame_loader(store))
+    _, hist_u8 = train_stage1(cfg_u8, ds_u8, ds_u8, mesh=mesh)
+
+    # host path: pre-normalized floats through the same mesh
+    mean, std = cfg_u8.data.mean, cfg_u8.data.std
+    fstore = {k: normalize(v[None], mean, std)[0] for k, v in store.items()}
+    cfg_f = dataclasses.replace(
+        base, train=dataclasses.replace(
+            base.train, checkpoint_dir=str(tmp_path / "ckpt_f")))
+    ds_f = ClipDataset(manifest, SEQ, frame_loader=array_frame_loader(fstore))
+    _, hist_f = train_stage1(cfg_f, ds_f, ds_f, mesh=mesh)
+
+    assert hist_u8[0].train_loss == pytest.approx(hist_f[0].train_loss,
+                                                  rel=1e-4)
+    assert hist_u8[0].val_acc == hist_f[0].val_acc
