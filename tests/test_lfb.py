@@ -183,3 +183,39 @@ def test_bank_reference_pickle_interop(tmp_path):
     back2 = load_bank(tp)
     np.testing.assert_allclose(np.asarray(back2.features),
                                np.asarray(feats))
+
+
+def test_build_lfb_over_mesh_matches_single_device(tmp_path):
+    """build_lfb(mesh=...): clip batches shard over the data axis (params +
+    bank replicated) and the bank must equal the no-mesh build — both
+    engines. Covers the multi-chip LFB build path the other engines already
+    have."""
+    from tests.test_inference import _cfg, _init_models, _synthetic
+    from tmrnet_tpu.config import MeshConfig
+    from tmrnet_tpu.data.pipeline import ClipDataset, array_frame_loader
+    from tmrnet_tpu.parallel.mesh import make_mesh
+    from tmrnet_tpu.train.loop import build_lfb
+
+    cfg = _cfg(tmp_path)
+    manifest, store = _synthetic(n_videos=3, frames=14)
+    ds = ClipDataset(manifest, cfg.data.sequence_length,
+                     frame_loader=array_frame_loader(store))
+    _, extractor = _init_models(cfg, key=23)
+    mesh = make_mesh(MeshConfig(data_parallel=-1, model_parallel=1))
+
+    ref = build_lfb(cfg, extractor, ds, cache_path=None)
+    for engine in ("clip", "video"):
+        got = build_lfb(cfg, extractor, ds, cache_path=None, engine=engine,
+                        mesh=mesh)
+        assert got.num_rows == ref.num_rows
+        np.testing.assert_allclose(np.asarray(got.features),
+                                   np.asarray(ref.features),
+                                   atol=2e-5, rtol=1e-4)
+
+    # indivisible batch sizes fall back to replicated placement, same bank
+    import dataclasses as dc
+
+    odd = dc.replace(cfg, data=dc.replace(cfg.data, batch_clips=5))
+    got = build_lfb(odd, extractor, ds, cache_path=None, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(got.features),
+                               np.asarray(ref.features), atol=2e-5, rtol=1e-4)

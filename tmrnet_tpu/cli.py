@@ -482,7 +482,9 @@ def cmd_build_lfb(args) -> int:
                                       cfg.data.crop_size)
     extractor = _extractor_subset(variables)
     bank = build_lfb(cfg, extractor, ds, cache_path=args.out, force=True,
-                     engine=args.engine)
+                     engine=args.engine,
+                     mesh=_mesh_for(cfg, batch=0 if args.engine == "video"
+                                    else cfg.data.batch_clips))
     print(f"bank: {bank.num_rows} rows x {bank.feature_dim} -> {args.out}")
     return 0
 
@@ -578,7 +580,8 @@ def cmd_test(args) -> int:
                          video_lengths=m.video_lengths)
     else:
         bank = build_lfb(cfg, _extractor_for(cfg, args, variables), ds,
-                         cache_path=args.lfb, force=not args.load_lfb)
+                         cache_path=args.lfb, force=not args.load_lfb,
+                         mesh=_mesh_for(cfg))
     if args.engine == "video":
         # full-video engine: backbone once per frame, LFB build fused (no
         # separate bank needed)
@@ -962,7 +965,7 @@ def cmd_parity(args) -> int:
     bank = build_lfb(cfg, extractor, ds,
                      cache_path=args.lfb or os.path.join(args.workdir,
                                                          "lfb.npz"),
-                     force=not args.load_lfb)
+                     force=not args.load_lfb, mesh=_mesh_for(cfg))
     res = ClipInference(
         cfg, variables, bank,
         mesh=_mesh_for(cfg, batch=cfg.eval.batch_clips,

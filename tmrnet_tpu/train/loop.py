@@ -448,7 +448,8 @@ def train_stage1(cfg: ExperimentConfig, train_ds: ClipDataset,
 
 def build_lfb(cfg: ExperimentConfig, extractor_variables,
               ds: ClipDataset, cache_path: Optional[str] = None,
-              force: bool = False, engine: str = "clip") -> FeatureBank:
+              force: bool = False, engine: str = "clip",
+              mesh=None) -> FeatureBank:
     """Run the frozen extractor over every clip (eval transforms) and fill the
     HBM bank; load from the .npz cache when present (--load_LFB semantics).
 
@@ -457,13 +458,17 @@ def build_lfb(cfg: ExperimentConfig, extractor_variables,
     frames, so the clip-wise build recomputes the backbone seq_len times
     per frame). Identical features (parity-tested); requires a
     deterministic frame-wise transform (crop types 1/2) and a frame
-    manifest."""
+    manifest.
+
+    mesh: optional device mesh — clip batches shard over the data axis
+    (params + bank replicated, like every other engine); batches whose
+    size doesn't divide the axis fall back to replicated placement."""
     path = cache_path or cfg.memory.cache_path
     if path and os.path.exists(path) and cfg.memory.load_cached and not force:
         return load_bank(path)
 
     if engine == "video":
-        return _build_lfb_video(cfg, extractor_variables, ds, path)
+        return _build_lfb_video(cfg, extractor_variables, ds, path, mesh)
 
     model = build_model(dataclasses.replace(cfg.model, head="lfb"))
     cdt = jnp.dtype(cfg.model.compute_dtype)
@@ -475,15 +480,36 @@ def build_lfb(cfg: ExperimentConfig, extractor_variables,
     def extract(variables, clips):
         return model.apply(variables, prep(clips), train=False)
 
+    put_batch = jnp.asarray
+    if mesh is not None:
+        from tmrnet_tpu.parallel.mesh import (
+            batch_sharding,
+            replicated_sharding,
+        )
+
+        rep = replicated_sharding(mesh)
+        extractor_variables = jax.device_put(extractor_variables, rep)
+        bsh = batch_sharding(mesh)
+        dp = mesh.shape[mesh.axis_names[0]]
+
+        def put_batch(clips):
+            # loader batches are padded to full size, so divisibility is
+            # decided once by batch_clips; the guard covers API callers
+            # with hand-built meshes (same fallback as run_video)
+            sh = bsh if clips.shape[0] % dp == 0 else rep
+            return jax.device_put(clips, sh)
+
     lengths = ds.manifest.video_lengths
     bank = FeatureBank.create(ds.seq_len, lengths, cfg.model.hidden_dim)
     feats = bank.features
+    if mesh is not None:
+        feats = jax.device_put(feats, rep)
     loader = ClipLoader(ds, cfg.data.batch_clips, shuffle=False,
                         num_workers=cfg.data.num_workers,
                         prefetch=cfg.data.prefetch,
                         use_processes=cfg.data.use_process_workers)
     for clips, _labels, rows, pad in loader.epoch(0):
-        values = extract(extractor_variables, jnp.asarray(clips))
+        values = extract(extractor_variables, put_batch(clips))
         b = len(rows) - pad
         feats = update_bank(feats, jnp.asarray(rows[:b], jnp.int32),
                             values[:b])
@@ -494,7 +520,7 @@ def build_lfb(cfg: ExperimentConfig, extractor_variables,
 
 
 def _build_lfb_video(cfg: ExperimentConfig, extractor_variables, ds,
-                     path: Optional[str]) -> FeatureBank:
+                     path: Optional[str], mesh=None) -> FeatureBank:
     """Video-engine LFB build: backbone once per unique frame, sliding LSTM
     windows -> one bank row per clip position (seq_len x less backbone work
     than the clip-wise build at identical features)."""
@@ -530,10 +556,15 @@ def _build_lfb_video(cfg: ExperimentConfig, extractor_variables, ds,
         return np.stack([f if f is not None
                          else np.zeros(shape, np.uint8) for f in out])
 
-    eng = VideoInference(cfg, extractor_variables, extractor_variables)
+    eng = VideoInference(cfg, extractor_variables, extractor_variables,
+                         mesh=mesh)
     lengths = ds.manifest.video_lengths
     bank = FeatureBank.create(ds.seq_len, lengths, cfg.model.hidden_dim)
     feats = bank.features
+    if mesh is not None:
+        from tmrnet_tpu.parallel.mesh import replicated_sharding
+
+        feats = jax.device_put(feats, replicated_sharding(mesh))
     row = 0
     for video in ds.manifest.videos:
         frames = load_video_frames(video)
