@@ -35,6 +35,14 @@ def main(argv=None) -> int:
     ap.add_argument("--local-devices", type=int, default=4,
                     help="virtual CPU devices hosted by THIS process")
     ap.add_argument("--model-parallel", type=int, default=2)
+    ap.add_argument("--mode", choices=("step", "stage1"), default="step",
+                    help="step: one sharded stage-2 train step; stage1: a "
+                         "full train_stage1 run with per-process local "
+                         "data loading (each process decodes only the "
+                         "batch rows its devices consume)")
+    ap.add_argument("--workdir", default=None,
+                    help="stage1 mode: SHARED checkpoint/work dir (orbax "
+                         "multi-controller saves coordinate through it)")
     args = ap.parse_args(argv)
 
     # virtual-device bootstrap must precede the first backend query; the
@@ -63,6 +71,9 @@ def main(argv=None) -> int:
     n = len(jax.devices())
     want = args.num_processes * args.local_devices
     assert n == want, f"global device count {n} != {want}"
+
+    if args.mode == "stage1":
+        return stage1_data_parallel(args, n)
 
     import jax.numpy as jnp
 
@@ -105,6 +116,74 @@ def main(argv=None) -> int:
     print(f"multihost_dryrun proc {args.process_id}/{args.num_processes}: "
           f"mesh={dict(mesh.shape)} loss={loss:.6f} "
           f"step={int(jax.device_get(state.step))}", flush=True)
+    return 0
+
+
+def build_synthetic_stage1(workdir: str):
+    """Deterministic tiny stage-1 setup, identical on every process that
+    calls it (seeded in-memory frames — no shared data disk needed; only
+    the checkpoint dir is shared). Also imported by tests/test_multihost.py
+    so the single-process comparison run uses the identical dataset."""
+    import numpy as np
+
+    from tmrnet_tpu.config import (
+        DataConfig,
+        ExperimentConfig,
+        ModelConfig,
+        TrainConfig,
+    )
+    from tmrnet_tpu.data.manifests import Manifest, VideoRecord
+    from tmrnet_tpu.data.pipeline import ClipDataset, array_frame_loader
+
+    seq, hw = 4, 24
+    rng = np.random.RandomState(0)
+    store, videos = {}, []
+    for v in range(3):
+        paths = [f"v{v}/f{j}" for j in range(20)]
+        labels = ((np.arange(20) // 5) + v) % 4
+        for p, lab in zip(paths, labels):
+            base = np.full((hw, hw, 3), 40 + 50 * lab, np.uint8)
+            noise = rng.randint(0, 25, base.shape).astype(np.uint8)
+            store[p] = np.clip(base + noise, 0, 255).astype(np.uint8)
+        videos.append(VideoRecord(f"v{v}", paths, labels.astype(np.int64)))
+    manifest = Manifest(videos)
+    loader = array_frame_loader(store)
+    cfg = ExperimentConfig(
+        data=DataConfig(batch_clips=8, num_workers=2, prefetch=1),
+        model=ModelConfig(backbone="tiny", stage_sizes=(1, 1), width=8,
+                          hidden_dim=16, num_classes=4, head="stage1",
+                          compute_dtype="float32"),
+        train=TrainConfig(epochs=2, optimizer="sgd", lr=0.02,
+                          schedule="constant", seed=0, log_every=1000,
+                          checkpoint_dir=os.path.join(workdir, "ckpt")),
+    )
+    train_ds = ClipDataset(manifest, seq, frame_loader=loader)
+    val_ds = ClipDataset(manifest, seq, frame_loader=loader)
+    return cfg, train_ds, val_ds
+
+
+def stage1_data_parallel(args, n: int) -> int:
+    """Full train_stage1 over the global mesh with PER-PROCESS LOCAL data
+    loading: _fit's _BatchFeed detects process_count() > 1, each process's
+    ClipLoader assembles only its process_local_bounds slice of every
+    global batch, and global_batch_from_local stitches the slices
+    (train/loop.py). Orbax checkpoints coordinate through the shared
+    --workdir. Every process must print identical epoch stats."""
+    assert args.workdir, "--mode stage1 requires --workdir (shared dir)"
+    import jax
+
+    from tmrnet_tpu.config import MeshConfig
+    from tmrnet_tpu.parallel.mesh import make_mesh
+    from tmrnet_tpu.train.loop import train_stage1
+
+    cfg, train_ds, val_ds = build_synthetic_stage1(args.workdir)
+    mesh = make_mesh(MeshConfig(data_parallel=n, model_parallel=1))
+    _state, hist = train_stage1(cfg, train_ds, val_ds, mesh=mesh)
+    for h in hist:
+        print(f"stage1 proc {args.process_id}: epoch={h.epoch} "
+              f"train_loss={h.train_loss:.6f} train_acc={h.train_acc:.6f} "
+              f"val_loss={h.val_loss:.6f} val_acc={h.val_acc:.6f}",
+              flush=True)
     return 0
 
 

@@ -1,18 +1,27 @@
 """Multi-HOST (multi-controller) integration: two real processes, one mesh.
 
 Everything else in the suite validates SPMD on a single-process virtual
-mesh; this spawns TWO OS processes that each host 4 virtual CPU devices,
-rendezvous through `jax.distributed.initialize` (the `mesh.multihost` /
-DCN path, parallel/mesh.py::initialize_multihost), and run one full
-stage-2 train step over the global dp=4 x tp=2 mesh — the collectives
-cross the process boundary over the same multi-controller runtime a TPU
-pod uses. The loss must match the single-process 8-device dryrun bit for
-bit (same config, same seeds: __graft_entry__.dryrun_multichip(8)).
+mesh; these tests spawn TWO OS processes that each host 4 virtual CPU
+devices, rendezvous through `jax.distributed.initialize` (the
+`mesh.multihost` / DCN path, parallel/mesh.py::initialize_multihost), and
+run real work over the global 8-device mesh — the collectives cross the
+process boundary over the same multi-controller runtime a TPU pod uses.
+
+Two levels:
+  * one sharded stage-2 train step on a dp=4 x tp=2 mesh (both
+    controllers must compute the identical replicated loss);
+  * a FULL train_stage1 run with per-process LOCAL data loading — each
+    process's ClipLoader assembles only the batch rows its own devices
+    consume (parallel/mesh.py::process_local_bounds +
+    global_batch_from_local via train/loop.py::_BatchFeed), orbax
+    checkpoints coordinate through a shared dir, and the epoch stats must
+    match a single-process 8-device run of the identical config.
 
 The reference has no multi-node story at all (SURVEY.md §2.8: one-process
 torch DataParallel); this is the rebuild's DCN evidence.
 """
 
+import importlib.util
 import os
 import re
 import socket
@@ -29,7 +38,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_train_step_matches_single_process():
+def _run_pair(extra_args):
     port = _free_port()
     env = dict(os.environ)
     # each process bootstraps its own 4-device virtual CPU platform; the
@@ -39,7 +48,7 @@ def test_two_process_train_step_matches_single_process():
         subprocess.Popen(
             [sys.executable, _SCRIPT, "--coordinator", f"127.0.0.1:{port}",
              "--num-processes", "2", "--process-id", str(i),
-             "--local-devices", "4"],
+             "--local-devices", "4"] + extra_args,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env)
         for i in range(2)
@@ -55,7 +64,11 @@ def test_two_process_train_step_matches_single_process():
         outs.append(out)
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out}"
+    return outs
 
+
+def test_two_process_train_step_matches_single_process():
+    outs = _run_pair([])
     losses = []
     for out in outs:
         m = re.search(r"mesh=\{'data': 4, 'model': 2\} loss=([0-9.]+) step=1",
@@ -64,3 +77,57 @@ def test_two_process_train_step_matches_single_process():
         losses.append(float(m.group(1)))
     # SPMD: every controller computes the same replicated loss
     assert losses[0] == losses[1]
+
+
+_EPOCH_RE = re.compile(
+    r"stage1 proc \d: epoch=(\d+) train_loss=([0-9.]+) train_acc=([0-9.]+) "
+    r"val_loss=([0-9.]+) val_acc=([0-9.]+)")
+
+
+def _epoch_stats(out):
+    stats = [tuple(float(g) for g in m.groups())
+             for m in _EPOCH_RE.finditer(out)]
+    assert stats, f"no epoch lines:\n{out}"
+    return stats
+
+
+def test_two_process_stage1_local_data_loading(tmp_path):
+    """Full stage-1 training, 2 controllers, per-process local batch slices:
+    results must equal the single-process 8-device run bit for bit modulo
+    f32 collective scheduling (tight tolerance)."""
+    shared = tmp_path / "shared"
+    shared.mkdir()
+    outs = _run_pair(["--mode", "stage1", "--workdir", str(shared)])
+    s0, s1 = _epoch_stats(outs[0]), _epoch_stats(outs[1])
+    # SPMD: both controllers see identical replicated stats
+    assert s0 == s1, f"controllers disagree:\n{outs[0]}\n{outs[1]}"
+
+    # single-process reference run: same dataset/config (imported from the
+    # dryrun script), dp=8 mesh over this pytest process's virtual devices
+    spec = importlib.util.spec_from_file_location("multihost_dryrun", _SCRIPT)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from tmrnet_tpu.config import MeshConfig
+    from tmrnet_tpu.parallel.mesh import make_mesh
+    from tmrnet_tpu.train.loop import train_stage1
+
+    single = tmp_path / "single"
+    single.mkdir()
+    cfg, train_ds, val_ds = mod.build_synthetic_stage1(str(single))
+    mesh = make_mesh(MeshConfig(data_parallel=8, model_parallel=1))
+    _state, hist = train_stage1(cfg, train_ds, val_ds, mesh=mesh)
+    assert len(hist) == len(s0)
+    for h, (epoch, tr_loss, tr_acc, va_loss, va_acc) in zip(hist, s0):
+        assert h.epoch == int(epoch)
+        assert abs(h.train_loss - tr_loss) < 1e-3 * max(1.0, tr_loss)
+        assert abs(h.val_loss - va_loss) < 1e-3 * max(1.0, va_loss)
+        assert abs(h.train_acc - tr_acc) < 1e-3
+        assert abs(h.val_acc - va_acc) < 1e-3
+
+    # the multi-controller checkpoint landed complete in the SHARED dir
+    from tmrnet_tpu.utils.checkpoint import CheckpointManager
+
+    ckpt = CheckpointManager(str(shared / "ckpt"))
+    assert ckpt.latest_step() is not None
+    assert os.path.exists(ckpt.best_dir)

@@ -108,16 +108,18 @@ class ClipDataset:
         return clip, label
 
 
-def _assemble_batch(ds, batch_rows: np.ndarray, epoch: int, batch: int):
+def _assemble_batch(ds, batch_rows: np.ndarray, epoch: int, batch: int,
+                    local=None):
     pad = batch - len(batch_rows)
     padded = np.concatenate([batch_rows, np.repeat(batch_rows[-1:], pad)])
-    clips, labels = zip(*(ds.get_clip(int(r), epoch) for r in padded))
+    lo, hi = local if local is not None else (0, batch)
+    take = padded[lo:hi]
+    clips, labels = zip(*(ds.get_clip(int(r), epoch) for r in take))
     labels = np.asarray(labels, np.int64)
-    if pad:
-        # padded rows repeat the last clip; label -1 marks them so the
-        # loss/metrics mask them out (weighted_cross_entropy ignores
-        # negative labels)
-        labels[len(batch_rows):] = -1
+    # padded rows repeat the last clip; label -1 marks them so the
+    # loss/metrics mask them out (weighted_cross_entropy ignores
+    # negative labels)
+    labels[np.arange(lo, lo + len(take)) >= len(batch_rows)] = -1
     clips = np.stack(clips)
     if clips.dtype != np.uint8:  # uint8 = device-side normalize path
         clips = clips.astype(np.float32, copy=False)
@@ -132,8 +134,8 @@ def _proc_init(ds):
     _PROC_DS = ds
 
 
-def _proc_make_batch(batch_rows, epoch, batch):
-    return _assemble_batch(_PROC_DS, batch_rows, epoch, batch)
+def _proc_make_batch(batch_rows, epoch, batch, local=None):
+    return _assemble_batch(_PROC_DS, batch_rows, epoch, batch, local)
 
 
 class ClipLoader:
@@ -143,6 +145,11 @@ class ClipLoader:
     partial batch is padded by repeating its last clip with pad_count reported,
     keeping shapes static for XLA (`drop_remainder=False` semantics without
     recompilation).
+
+    local_rows=(lo, hi): multi-controller slice — clips/labels cover only
+    the [lo, hi) rows of each (padded) global batch while `rows` stays
+    global, so each process decodes only what its devices consume
+    (parallel/mesh.py::process_local_bounds / global_batch_from_local).
 
     Two worker modes:
       threads (default) -- cv2 decode and the native C++ preprocess both
@@ -155,7 +162,8 @@ class ClipLoader:
     def __init__(self, dataset: ClipDataset, batch_clips: int,
                  shuffle: bool = False, num_workers: int = 8,
                  prefetch: int = 2, seed: int = 0, drop_remainder: bool = False,
-                 use_processes: bool = False):
+                 use_processes: bool = False,
+                 local_rows: Optional[Tuple[int, int]] = None):
         self.ds = dataset
         self.batch = batch_clips
         self.shuffle = shuffle
@@ -164,6 +172,7 @@ class ClipLoader:
         self.seed = seed
         self.drop_remainder = drop_remainder
         self.use_processes = use_processes
+        self.local_rows = local_rows
 
     def __len__(self) -> int:
         n = self.ds.num_clips
@@ -194,11 +203,12 @@ class ClipLoader:
 
         if self.use_processes:
             def submit(pool, b):
-                return pool.submit(_proc_make_batch, b, epoch, self.batch)
+                return pool.submit(_proc_make_batch, b, epoch, self.batch,
+                                   self.local_rows)
         else:
             def submit(pool, b):
                 return pool.submit(_assemble_batch, self.ds, b, epoch,
-                                   self.batch)
+                                   self.batch, self.local_rows)
 
         batches = [rows[i:i + self.batch]
                    for i in range(0, len(rows), self.batch)]

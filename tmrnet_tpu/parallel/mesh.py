@@ -112,9 +112,61 @@ def param_shardings(mesh: Mesh, params: Any,
 
 
 def shard_batch(mesh: Mesh, *arrays, data_axis: Optional[str] = None):
-    """device_put host arrays with the batch dim sharded over data."""
+    """device_put host arrays with the batch dim sharded over data.
+
+    Multi-controller callers must hold the FULL global array on every
+    process (each contributes its addressable shards of the same value);
+    to feed per-process local slices instead, use process_local_bounds +
+    global_batch_from_local."""
     sh = batch_sharding(mesh, data_axis)
     out = tuple(jax.device_put(a, sh) for a in arrays)
+    return out[0] if len(out) == 1 else out
+
+
+def process_local_bounds(mesh: Mesh, global_batch: int,
+                         data_axis: Optional[str] = None) -> Tuple[int, int]:
+    """[lo, hi) batch rows whose shards live on THIS process's devices.
+
+    Multi-controller data loading: every process derives the same global
+    batch (row ids, shuffle order and augmentations are all seeded), but
+    assembles only its own [lo, hi) slice; global_batch_from_local() then
+    builds the global jax.Array from the slices, so no host decodes or
+    ships rows another process's devices will consume. make_mesh reshapes
+    jax.devices(), which orders devices process-contiguously, so a
+    process's rows form one contiguous range; a hand-built mesh that
+    interleaves processes along the data axis raises here (callers fall
+    back to the full global feed via shard_batch)."""
+    sh = batch_sharding(mesh, data_axis)
+    spans = sorted(
+        (0 if s.start is None else int(s.start),
+         global_batch if s.stop is None else int(s.stop))
+        for (s,) in sh.addressable_devices_indices_map(
+            (global_batch,)).values())
+    lo = spans[0][0]
+    hi = max(b for _, b in spans)
+    cur = lo
+    for a, b in spans:
+        if a > cur:
+            raise ValueError(
+                "this process's batch shards are not one contiguous row "
+                "range; use a process-contiguous mesh or feed the full "
+                "global batch via shard_batch")
+        cur = max(cur, b)
+    return lo, hi
+
+
+def global_batch_from_local(mesh: Mesh, *arrays, global_batch: int,
+                            data_axis: Optional[str] = None):
+    """Assemble batch-dim-sharded global jax.Arrays from this process's
+    local rows (its process_local_bounds slice). The inverse of slicing:
+    each process supplies only the rows its devices own and the runtime
+    stitches them into one global array — zero cross-process data motion
+    (jax.make_array_from_process_local_data)."""
+    sh = batch_sharding(mesh, data_axis)
+    out = tuple(
+        jax.make_array_from_process_local_data(
+            sh, np.ascontiguousarray(a), (global_batch,) + a.shape[1:])
+        for a in arrays)
     return out[0] if len(out) == 1 else out
 
 

@@ -108,6 +108,59 @@ def _make_memory_fn(cfg: ExperimentConfig, ds: Optional[ClipDataset],
     return fn
 
 
+class _BatchFeed:
+    """clips/labels host->device placement for the epoch loops.
+
+    Single process: plain asarray (no mesh) or batch-dim sharding over the
+    mesh (shard_batch). Multi-controller (jax.process_count() > 1): each
+    process's loader assembles only its local_rows slice of every
+    (identical, seeded) global batch, and put() stitches the slices into
+    one global jax.Array with zero cross-process data motion
+    (parallel/mesh.py::global_batch_from_local). fetch() returns global
+    host values either way — batch-sharded eval outputs span processes, so
+    the multi-controller path all-gathers them to replicated first."""
+
+    def __init__(self, mesh, batch: int):
+        self.mesh = mesh
+        self.batch = batch
+        self.local_rows = None
+        self._rep = None
+        if mesh is not None and jax.process_count() > 1:
+            from tmrnet_tpu.parallel.mesh import process_local_bounds
+
+            try:
+                self.local_rows = process_local_bounds(mesh, batch)
+            except ValueError:
+                # process-interleaved custom mesh: every process loads the
+                # full global batch (shard_batch contract) instead
+                self.local_rows = None
+
+    def put(self, clips, labels):
+        if self.mesh is None:
+            return jnp.asarray(clips), jnp.asarray(labels)
+        if self.local_rows is not None:
+            from tmrnet_tpu.parallel.mesh import global_batch_from_local
+
+            return global_batch_from_local(self.mesh, clips, labels,
+                                           global_batch=self.batch)
+        from tmrnet_tpu.parallel.mesh import shard_batch
+
+        return shard_batch(self.mesh, clips, labels)
+
+    def fetch(self, x) -> np.ndarray:
+        if getattr(x, "is_fully_addressable", True):
+            return np.asarray(x)
+        # batch-sharded output spanning processes: all-gather to a
+        # replicated array (fetchable on every process), one tiny
+        # compiler-inserted collective per call
+        if self._rep is None:
+            from tmrnet_tpu.parallel.mesh import replicated_sharding
+
+            self._rep = jax.jit(lambda a: a,
+                                out_shardings=replicated_sharding(self.mesh))
+        return np.asarray(self._rep(x))
+
+
 @jax.jit
 def _accumulate_metrics(acc, m):
     """Device-side running (loss_sum, correct, count) — one tiny dispatched
@@ -117,7 +170,8 @@ def _accumulate_metrics(acc, m):
 
 
 def _run_epoch_train(train_step, state, loader, epoch, rng,
-                     memory_fn: Optional[Callable] = None, mesh=None,
+                     memory_fn: Optional[Callable] = None,
+                     feed: Optional[_BatchFeed] = None,
                      log: Optional[MetricLogger] = None, log_every: int = 50,
                      minibatch_val: Optional[Callable] = None,
                      minibatch_val_every: int = 0, log_images_every: int = 0,
@@ -126,28 +180,25 @@ def _run_epoch_train(train_step, state, loader, epoch, rng,
     interrupted = False
     prev_loss, prev_count = 0.0, 0   # last log snapshot (host floats)
     timer = Timer()
-    for i, (clips, labels, rows, pad) in enumerate(loader.epoch(epoch)):
+    feed = feed or _BatchFeed(None, loader.batch)
+    for i, (host_clips, labels, rows, pad) in enumerate(loader.epoch(epoch)):
         step_rng = jax.random.fold_in(rng, epoch * 100003 + i)
-        if mesh is not None:
-            from tmrnet_tpu.parallel.mesh import shard_batch
-
-            clips, labels = shard_batch(mesh, clips, labels)
+        clips, labels = feed.put(host_clips, labels)
         if memory_fn is not None:
-            state, m = train_step(state, jnp.asarray(clips), memory_fn(rows),
-                                  jnp.asarray(labels), step_rng)
+            state, m = train_step(state, clips, memory_fn(rows),
+                                  labels, step_rng)
         else:
-            state, m = train_step(state, jnp.asarray(clips),
-                                  jnp.asarray(labels), step_rng)
+            state, m = train_step(state, clips, labels, step_rng)
         # loss already masks padding (label -1); m["count"] == len(rows)-pad
         acc = ((m["loss"], m["correct"], m["count"]) if acc is None
                else _accumulate_metrics(acc, m))
         timer.add_frames((len(rows) - pad) * clips.shape[1])
         if (log is not None and log_images_every
                 and i % log_images_every == 0):
-            # first clip of the batch as an input-sequence snapshot
+            # first locally-assembled clip as an input-sequence snapshot
             # (reference Comet log_image, `test-resnet.py:737-746`)
             log.log_images(int(state.step), "train/input_sequence",
-                           np.asarray(clips[0]))
+                           np.asarray(host_clips[0]))
         if log is not None and (i + 1) % log_every == 0:
             # the only host sync between logs; report the SINCE-LAST-LOG
             # window so the curve keeps per-batch resolution instead of an
@@ -176,22 +227,24 @@ def _run_epoch_train(train_step, state, loader, epoch, rng,
 
 
 def _run_epoch_eval(eval_step, state, loader,
-                    memory_fn: Optional[Callable] = None, mesh=None):
+                    memory_fn: Optional[Callable] = None,
+                    feed: Optional[_BatchFeed] = None):
     loss_sum, correct, count = 0.0, 0, 0
     all_preds, all_labels, all_rows = [], [], []
+    feed = feed or _BatchFeed(None, loader.batch)
     for clips, labels, rows, pad in loader.epoch(0):
-        if mesh is not None:   # same pre-sharded feed as the train path
-            from tmrnet_tpu.parallel.mesh import shard_batch
-
-            clips, labels = shard_batch(mesh, clips, labels)
+        dclips, dlabels = feed.put(clips, labels)
         if memory_fn is not None:
-            m = eval_step(state, jnp.asarray(clips), memory_fn(rows),
-                          jnp.asarray(labels))
+            m = eval_step(state, dclips, memory_fn(rows), dlabels)
         else:
-            m = eval_step(state, jnp.asarray(clips), jnp.asarray(labels))
+            m = eval_step(state, dclips, dlabels)
         b = len(rows) - pad
-        losses = np.asarray(m["losses"])[:b]
-        preds = np.asarray(m["preds"])[:b]
+        losses = feed.fetch(m["losses"])[:b]
+        preds = feed.fetch(m["preds"])[:b]
+        if feed.local_rows is not None:
+            # multi-controller: host labels cover only this process's
+            # slice — fetch the stitched global labels instead
+            labels = feed.fetch(dlabels)
         loss_sum += float(losses.sum())
         correct += int((preds == labels[:b]).sum())
         count += b
@@ -247,15 +300,20 @@ def _fit(cfg: ExperimentConfig, model, train_ds: ClipDataset,
                                        label_smoothing=t.label_smoothing,
                                        donate=t.donate_state, prep=prep)
 
+    # multi-controller: each process's loaders assemble only the batch rows
+    # its own devices consume (feed.local_rows; single-process = full batch)
+    feed = _BatchFeed(mesh, cfg.data.batch_clips)
     train_loader = ClipLoader(train_ds, cfg.data.batch_clips, shuffle=True,
                               num_workers=cfg.data.num_workers,
                               prefetch=cfg.data.prefetch, seed=t.seed,
                               drop_remainder=True,
-                              use_processes=cfg.data.use_process_workers)
+                              use_processes=cfg.data.use_process_workers,
+                              local_rows=feed.local_rows)
     val_loader = (ClipLoader(val_ds, cfg.data.batch_clips, shuffle=False,
                              num_workers=cfg.data.num_workers,
                              prefetch=cfg.data.prefetch,
-                             use_processes=cfg.data.use_process_workers)
+                             use_processes=cfg.data.use_process_workers,
+                             local_rows=feed.local_rows)
                   if val_ds is not None else None)
 
     if mesh is not None:
@@ -301,20 +359,19 @@ def _fit(cfg: ExperimentConfig, model, train_ds: ClipDataset,
     minibatch_val = None
     if t.val_minibatch_every and val_ds is not None:
         vb_clips, vb_labels, vb_rows, vb_pad = next(iter(val_loader.epoch(0)))
-        if mesh is not None:
-            from tmrnet_tpu.parallel.mesh import shard_batch
-
-            vb_clips, vb_labels = shard_batch(mesh, vb_clips, vb_labels)
+        vb_clips, vb_dlabels = feed.put(vb_clips, vb_labels)
+        if feed.local_rows is not None:
+            vb_labels = feed.fetch(vb_dlabels)  # stitched global labels
 
         def minibatch_val(st):
             if use_memory:
-                m = eval_step(st, jnp.asarray(vb_clips),
-                              val_memory_fn(vb_rows), jnp.asarray(vb_labels))
+                m = eval_step(st, vb_clips, val_memory_fn(vb_rows),
+                              vb_dlabels)
             else:
-                m = eval_step(st, jnp.asarray(vb_clips), jnp.asarray(vb_labels))
+                m = eval_step(st, vb_clips, vb_dlabels)
             b = len(vb_rows) - vb_pad
-            preds = np.asarray(m["preds"])[:b]
-            return {"loss": float(np.asarray(m["losses"])[:b].sum()) / max(b, 1),
+            preds = feed.fetch(m["preds"])[:b]
+            return {"loss": float(feed.fetch(m["losses"])[:b].sum()) / max(b, 1),
                     "acc": float((preds == vb_labels[:b]).mean())}
 
     # Preemption-safe exit (train.preempt_save): SIGTERM/SIGINT set a flag
@@ -341,7 +398,7 @@ def _fit(cfg: ExperimentConfig, model, train_ds: ClipDataset,
     try:
         return _epoch_loop(
             cfg, state, stop, start_epoch, train_step, eval_step,
-            train_loader, val_loader, rng, memory_fn, val_memory_fn, mesh,
+            train_loader, val_loader, rng, memory_fn, val_memory_fn, feed,
             log, minibatch_val, schedule, tracker, ckpt, history)
     finally:
         if restore_sigs:
@@ -353,7 +410,7 @@ def _fit(cfg: ExperimentConfig, model, train_ds: ClipDataset,
 
 def _epoch_loop(cfg, state, stop, start_epoch, train_step, eval_step,
                 train_loader, val_loader, rng, memory_fn, val_memory_fn,
-                mesh, log, minibatch_val, schedule, tracker,
+                feed, log, minibatch_val, schedule, tracker,
                 ckpt: CheckpointManager, history: List[EpochStats]):
     """The epoch loop of _fit (split out so the signal-handler install/
     restore brackets exactly the region that honors the stop flag).
@@ -363,7 +420,7 @@ def _epoch_loop(cfg, state, stop, start_epoch, train_step, eval_step,
         t0 = time.time()
         state, tr_loss, tr_acc, interrupted = _run_epoch_train(
             train_step, state, train_loader, epoch, rng, memory_fn,
-            mesh, log, t.log_every, minibatch_val, t.val_minibatch_every,
+            feed, log, t.log_every, minibatch_val, t.val_minibatch_every,
             t.log_images_every, stop)
         if interrupted:
             # checkpoint the preempted weights marked for EPOCH REPLAY
@@ -382,7 +439,7 @@ def _epoch_loop(cfg, state, stop, start_epoch, train_step, eval_step,
             break
         if val_loader is not None:
             va_loss, va_acc, va_preds, va_labels, _ = _run_epoch_eval(
-                eval_step, state, val_loader, val_memory_fn, mesh)
+                eval_step, state, val_loader, val_memory_fn, feed)
             if log is not None and va_preds.size:
                 from tmrnet_tpu.eval.metrics import classification_metrics
 

@@ -149,7 +149,15 @@ def set_learning_rate(opt_state, lr: float):
     def update(s):
         if _is_inject(s):
             hp = dict(s.hyperparams)
-            hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+            old = hp["learning_rate"]
+            new = jnp.asarray(lr, jnp.float32)
+            sharding = getattr(old, "sharding", None)
+            if sharding is not None and getattr(sharding, "mesh", None) is not None:
+                # keep the leaf's mesh placement: a default-device scalar
+                # inside an otherwise replicated opt_state breaks donation
+                # layouts and is unserializable in multi-controller runs
+                new = jax.device_put(new, sharding)
+            hp["learning_rate"] = new
             return s._replace(hyperparams=hp)
         return s
 

@@ -45,10 +45,27 @@ class CheckpointManager:
     def save(self, state, step: int, metrics: Optional[Dict] = None,
              is_best: bool = False) -> str:
         path = self._step_dir(step)
+        import jax
+
+        primary = jax.process_index() == 0
         if os.path.exists(path):
-            shutil.rmtree(path)
+            # on a shared filesystem every process races to delete the
+            # same tree; ENOENT from a peer's concurrent delete is fine
+            shutil.rmtree(path, ignore_errors=True)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            # the delete must complete on every host before orbax's
+            # existence check runs anywhere
+            multihost_utils.sync_global_devices(f"tmrnet_ckpt_rm_{step}")
+        # every process participates in the orbax save (multi-controller
+        # barriers run inside; the primary writes replicated data) ...
         self._ckptr.save(path, self._savable(state))
         self._ckptr.wait_until_finished()
+        if not primary:
+            # ... but the host-side sidecar/best/gc file ops are the
+            # primary's alone — concurrent rmtree/copytree would race
+            return path
         with open(self._meta_path(step), "w") as f:
             json.dump({"step": step, "metrics": metrics or {}}, f)
         if is_best:
