@@ -43,6 +43,9 @@ def main(argv=None) -> int:
     ap.add_argument("--workdir", default=None,
                     help="stage1 mode: SHARED checkpoint/work dir (orbax "
                          "multi-controller saves coordinate through it)")
+    ap.add_argument("--epochs", type=int, default=2,
+                    help="stage1 mode: epoch count (large values let a "
+                         "preemption test SIGTERM one controller mid-run)")
     args = ap.parse_args(argv)
 
     # virtual-device bootstrap must precede the first backend query; the
@@ -119,7 +122,7 @@ def main(argv=None) -> int:
     return 0
 
 
-def build_synthetic_stage1(workdir: str):
+def build_synthetic_stage1(workdir: str, epochs: int = 2):
     """Deterministic tiny stage-1 setup, identical on every process that
     calls it (seeded in-memory frames — no shared data disk needed; only
     the checkpoint dir is shared). Also imported by tests/test_multihost.py
@@ -153,7 +156,7 @@ def build_synthetic_stage1(workdir: str):
         model=ModelConfig(backbone="tiny", stage_sizes=(1, 1), width=8,
                           hidden_dim=16, num_classes=4, head="stage1",
                           compute_dtype="float32"),
-        train=TrainConfig(epochs=2, optimizer="sgd", lr=0.02,
+        train=TrainConfig(epochs=epochs, optimizer="sgd", lr=0.02,
                           schedule="constant", seed=0, log_every=1000,
                           checkpoint_dir=os.path.join(workdir, "ckpt")),
     )
@@ -176,7 +179,7 @@ def stage1_data_parallel(args, n: int) -> int:
     from tmrnet_tpu.parallel.mesh import make_mesh
     from tmrnet_tpu.train.loop import train_stage1
 
-    cfg, train_ds, val_ds = build_synthetic_stage1(args.workdir)
+    cfg, train_ds, val_ds = build_synthetic_stage1(args.workdir, args.epochs)
     mesh = make_mesh(MeshConfig(data_parallel=n, model_parallel=1))
     _state, hist = train_stage1(cfg, train_ds, val_ds, mesh=mesh)
     for h in hist:

@@ -21,12 +21,16 @@ The reference has no multi-node story at all (SURVEY.md §2.8: one-process
 torch DataParallel); this is the rebuild's DCN evidence.
 """
 
+import glob
 import importlib.util
+import json
 import os
 import re
+import signal
 import socket
 import subprocess
 import sys
+import time
 
 _SCRIPT = os.path.join(os.path.dirname(__file__), os.pardir, "scripts",
                        "multihost_dryrun.py")
@@ -38,13 +42,13 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_pair(extra_args):
+def _spawn_pair(extra_args):
     port = _free_port()
     env = dict(os.environ)
     # each process bootstraps its own 4-device virtual CPU platform; the
     # parent suite's XLA_FLAGS (8 devices) must not leak through
     env.pop("XLA_FLAGS", None)
-    procs = [
+    return [
         subprocess.Popen(
             [sys.executable, _SCRIPT, "--coordinator", f"127.0.0.1:{port}",
              "--num-processes", "2", "--process-id", str(i),
@@ -53,6 +57,10 @@ def _run_pair(extra_args):
             env=env)
         for i in range(2)
     ]
+
+
+def _run_pair(extra_args):
+    procs = _spawn_pair(extra_args)
     outs = []
     for p in procs:
         try:
@@ -131,3 +139,48 @@ def test_two_process_stage1_local_data_loading(tmp_path):
     ckpt = CheckpointManager(str(shared / "ckpt"))
     assert ckpt.latest_step() is not None
     assert os.path.exists(ckpt.best_dir)
+
+
+def test_two_process_preemption_stops_both_controllers(tmp_path):
+    """SIGTERM delivered to ONE controller only: the collective stop check
+    (train/loop.py::_global_stop) must spread the preemption so BOTH
+    controllers leave at the same step boundary, checkpoint together
+    (orbax barriers would deadlock otherwise), and exit 0."""
+    shared = tmp_path / "shared"
+    shared.mkdir()
+    procs = _spawn_pair(["--mode", "stage1", "--workdir", str(shared),
+                         "--epochs", "200"])
+    try:
+        # wait for training to actually make progress (first epoch's
+        # checkpoint appears), then preempt controller 0 alone
+        deadline = time.time() + 480
+        while time.time() < deadline:
+            if glob.glob(str(shared / "ckpt" / "step_*.json")):
+                break
+            if any(p.poll() is not None for p in procs):
+                break  # a child died early; fall through to the asserts
+            time.sleep(0.5)
+        else:
+            raise AssertionError("no checkpoint appeared within 480 s")
+        procs[0].send_signal(signal.SIGTERM)
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for q in procs:
+            q.kill()
+        raise
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out}"
+    s0, s1 = _epoch_stats(outs[0]), _epoch_stats(outs[1])
+    # both controllers unwound at the same boundary with identical stats,
+    # long before the nominal 200 epochs
+    assert s0 == s1
+    assert len(s0) < 200
+    # the preemption checkpoint is consistent in the shared dir
+    metas = sorted(glob.glob(str(shared / "ckpt" / "step_*.json")))
+    assert metas
+    with open(metas[-1]) as f:
+        meta = json.load(f)["metrics"]
+    assert "epoch" in meta

@@ -135,17 +135,21 @@ class _BatchFeed:
                 # full global batch (shard_batch contract) instead
                 self.local_rows = None
 
-    def put(self, clips, labels):
+    def put(self, *arrays):
         if self.mesh is None:
-            return jnp.asarray(clips), jnp.asarray(labels)
-        if self.local_rows is not None:
+            out = tuple(jnp.asarray(a) for a in arrays)
+        elif self.local_rows is not None:
             from tmrnet_tpu.parallel.mesh import global_batch_from_local
 
-            return global_batch_from_local(self.mesh, clips, labels,
-                                           global_batch=self.batch)
-        from tmrnet_tpu.parallel.mesh import shard_batch
+            out = global_batch_from_local(self.mesh, *arrays,
+                                          global_batch=self.batch)
+            out = out if isinstance(out, tuple) else (out,)
+        else:
+            from tmrnet_tpu.parallel.mesh import shard_batch
 
-        return shard_batch(self.mesh, clips, labels)
+            out = shard_batch(self.mesh, *arrays)
+            out = out if isinstance(out, tuple) else (out,)
+        return out[0] if len(out) == 1 else out
 
     def fetch(self, x) -> np.ndarray:
         if getattr(x, "is_fully_addressable", True):
@@ -159,6 +163,24 @@ class _BatchFeed:
             self._rep = jax.jit(lambda a: a,
                                 out_shardings=replicated_sharding(self.mesh))
         return np.asarray(self._rep(x))
+
+
+def _global_stop(stop: Optional[dict]) -> bool:
+    """Collective preemption check: in a multi-controller run a SIGTERM may
+    land on one process only; a process-local stop would have that process
+    enter the checkpoint barrier while its peers keep training — a
+    deadlock. Every process calls this at the same boundaries (every step,
+    and once after each epoch's bookkeeping), so the tiny all-gather keeps
+    them in lockstep and ANY process's signal stops all of them."""
+    flag = bool(stop is not None and stop.get("stop"))
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        flag = bool(np.any(multihost_utils.process_allgather(
+            np.asarray([flag]))))
+        if flag and stop is not None:
+            stop["stop"] = True   # adopt a peer's preemption locally
+    return flag
 
 
 @jax.jit
@@ -214,10 +236,10 @@ def _run_epoch_train(train_step, state, loader, epoch, rng,
             vm = minibatch_val(state)
             if log is not None:
                 log.log(int(state.step), vm, prefix="val_minibatch/")
-        if stop is not None and stop.get("stop"):
-            # preemption signal: the step that was in flight has been
-            # applied; leave at this step boundary so the caller can
-            # checkpoint a consistent state (config train.preempt_save)
+        if stop is not None and _global_stop(stop):
+            # preemption signal (on ANY controller): the step that was in
+            # flight has been applied; leave at this step boundary so the
+            # caller can checkpoint a consistent state (train.preempt_save)
             interrupted = True
             break
     if acc is None:
@@ -474,10 +496,11 @@ def _epoch_loop(cfg, state, stop, start_epoch, train_step, eval_step,
                            sched_scale=schedule.scale)
         ckpt.save(state, step=int(state.step), metrics=metrics,
                   is_best=is_best)
-        if stop.get("stop"):
-            # the signal landed during the val pass / bookkeeping: this
-            # epoch completed and is checkpointed — exit at the boundary
-            # (resume continues with the next epoch, no replay needed)
+        if _global_stop(stop):
+            # the signal landed during the val pass / bookkeeping (on any
+            # controller): this epoch completed and is checkpointed — exit
+            # at the boundary (resume continues with the next epoch, no
+            # replay needed)
             if log is not None:
                 log.log(epoch, {"preempted": 1.0}, prefix="epoch/")
             break
@@ -519,7 +542,10 @@ def build_lfb(cfg: ExperimentConfig, extractor_variables,
 
     mesh: optional device mesh — clip batches shard over the data axis
     (params + bank replicated, like every other engine); batches whose
-    size doesn't divide the axis fall back to replicated placement."""
+    size doesn't divide the axis fall back to replicated placement. In a
+    multi-controller run each process assembles only its own batch slice
+    (same _BatchFeed contract as training) and process 0 writes the
+    cache."""
     path = cache_path or cfg.memory.cache_path
     if path and os.path.exists(path) and cfg.memory.load_cached and not force:
         return load_bank(path)
@@ -538,23 +564,24 @@ def build_lfb(cfg: ExperimentConfig, extractor_variables,
         return model.apply(variables, prep(clips), train=False)
 
     put_batch = jnp.asarray
+    local_rows = None
     if mesh is not None:
-        from tmrnet_tpu.parallel.mesh import (
-            batch_sharding,
-            replicated_sharding,
-        )
+        from tmrnet_tpu.parallel.mesh import replicated_sharding
 
         rep = replicated_sharding(mesh)
         extractor_variables = jax.device_put(extractor_variables, rep)
-        bsh = batch_sharding(mesh)
         dp = mesh.shape[mesh.axis_names[0]]
-
-        def put_batch(clips):
-            # loader batches are padded to full size, so divisibility is
-            # decided once by batch_clips; the guard covers API callers
-            # with hand-built meshes (same fallback as run_video)
-            sh = bsh if clips.shape[0] % dp == 0 else rep
-            return jax.device_put(clips, sh)
+        # loader batches are padded to full size, so divisibility is
+        # decided once by batch_clips; indivisible batches (API callers
+        # with hand-built meshes) fall back to replicated placement, the
+        # same fallback as run_video
+        if cfg.data.batch_clips % dp == 0:
+            feed = _BatchFeed(mesh, cfg.data.batch_clips)
+            local_rows = feed.local_rows  # multi-controller local slices
+            put_batch = feed.put
+        else:
+            def put_batch(clips):
+                return jax.device_put(clips, rep)
 
     lengths = ds.manifest.video_lengths
     bank = FeatureBank.create(ds.seq_len, lengths, cfg.model.hidden_dim)
@@ -564,14 +591,16 @@ def build_lfb(cfg: ExperimentConfig, extractor_variables,
     loader = ClipLoader(ds, cfg.data.batch_clips, shuffle=False,
                         num_workers=cfg.data.num_workers,
                         prefetch=cfg.data.prefetch,
-                        use_processes=cfg.data.use_process_workers)
+                        use_processes=cfg.data.use_process_workers,
+                        local_rows=local_rows)
     for clips, _labels, rows, pad in loader.epoch(0):
         values = extract(extractor_variables, put_batch(clips))
         b = len(rows) - pad
         feats = update_bank(feats, jnp.asarray(rows[:b], jnp.int32),
                             values[:b])
     bank = FeatureBank(features=feats, first_rows=bank.first_rows)
-    if path:
+    if path and jax.process_index() == 0:
+        # multi-controller: one writer for the (replicated) bank cache
         save_bank(path, bank)
     return bank
 
@@ -634,7 +663,8 @@ def _build_lfb_video(cfg: ExperimentConfig, extractor_variables, ds,
                 feats, jnp.arange(row, row + k, dtype=jnp.int32), vals)
         row += k
     bank = FeatureBank(features=feats, first_rows=bank.first_rows)
-    if path:
+    if path and jax.process_index() == 0:
+        # multi-controller: one writer for the (replicated) bank cache
         save_bank(path, bank)
     return bank
 
