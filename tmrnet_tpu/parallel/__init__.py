@@ -6,4 +6,6 @@ from tmrnet_tpu.parallel.mesh import (  # noqa: F401
     shard_batch,
     shard_state,
     initialize_multihost,
+    process_local_bounds,
+    global_batch_from_local,
 )
