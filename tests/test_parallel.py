@@ -125,3 +125,26 @@ def test_lfb_gather_sharded():
     out = gather_memory_windows(feats, rows, firsts, 4)
     assert out.shape == (8, 4, 8)
     np.testing.assert_allclose(np.asarray(out)[0, :, 0], [39 * 8, 38 * 8, 37 * 8, 36 * 8])
+
+
+def test_multihost_helpers_and_single_controller_guard(monkeypatch):
+    from tmrnet_tpu.parallel.mesh import (
+        global_batch_from_local,
+        process_local_bounds,
+        require_single_controller,
+    )
+
+    mesh = make_mesh(MeshConfig(data_parallel=4, model_parallel=2))
+    # single process owns every row; the stitched array equals device_put
+    assert process_local_bounds(mesh, 8) == (0, 8)
+    x = np.arange(16, dtype=np.float32).reshape(8, 2)
+    g = global_batch_from_local(mesh, x, global_batch=8)
+    np.testing.assert_array_equal(np.asarray(g), x)
+    assert g.sharding == shard_batch(mesh, x).sharding
+
+    # inference engines refuse multi-controller meshes up front
+    require_single_controller(mesh, "X")  # 1 process: fine
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    with pytest.raises(ValueError, match="single-controller"):
+        require_single_controller(mesh, "X")
+    require_single_controller(None, "X")  # no mesh: always fine

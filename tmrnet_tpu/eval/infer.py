@@ -58,6 +58,9 @@ class ClipInference:
 
     def __init__(self, cfg: ExperimentConfig, variables, bank: FeatureBank,
                  mesh=None):
+        from tmrnet_tpu.parallel.mesh import require_single_controller
+
+        require_single_controller(mesh, "ClipInference")
         self.cfg = cfg
         self.mesh = mesh
         model = build_model(cfg.model)
@@ -182,6 +185,9 @@ class VideoInference:
         programs keep their measured unchunked form), -1 = never, >0 =
         explicit chunk size.
         """
+        from tmrnet_tpu.parallel.mesh import require_single_controller
+
+        require_single_controller(mesh, "VideoInference")
         self.cfg = cfg
         self.seq = cfg.data.sequence_length
         self.window = cfg.memory.window

@@ -58,6 +58,9 @@ class StreamingInference:
 
     def __init__(self, cfg: ExperimentConfig, variables, extractor_variables,
                  mesh=None):
+        from tmrnet_tpu.parallel.mesh import require_single_controller
+
+        require_single_controller(mesh, "StreamingInference")
         self.cfg = cfg
         self.seq = cfg.data.sequence_length
         self.window = cfg.memory.window

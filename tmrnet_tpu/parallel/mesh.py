@@ -73,6 +73,21 @@ def batch_sharding(mesh: Mesh, data_axis: Optional[str] = None
     return NamedSharding(mesh, P(data_axis or mesh.axis_names[0]))
 
 
+def require_single_controller(mesh, what: str) -> None:
+    """Inference engines fetch batch-sharded outputs straight to the host;
+    in a multi-controller runtime those spans are not addressable, and one
+    slice already saturates the protocol workloads, so the engines are
+    single-controller by design (multi-controller execution is a TRAINING
+    feature — train/loop.py feeds per-process batch slices). Raise early
+    with a pointer instead of a deep np.asarray addressability failure."""
+    if mesh is not None and jax.process_count() > 1:
+        raise ValueError(
+            f"{what} runs single-controller: build its mesh over one "
+            "process's devices (multi-controller/multi-host execution is "
+            "supported for training and clip-engine LFB builds — "
+            "docs/SCALING.md 'Multi-host')")
+
+
 def _path_str(path) -> str:
     return "/".join(str(getattr(p, "key", p)) for p in path)
 

@@ -550,6 +550,12 @@ def build_lfb(cfg: ExperimentConfig, extractor_variables,
     if path and os.path.exists(path) and cfg.memory.load_cached and not force:
         return load_bank(path)
 
+    if engine == "video" and jax.process_count() > 1:
+        # the video engine's frame-sharded fetches are single-controller
+        # (require_single_controller); the clip engine builds the
+        # identical bank (parity-tested) with per-process batch slices —
+        # auto-fall back like the CLI engine defaults do
+        engine = "clip"
     if engine == "video":
         return _build_lfb_video(cfg, extractor_variables, ds, path, mesh)
 
