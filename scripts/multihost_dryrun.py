@@ -35,11 +35,14 @@ def main(argv=None) -> int:
     ap.add_argument("--local-devices", type=int, default=4,
                     help="virtual CPU devices hosted by THIS process")
     ap.add_argument("--model-parallel", type=int, default=2)
-    ap.add_argument("--mode", choices=("step", "stage1"), default="step",
+    ap.add_argument("--mode", choices=("step", "stage1", "stage2"),
+                    default="step",
                     help="step: one sharded stage-2 train step; stage1: a "
                          "full train_stage1 run with per-process local "
                          "data loading (each process decodes only the "
-                         "batch rows its devices consume)")
+                         "batch rows its devices consume); stage2: "
+                         "clip-engine LFB build + train_stage2 the same "
+                         "way (memory gathers + bank scatter included)")
     ap.add_argument("--workdir", default=None,
                     help="stage1 mode: SHARED checkpoint/work dir (orbax "
                          "multi-controller saves coordinate through it)")
@@ -77,6 +80,8 @@ def main(argv=None) -> int:
 
     if args.mode == "stage1":
         return stage1_data_parallel(args, n)
+    if args.mode == "stage2":
+        return stage2_data_parallel(args, n)
 
     import jax.numpy as jnp
 
@@ -165,6 +170,75 @@ def build_synthetic_stage1(workdir: str, epochs: int = 2):
     return cfg, train_ds, val_ds
 
 
+def build_synthetic_stage2(workdir: str, epochs: int = 2):
+    """Stage-2 twin of build_synthetic_stage1: TMRNet head + a tiny memory
+    window, LFB cache in the (shared) workdir."""
+    import dataclasses
+    import os as _os
+
+    from tmrnet_tpu.config import MemoryConfig
+
+    cfg, train_ds, val_ds = build_synthetic_stage1(workdir, epochs)
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, head="tmr"),
+        memory=MemoryConfig(window=4,
+                            cache_path=_os.path.join(workdir, "lfb.npz")))
+    return cfg, train_ds, val_ds
+
+
+def stage2_extractor(cfg, train_ds):
+    """Frozen extractor variables from a seeded stage-1 init (identical on
+    every process / the single-process comparison run — stage-2 parity
+    needs shared weights, not a trained model)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from tmrnet_tpu.models.tmrnet import build_model
+
+    m1 = build_model(dataclasses.replace(cfg.model, head="stage1"))
+    sample, _ = train_ds.get_clip(0)
+    v1 = m1.init(jax.random.PRNGKey(0),
+                 jnp.asarray(sample[None], jnp.float32))
+    return {"params": {"backbone": v1["params"]["backbone"],
+                       "encoder": v1["params"]["encoder"]},
+            "batch_stats": {"backbone": v1["batch_stats"]["backbone"]}}
+
+
+def print_history(tag: str, pid, hist) -> None:
+    for h in hist:
+        print(f"{tag} proc {pid}: epoch={h.epoch} "
+              f"train_loss={h.train_loss:.6f} train_acc={h.train_acc:.6f} "
+              f"val_loss={h.val_loss:.6f} val_acc={h.val_acc:.6f}",
+              flush=True)
+
+
+def stage2_data_parallel(args, n: int) -> int:
+    """Clip-engine LFB build + train_stage2, both over the global mesh with
+    per-process local batch slices — covers the memory-window gathers on
+    the replicated bank, the update_bank scatter, and the process-0 bank
+    cache write that the stage-1 mode doesn't touch."""
+    assert args.workdir, "--mode stage2 requires --workdir (shared dir)"
+    import numpy as np
+
+    from tmrnet_tpu.config import MeshConfig
+    from tmrnet_tpu.parallel.mesh import make_mesh
+    from tmrnet_tpu.train.loop import build_lfb, train_stage2
+
+    cfg, train_ds, val_ds = build_synthetic_stage2(args.workdir, args.epochs)
+    mesh = make_mesh(MeshConfig(data_parallel=n, model_parallel=1))
+    bank = build_lfb(cfg, stage2_extractor(cfg, train_ds), train_ds,
+                     force=True, mesh=mesh)
+    print(f"stage2 proc {args.process_id}: "
+          f"bank_sum={float(np.abs(np.asarray(bank.features)).sum()):.4f}",
+          flush=True)
+    _state, hist = train_stage2(cfg, train_ds, bank, val_ds, bank, mesh=mesh)
+    print_history("stage2", args.process_id, hist)
+    return 0
+
+
 def stage1_data_parallel(args, n: int) -> int:
     """Full train_stage1 over the global mesh with PER-PROCESS LOCAL data
     loading: _fit's _BatchFeed detects process_count() > 1, each process's
@@ -182,11 +256,7 @@ def stage1_data_parallel(args, n: int) -> int:
     cfg, train_ds, val_ds = build_synthetic_stage1(args.workdir, args.epochs)
     mesh = make_mesh(MeshConfig(data_parallel=n, model_parallel=1))
     _state, hist = train_stage1(cfg, train_ds, val_ds, mesh=mesh)
-    for h in hist:
-        print(f"stage1 proc {args.process_id}: epoch={h.epoch} "
-              f"train_loss={h.train_loss:.6f} train_acc={h.train_acc:.6f} "
-              f"val_loss={h.val_loss:.6f} val_acc={h.val_acc:.6f}",
-              flush=True)
+    print_history("stage1", args.process_id, hist)
     return 0
 
 

@@ -88,7 +88,7 @@ def test_two_process_train_step_matches_single_process():
 
 
 _EPOCH_RE = re.compile(
-    r"stage1 proc \d: epoch=(\d+) train_loss=([0-9.]+) train_acc=([0-9.]+) "
+    r"stage\d proc \d: epoch=(\d+) train_loss=([0-9.]+) train_acc=([0-9.]+) "
     r"val_loss=([0-9.]+) val_acc=([0-9.]+)")
 
 
@@ -139,6 +139,48 @@ def test_two_process_stage1_local_data_loading(tmp_path):
     ckpt = CheckpointManager(str(shared / "ckpt"))
     assert ckpt.latest_step() is not None
     assert os.path.exists(ckpt.best_dir)
+
+
+def test_two_process_stage2_lfb_and_memory_training(tmp_path):
+    """Clip-engine LFB build + stage-2 (memory) training across 2
+    controllers with local batch slices: bank and epoch stats must match
+    the single-process 8-device run, and process 0 must have written a
+    fetchable bank cache to the shared dir."""
+    shared = tmp_path / "shared"
+    shared.mkdir()
+    outs = _run_pair(["--mode", "stage2", "--workdir", str(shared)])
+    s0, s1 = _epoch_stats(outs[0]), _epoch_stats(outs[1])
+    assert s0 == s1, f"controllers disagree:\n{outs[0]}\n{outs[1]}"
+    sums = [float(re.search(r"bank_sum=([0-9.]+)", o).group(1)) for o in outs]
+    assert sums[0] == sums[1]
+    assert os.path.exists(shared / "lfb.npz")  # process-0 cache write
+
+    spec = importlib.util.spec_from_file_location("multihost_dryrun", _SCRIPT)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    import numpy as np
+
+    from tmrnet_tpu.config import MeshConfig
+    from tmrnet_tpu.parallel.mesh import make_mesh
+    from tmrnet_tpu.train.loop import build_lfb, train_stage2
+
+    single = tmp_path / "single"
+    single.mkdir()
+    cfg, train_ds, val_ds = mod.build_synthetic_stage2(str(single))
+    mesh = make_mesh(MeshConfig(data_parallel=8, model_parallel=1))
+    bank = build_lfb(cfg, mod.stage2_extractor(cfg, train_ds), train_ds,
+                     force=True, mesh=mesh)
+    ref_sum = float(np.abs(np.asarray(bank.features)).sum())
+    assert abs(ref_sum - sums[0]) < 1e-3 * max(1.0, ref_sum)
+    _state, hist = train_stage2(cfg, train_ds, bank, val_ds, bank, mesh=mesh)
+    assert len(hist) == len(s0)
+    for h, (epoch, tr_loss, tr_acc, va_loss, va_acc) in zip(hist, s0):
+        assert h.epoch == int(epoch)
+        assert abs(h.train_loss - tr_loss) < 1e-3 * max(1.0, tr_loss)
+        assert abs(h.val_loss - va_loss) < 1e-3 * max(1.0, va_loss)
+        assert abs(h.train_acc - tr_acc) < 1e-3
+        assert abs(h.val_acc - va_acc) < 1e-3
 
 
 def test_two_process_preemption_stops_both_controllers(tmp_path):

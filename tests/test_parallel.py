@@ -127,7 +127,7 @@ def test_lfb_gather_sharded():
     np.testing.assert_allclose(np.asarray(out)[0, :, 0], [39 * 8, 38 * 8, 37 * 8, 36 * 8])
 
 
-def test_multihost_helpers_and_single_controller_guard(monkeypatch):
+def test_multihost_helpers_and_single_controller_guard():
     from tmrnet_tpu.parallel.mesh import (
         global_batch_from_local,
         process_local_bounds,
@@ -142,9 +142,15 @@ def test_multihost_helpers_and_single_controller_guard(monkeypatch):
     np.testing.assert_array_equal(np.asarray(g), x)
     assert g.sharding == shard_batch(mesh, x).sharding
 
-    # inference engines refuse multi-controller meshes up front
-    require_single_controller(mesh, "X")  # 1 process: fine
-    monkeypatch.setattr(jax, "process_count", lambda: 2)
-    with pytest.raises(ValueError, match="single-controller"):
-        require_single_controller(mesh, "X")
+    # inference engines refuse meshes that SPAN controllers up front;
+    # process-local meshes are fine even in a multi-process runtime
+    require_single_controller(mesh, "X")  # all devices on this process
     require_single_controller(None, "X")  # no mesh: always fine
+
+    import types
+
+    spanning = types.SimpleNamespace(devices=np.asarray(
+        [types.SimpleNamespace(process_index=0),
+         types.SimpleNamespace(process_index=1)]))
+    with pytest.raises(ValueError, match="single-controller"):
+        require_single_controller(spanning, "X")

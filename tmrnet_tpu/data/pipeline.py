@@ -74,6 +74,7 @@ class ClipDataset:
         self._row_video = np.repeat(np.arange(len(lengths)), self._cpv)
         self._row_offset = np.concatenate(
             [np.arange(c) for c in self._cpv]) if len(lengths) else np.zeros(0, int)
+        self._clip_labels = None  # lazy (see clip_labels)
 
     @property
     def num_clips(self) -> int:
@@ -83,6 +84,18 @@ class ClipDataset:
     def first_rows(self) -> np.ndarray:
         """Per-row first row of its video (for clamped memory gathers)."""
         return np.repeat(self._first_rows, self._cpv)
+
+    @property
+    def clip_labels(self) -> np.ndarray:
+        """Per-row last-frame labels from manifest metadata alone (no
+        decode) — multi-controller eval reads global labels from here
+        while each process's loader assembles only its local clips."""
+        if self._clip_labels is None:
+            self._clip_labels = np.asarray(
+                [int(self.manifest.videos[v].labels[o + self.seq_len - 1])
+                 for v, o in zip(self._row_video, self._row_offset)],
+                np.int64)
+        return self._clip_labels
 
     def clip_location(self, row: int) -> Tuple[int, int]:
         """row -> (video index, start frame within video)."""

@@ -73,14 +73,22 @@ def batch_sharding(mesh: Mesh, data_axis: Optional[str] = None
     return NamedSharding(mesh, P(data_axis or mesh.axis_names[0]))
 
 
+def mesh_spans_processes(mesh) -> bool:
+    """True iff the mesh's devices live on more than one controller. A
+    process-local mesh inside a multi-process runtime stays fully
+    addressable and needs none of the multi-controller machinery."""
+    return len({d.process_index for d in mesh.devices.flat}) > 1
+
+
 def require_single_controller(mesh, what: str) -> None:
     """Inference engines fetch batch-sharded outputs straight to the host;
-    in a multi-controller runtime those spans are not addressable, and one
+    a mesh spanning controllers makes those spans non-addressable, and one
     slice already saturates the protocol workloads, so the engines are
     single-controller by design (multi-controller execution is a TRAINING
     feature — train/loop.py feeds per-process batch slices). Raise early
-    with a pointer instead of a deep np.asarray addressability failure."""
-    if mesh is not None and jax.process_count() > 1:
+    with a pointer instead of a deep np.asarray addressability failure.
+    Process-local meshes are fine even in a multi-process runtime."""
+    if mesh is not None and mesh_spans_processes(mesh):
         raise ValueError(
             f"{what} runs single-controller: build its mesh over one "
             "process's devices (multi-controller/multi-host execution is "

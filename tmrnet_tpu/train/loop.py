@@ -125,15 +125,24 @@ class _BatchFeed:
         self.batch = batch
         self.local_rows = None
         self._rep = None
-        if mesh is not None and jax.process_count() > 1:
-            from tmrnet_tpu.parallel.mesh import process_local_bounds
+        # multi-controller machinery engages only when THIS mesh actually
+        # spans processes — a process-local mesh in a multi-process
+        # runtime must not join cross-process collectives
+        self.multi = False
+        if mesh is not None:
+            from tmrnet_tpu.parallel.mesh import (
+                mesh_spans_processes,
+                process_local_bounds,
+            )
 
-            try:
-                self.local_rows = process_local_bounds(mesh, batch)
-            except ValueError:
-                # process-interleaved custom mesh: every process loads the
-                # full global batch (shard_batch contract) instead
-                self.local_rows = None
+            self.multi = mesh_spans_processes(mesh)
+            if self.multi:
+                try:
+                    self.local_rows = process_local_bounds(mesh, batch)
+                except ValueError:
+                    # process-interleaved custom mesh: every process loads
+                    # the full global batch (shard_batch contract) instead
+                    self.local_rows = None
 
     def put(self, *arrays):
         if self.mesh is None:
@@ -165,15 +174,24 @@ class _BatchFeed:
         return np.asarray(self._rep(x))
 
 
-def _global_stop(stop: Optional[dict]) -> bool:
-    """Collective preemption check: in a multi-controller run a SIGTERM may
-    land on one process only; a process-local stop would have that process
-    enter the checkpoint barrier while its peers keep training — a
-    deadlock. Every process calls this at the same boundaries (every step,
-    and once after each epoch's bookkeeping), so the tiny all-gather keeps
-    them in lockstep and ANY process's signal stops all of them."""
+# multi-controller stop-flag cadence: the all-gather is a blocking host
+# sync (the same per-step fetch pattern the device accumulators removed,
+# measured 1.76x on a tunneled host), so it runs every K steps — worst-case
+# preemption response lags K steps (~1 s), well inside any SIGTERM grace
+_STOP_CHECK_EVERY = 8
+
+
+def _global_stop(stop: Optional[dict], multi: bool = False) -> bool:
+    """Collective preemption check: with a mesh spanning controllers a
+    SIGTERM may land on one process only; a process-local stop would have
+    that process enter the checkpoint barrier while its peers keep
+    training — a deadlock. Every process calls this at the same boundaries
+    (every _STOP_CHECK_EVERY steps, and once after each epoch's
+    bookkeeping), so the tiny all-gather keeps them in lockstep and ANY
+    process's signal stops all of them. multi=False (single controller or
+    process-local mesh): just the local flag, no collective."""
     flag = bool(stop is not None and stop.get("stop"))
-    if jax.process_count() > 1:
+    if multi:
         from jax.experimental import multihost_utils
 
         flag = bool(np.any(multihost_utils.process_allgather(
@@ -236,12 +254,19 @@ def _run_epoch_train(train_step, state, loader, epoch, rng,
             vm = minibatch_val(state)
             if log is not None:
                 log.log(int(state.step), vm, prefix="val_minibatch/")
-        if stop is not None and _global_stop(stop):
-            # preemption signal (on ANY controller): the step that was in
-            # flight has been applied; leave at this step boundary so the
-            # caller can checkpoint a consistent state (train.preempt_save)
-            interrupted = True
-            break
+        if stop is not None:
+            # single controller: free local check every step. Mesh spanning
+            # controllers: collective check every _STOP_CHECK_EVERY steps
+            # (all processes hit the same boundaries — same loader length)
+            due = (not feed.multi
+                   or i % _STOP_CHECK_EVERY == _STOP_CHECK_EVERY - 1)
+            if due and _global_stop(stop, feed.multi):
+                # preemption signal (on ANY controller): the step that was
+                # in flight has been applied; leave at this step boundary
+                # so the caller can checkpoint a consistent state
+                # (train.preempt_save)
+                interrupted = True
+                break
     if acc is None:
         return state, 0.0, 0.0, interrupted
     count = max(int(acc[2]), 1)
@@ -265,8 +290,14 @@ def _run_epoch_eval(eval_step, state, loader,
         preds = feed.fetch(m["preds"])[:b]
         if feed.local_rows is not None:
             # multi-controller: host labels cover only this process's
-            # slice — fetch the stitched global labels instead
-            labels = feed.fetch(dlabels)
+            # slice — global labels come straight from manifest metadata
+            # when the dataset exposes them (no decode, no device fetch);
+            # pad rows sit past [:b] so the -1 marks don't matter here
+            ds = getattr(loader, "ds", None)
+            if hasattr(ds, "clip_labels"):
+                labels = ds.clip_labels[rows]
+            else:
+                labels = feed.fetch(dlabels)
         loss_sum += float(losses.sum())
         correct += int((preds == labels[:b]).sum())
         count += b
@@ -383,7 +414,10 @@ def _fit(cfg: ExperimentConfig, model, train_ds: ClipDataset,
         vb_clips, vb_labels, vb_rows, vb_pad = next(iter(val_loader.epoch(0)))
         vb_clips, vb_dlabels = feed.put(vb_clips, vb_labels)
         if feed.local_rows is not None:
-            vb_labels = feed.fetch(vb_dlabels)  # stitched global labels
+            # global labels from manifest metadata (see _run_epoch_eval)
+            vb_labels = (val_ds.clip_labels[vb_rows]
+                         if hasattr(val_ds, "clip_labels")
+                         else feed.fetch(vb_dlabels))
 
         def minibatch_val(st):
             if use_memory:
@@ -408,7 +442,12 @@ def _fit(cfg: ExperimentConfig, model, train_ds: ClipDataset,
         import signal
 
         def _on_preempt(signum, frame):
-            if stop["stop"]:   # second signal: stop deferring
+            # count LOCAL signals only — a peer-adopted stop flag
+            # (stop["stop"] set by _global_stop) must not make this
+            # process's own FIRST SIGTERM hard-interrupt it mid-checkpoint:
+            # real preemption delivers a staggered SIGTERM to every task
+            stop["local_signals"] = stop.get("local_signals", 0) + 1
+            if stop["local_signals"] > 1:   # second signal: stop deferring
                 raise KeyboardInterrupt
             stop["stop"] = True
 
@@ -496,7 +535,7 @@ def _epoch_loop(cfg, state, stop, start_epoch, train_step, eval_step,
                            sched_scale=schedule.scale)
         ckpt.save(state, step=int(state.step), metrics=metrics,
                   is_best=is_best)
-        if _global_stop(stop):
+        if _global_stop(stop, feed.multi):
             # the signal landed during the val pass / bookkeeping (on any
             # controller): this epoch completed and is checkpointed — exit
             # at the boundary (resume continues with the next epoch, no
@@ -550,12 +589,17 @@ def build_lfb(cfg: ExperimentConfig, extractor_variables,
     if path and os.path.exists(path) and cfg.memory.load_cached and not force:
         return load_bank(path)
 
-    if engine == "video" and jax.process_count() > 1:
-        # the video engine's frame-sharded fetches are single-controller
-        # (require_single_controller); the clip engine builds the
-        # identical bank (parity-tested) with per-process batch slices —
-        # auto-fall back like the CLI engine defaults do
-        engine = "clip"
+    if engine == "video" and mesh is not None:
+        from tmrnet_tpu.parallel.mesh import mesh_spans_processes
+
+        if mesh_spans_processes(mesh):
+            # the video engine's frame-sharded fetches are
+            # single-controller (require_single_controller); the clip
+            # engine builds the identical bank (parity-tested) with
+            # per-process batch slices — auto-fall back like the CLI
+            # engine defaults do. Process-local meshes keep the video
+            # engine (seq_len x less backbone work).
+            engine = "clip"
     if engine == "video":
         return _build_lfb_video(cfg, extractor_variables, ds, path, mesh)
 

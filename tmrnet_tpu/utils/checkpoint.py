@@ -19,6 +19,12 @@ import orbax.checkpoint as ocp
 
 
 class CheckpointManager:
+    """In a multi-process runtime, save() is collective across ALL
+    processes (orbax's StandardCheckpointer barriers globally on its own;
+    the pre-delete sync below matches that contract). Independent
+    per-process trainings inside one multi-controller runtime would need a
+    process-scoped checkpointer — not a supported configuration here."""
+
     def __init__(self, directory: str, keep: int = 3):
         self.dir = os.path.abspath(directory)
         self.keep = keep
@@ -48,16 +54,18 @@ class CheckpointManager:
         import jax
 
         primary = jax.process_index() == 0
-        if os.path.exists(path):
-            # on a shared filesystem every process races to delete the
-            # same tree; ENOENT from a peer's concurrent delete is fine
-            shutil.rmtree(path, ignore_errors=True)
         if jax.process_count() > 1:
+            if os.path.exists(path):
+                # on a shared filesystem every process races to delete the
+                # same tree; ENOENT from a peer's concurrent delete is fine
+                shutil.rmtree(path, ignore_errors=True)
             from jax.experimental import multihost_utils
 
             # the delete must complete on every host before orbax's
             # existence check runs anywhere
             multihost_utils.sync_global_devices(f"tmrnet_ckpt_rm_{step}")
+        elif os.path.exists(path):
+            shutil.rmtree(path)  # single process: keep failures loud
         # every process participates in the orbax save (multi-controller
         # barriers run inside; the primary writes replicated data) ...
         self._ckptr.save(path, self._savable(state))
