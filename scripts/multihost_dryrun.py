@@ -241,7 +241,7 @@ def stage2_data_parallel(args, n: int) -> int:
 
 def stage1_data_parallel(args, n: int) -> int:
     """Full train_stage1 over the global mesh with PER-PROCESS LOCAL data
-    loading: _fit's _BatchFeed detects process_count() > 1, each process's
+    loading: _fit's _BatchFeed detects a mesh spanning processes, each process's
     ClipLoader assembles only its process_local_bounds slice of every
     global batch, and global_batch_from_local stitches the slices
     (train/loop.py). Orbax checkpoints coordinate through the shared

@@ -226,3 +226,93 @@ def test_two_process_preemption_stops_both_controllers(tmp_path):
     with open(metas[-1]) as f:
         meta = json.load(f)["metrics"]
     assert "epoch" in meta
+
+
+def test_metric_logger_writes_on_primary_only(tmp_path, monkeypatch):
+    """Multi-controller runs construct a MetricLogger on every process;
+    only process 0 may own the metrics.jsonl / TB / image writers (shared
+    filesystems would interleave concurrent appends). Stdout logging stays
+    per-process."""
+    import jax
+
+    from tmrnet_tpu.utils.logging import MetricLogger
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    log = MetricLogger(str(tmp_path / "logs"), use_tensorboard=False,
+                       quiet=True)
+    log.log(0, {"x": 1.0})
+    assert log.log_dir is None
+    assert not (tmp_path / "logs").exists()
+
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    log0 = MetricLogger(str(tmp_path / "logs"), use_tensorboard=False,
+                        quiet=True)
+    log0.log(0, {"x": 1.0})
+    assert (tmp_path / "logs" / "metrics.jsonl").exists()
+
+
+def test_mesh_for_passes_explicit_rendezvous(monkeypatch):
+    """mesh.coordinator / num_processes / process_id reach
+    jax.distributed.initialize for manual multi-controller launches;
+    the defaults map to auto-detection (all None)."""
+    import dataclasses
+
+    from tmrnet_tpu import cli
+    from tmrnet_tpu.config import ExperimentConfig, MeshConfig
+
+    seen = {}
+
+    def fake_init(coordinator=None, num_processes=None, process_id=None):
+        seen.update(coordinator=coordinator, num_processes=num_processes,
+                    process_id=process_id)
+
+    monkeypatch.setattr("tmrnet_tpu.parallel.mesh.initialize_multihost",
+                        fake_init)
+    cfg = ExperimentConfig(mesh=MeshConfig(
+        multihost=True, coordinator="h:1", num_processes=2, process_id=1))
+    cli._mesh_for(cfg)
+    assert seen == {"coordinator": "h:1", "num_processes": 2,
+                    "process_id": 1}
+
+    seen.clear()
+    cli._mesh_for(dataclasses.replace(cfg, mesh=MeshConfig(multihost=True)))
+    assert seen == {"coordinator": None, "num_processes": None,
+                    "process_id": None}
+
+
+def test_two_process_resume_continues_from_checkpoint(tmp_path):
+    """Multi-controller RESTORE: a finished 2-epoch two-controller run
+    relaunched with --epochs 4 must resume from the shared orbax
+    checkpoint (epochs 2-3 only), agree across controllers, and match the
+    tail of an uninterrupted single-process 4-epoch run — restore happens
+    before shard_state, so every process restores the full replicated
+    state from the shared dir."""
+    shared = tmp_path / "shared"
+    shared.mkdir()
+    _run_pair(["--mode", "stage1", "--workdir", str(shared), "--epochs", "2"])
+    outs = _run_pair(["--mode", "stage1", "--workdir", str(shared),
+                      "--epochs", "4"])
+    s0, s1 = _epoch_stats(outs[0]), _epoch_stats(outs[1])
+    assert s0 == s1, f"controllers disagree:\n{outs[0]}\n{outs[1]}"
+    assert [int(e[0]) for e in s0] == [2, 3], f"not a resume:\n{outs[0]}"
+
+    spec = importlib.util.spec_from_file_location("multihost_dryrun", _SCRIPT)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from tmrnet_tpu.config import MeshConfig
+    from tmrnet_tpu.parallel.mesh import make_mesh
+    from tmrnet_tpu.train.loop import train_stage1
+
+    single = tmp_path / "single"
+    single.mkdir()
+    cfg, train_ds, val_ds = mod.build_synthetic_stage1(str(single), epochs=4)
+    mesh = make_mesh(MeshConfig(data_parallel=8, model_parallel=1))
+    _state, hist = train_stage1(cfg, train_ds, val_ds, mesh=mesh)
+    for h, (epoch, tr_loss, tr_acc, va_loss, va_acc) in zip(hist[2:], s0):
+        assert h.epoch == int(epoch)
+        assert abs(h.train_loss - tr_loss) < 1e-3 * max(1.0, tr_loss)
+        assert abs(h.val_loss - va_loss) < 1e-3 * max(1.0, va_loss)
+        assert abs(h.train_acc - tr_acc) < 1e-3
+        assert abs(h.val_acc - va_acc) < 1e-3

@@ -94,7 +94,10 @@ def _mesh_for(cfg, batch: Optional[int] = None, what: str = "data.batch_clips"):
         # DCN init must precede the first backend query
         from tmrnet_tpu.parallel.mesh import initialize_multihost
 
-        initialize_multihost()
+        initialize_multihost(
+            coordinator=m.coordinator or None,
+            num_processes=None if m.num_processes < 0 else m.num_processes,
+            process_id=None if m.process_id < 0 else m.process_id)
     import jax
 
     n_dev = len(jax.devices())
@@ -435,6 +438,7 @@ def cmd_train_bank(args) -> int:
                                 "val"))
         train_ds = _dataset(cfg, train_m, True, device_normalize=True)
         val_ds = _dataset(cfg, val_m, False, device_normalize=True)
+    mesh = _mesh_for(cfg)  # before the logger: multihost init sets process_index
     log = MetricLogger(args.log_dir)
     init = None
     if args.torch_init:
@@ -442,7 +446,7 @@ def cmd_train_bank(args) -> int:
                                           cfg.data.crop_size)
         init = variables
     state, hist = train_stage1(cfg, train_ds, val_ds,
-                               init_variables=init, mesh=_mesh_for(cfg),
+                               init_variables=init, mesh=mesh,
                                log=log)
     if not hist:
         # preempted (SIGTERM/^C) before the first epoch completed: the
@@ -526,12 +530,13 @@ def cmd_train_tmr(args) -> int:
                                      cfg.data.crop_size)
         shared = _extractor_subset(s1)
         init = {c: merge_variables(init[c], shared.get(c, {})) for c in init}
+    mesh = _mesh_for(cfg)  # before the logger: multihost init sets process_index
     log = MetricLogger(args.log_dir)
     state, hist = train_stage2(
         cfg, train_ds, bank,
         _dataset(cfg, val_m, False, device_normalize=True)
         if val_m else None, val_bank,
-        init_variables=init, mesh=_mesh_for(cfg), log=log)
+        init_variables=init, mesh=mesh, log=log)
     if not hist:
         # preempted (SIGTERM/^C) before the first epoch completed: the
         # replay checkpoint is saved; resume by re-running the command

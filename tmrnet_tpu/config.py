@@ -244,6 +244,12 @@ class MeshConfig:
     data_parallel: int = -1
     model_parallel: int = 1
     multihost: bool = False  # jax.distributed.initialize() when True
+    # Explicit rendezvous for manual multi-controller launches (all three
+    # set together, e.g. --set mesh.coordinator=host:1234). Empty/-1 =
+    # auto-detect (TPU pod metadata / Slurm / OpenMPI environments).
+    coordinator: str = ""
+    num_processes: int = -1
+    process_id: int = -1
 
 
 @dataclass(frozen=True)

@@ -112,7 +112,7 @@ class _BatchFeed:
     """clips/labels host->device placement for the epoch loops.
 
     Single process: plain asarray (no mesh) or batch-dim sharding over the
-    mesh (shard_batch). Multi-controller (jax.process_count() > 1): each
+    mesh (shard_batch). Multi-controller (the mesh spans processes): each
     process's loader assembles only its local_rows slice of every
     (identical, seeded) global batch, and put() stitches the slices into
     one global jax.Array with zero cross-process data motion
@@ -328,6 +328,12 @@ def _fit(cfg: ExperimentConfig, model, train_ds: ClipDataset,
                          jnp.zeros((1, window, cfg.model.hidden_dim)))
     state = _init_state(cfg, model, sample_inputs, init_variables,
                         slow_modules, t.seed)
+    if mesh is not None:
+        # shard BEFORE any restore: orbax then restores straight into the
+        # global shardings (each process reads only its shards from the
+        # shared dir). Restoring into process-local arrays and re-sharding
+        # afterwards is an unsupported cross-host device_put.
+        state, _ = _maybe_shard(mesh, state)
 
     ckpt = CheckpointManager(t.checkpoint_dir, keep=t.keep_checkpoints)
     start_epoch = 0
@@ -370,7 +376,6 @@ def _fit(cfg: ExperimentConfig, model, train_ds: ClipDataset,
                   if val_ds is not None else None)
 
     if mesh is not None:
-        state, _ = _maybe_shard(mesh, state)
         # the feature bank must live on the mesh's device set, or the jitted
         # step sees inputs committed to incompatible devices; replicate it
         # (Cholec80-scale bank is ~90 MB bf16 — cheap next to activations)

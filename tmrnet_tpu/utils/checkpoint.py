@@ -116,14 +116,30 @@ class CheckpointManager:
         steps = self.all_steps()
         return steps[-1] if steps else None
 
+    @staticmethod
+    def _restore_target(state):
+        """Abstract target carrying each template leaf's SHARDING, so orbax
+        restores straight into it — a template sharded over a global mesh
+        resumes multi-controller (every process reads only its shards from
+        the shared dir), instead of restoring process-local arrays whose
+        re-shard would be an unsupported cross-host device_put."""
+        import jax
+
+        return jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                           sharding=x.sharding)
+            if isinstance(x, jax.Array) else x,
+            CheckpointManager._savable(state))
+
     def restore(self, state, step: Optional[int] = None):
-        """Restore into a template TrainState (structure must match)."""
+        """Restore into a template TrainState (structure must match; leaf
+        shardings are honored — see _restore_target)."""
         if step is None:
             step = self.latest_step()
             if step is None:
                 raise FileNotFoundError(f"no checkpoints in {self.dir}")
-        target = self._savable(state)
-        restored = self._ckptr.restore(self._step_dir(step), target)
+        restored = self._ckptr.restore(self._step_dir(step),
+                                       self._restore_target(state))
         return state.replace(**restored)
 
     def restore_best(self, state):
@@ -135,8 +151,7 @@ class CheckpointManager:
                 best = best + ".tmp"
             else:
                 raise FileNotFoundError(f"no best checkpoint in {self.dir}")
-        target = self._savable(state)
-        restored = self._ckptr.restore(best, target)
+        restored = self._ckptr.restore(best, self._restore_target(state))
         return state.replace(**restored)
 
     def metadata(self, step: int) -> Dict:

@@ -18,6 +18,17 @@ from typing import Dict, Optional
 class MetricLogger:
     def __init__(self, log_dir: Optional[str] = None, use_tensorboard: bool = True,
                  quiet: bool = False):
+        if log_dir:
+            import jax
+
+            if jax.process_count() > 1 and jax.process_index() != 0:
+                # multi-controller runs compute identical stats on every
+                # process; process 0 is the single file writer (concurrent
+                # appends to one metrics.jsonl / TB event dir on a shared
+                # filesystem interleave). Callers must initialize the
+                # distributed runtime BEFORE constructing the logger —
+                # the CLI builds its mesh first for exactly this reason.
+                log_dir = None
         self.log_dir = log_dir
         self.quiet = quiet
         self._jsonl = None
