@@ -182,6 +182,9 @@ def build_synthetic_stage2(workdir: str, epochs: int = 2):
     cfg = dataclasses.replace(
         cfg,
         model=dataclasses.replace(cfg.model, head="tmr"),
+        # async saves here so the two-process test also proves orbax's
+        # AsyncCheckpointer coordinates across controllers
+        train=dataclasses.replace(cfg.train, async_checkpoint=True),
         memory=MemoryConfig(window=4,
                             cache_path=_os.path.join(workdir, "lfb.npz")))
     return cfg, train_ds, val_ds

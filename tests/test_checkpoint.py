@@ -129,3 +129,55 @@ def test_resume_does_not_overwrite_best_and_restores_plateau(tmp_path):
         setattr(sched, k, meta[f"sched_{k}"])
     lr = sched(5, 0.6)  # no improvement over saved best 0.5
     assert lr == pytest.approx(5e-4 * 0.01)
+
+
+def test_async_checkpointer_roundtrip_and_best(tmp_path):
+    """use_async=True: save returns before the write is durable; wait()
+    (and any subsequent save/restore) blocks until it is. Values, best
+    promotion and gc must behave exactly like the sync checkpointer."""
+    mgr = CheckpointManager(str(tmp_path), keep=2, use_async=True)
+    state = _state()
+    for step, acc in [(1, 0.5), (2, 0.9), (3, 0.7)]:
+        mgr.save(state.replace(step=jnp.asarray(step)), step=step,
+                 metrics={"val_acc": acc}, is_best=(acc == 0.9))
+    mgr.wait()
+    assert mgr.all_steps() == [2, 3]
+    restored = mgr.restore(_state())
+    assert int(restored.step) == 3
+    best = mgr.restore_best(_state())
+    assert int(best.step) == 2
+    # restore waits for an in-flight save on its own (no explicit wait)
+    mgr.save(state.replace(step=jnp.asarray(9)), step=9, metrics={})
+    assert int(mgr.restore(_state()).step) == 9
+
+
+def test_async_checkpoint_training_e2e(tmp_path):
+    """train.async_checkpoint=True end-to-end: history, durable best, and
+    resume all intact."""
+    import dataclasses
+
+    from tests.test_e2e_training import SEQ, _cfg, _synthetic
+    from tmrnet_tpu.data.pipeline import ClipDataset, array_frame_loader
+
+    manifest, store = _synthetic()
+    loader = array_frame_loader(store)
+    train_ds = ClipDataset(manifest, SEQ, frame_loader=loader)
+    val_ds = ClipDataset(manifest, SEQ, frame_loader=loader)
+    cfg = _cfg(tmp_path, "stage1", epochs=2)
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, async_checkpoint=True))
+    from tmrnet_tpu.train.loop import train_stage1
+
+    state, hist = train_stage1(cfg, train_ds, val_ds)
+    assert len(hist) == cfg.train.epochs
+    mgr = CheckpointManager(cfg.train.checkpoint_dir)
+    assert mgr.latest_step() is not None
+    import os
+
+    assert os.path.exists(mgr.best_dir)
+    # resume path restores through the async checkpointer
+    cfg2 = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train,
+                                       epochs=cfg.train.epochs + 1))
+    _state2, hist2 = train_stage1(cfg2, train_ds, val_ds)
+    assert [h.epoch for h in hist2] == [cfg.train.epochs]

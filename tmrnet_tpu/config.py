@@ -175,6 +175,11 @@ class TrainConfig:
     # work since the last epoch boundary. A second signal force-interrupts.
     # Handlers only install on the main thread; False = raw signals.
     preempt_save: bool = True
+    # Async checkpointing (orbax AsyncCheckpointer): save() returns after
+    # the device->host snapshot and serializes/writes in a background
+    # thread, overlapping the next epoch's compute. Best-checkpoint
+    # promotion and train-loop exit still wait for durability.
+    async_checkpoint: bool = False
     remat: bool = False  # jax.checkpoint the backbone to trade FLOPs for HBM
     donate_state: bool = True
     # Accumulate gradients over k micro-batches before each optimizer step

@@ -335,7 +335,8 @@ def _fit(cfg: ExperimentConfig, model, train_ds: ClipDataset,
         # afterwards is an unsupported cross-host device_put.
         state, _ = _maybe_shard(mesh, state)
 
-    ckpt = CheckpointManager(t.checkpoint_dir, keep=t.keep_checkpoints)
+    ckpt = CheckpointManager(t.checkpoint_dir, keep=t.keep_checkpoints,
+                             use_async=t.async_checkpoint)
     start_epoch = 0
     resume_meta: Dict = {}
     if t.resume and ckpt.latest_step() is not None:
@@ -467,6 +468,9 @@ def _fit(cfg: ExperimentConfig, model, train_ds: ClipDataset,
             train_loader, val_loader, rng, memory_fn, val_memory_fn, feed,
             log, minibatch_val, schedule, tracker, ckpt, history)
     finally:
+        # async checkpointing: the final (possibly preemption) save must be
+        # durable before the trainer returns / the process exits
+        ckpt.wait()
         if restore_sigs:
             import signal
 

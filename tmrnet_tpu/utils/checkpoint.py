@@ -25,11 +25,22 @@ class CheckpointManager:
     per-process trainings inside one multi-controller runtime would need a
     process-scoped checkpointer — not a supported configuration here."""
 
-    def __init__(self, directory: str, keep: int = 3):
+    def __init__(self, directory: str, keep: int = 3,
+                 use_async: bool = False):
         self.dir = os.path.abspath(directory)
         self.keep = keep
+        self.use_async = use_async
         os.makedirs(self.dir, exist_ok=True)
-        self._ckptr = ocp.StandardCheckpointer()
+        # async: save() returns once the device->host snapshot is taken
+        # (safe even with donated state buffers) and writes in a background
+        # thread; wait() blocks until the write is durable
+        self._ckptr = (ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+                       if use_async else ocp.StandardCheckpointer())
+
+    def wait(self) -> None:
+        """Block until any in-flight async save is durable on disk (no-op
+        for the sync checkpointer or when nothing is in flight)."""
+        self._ckptr.wait_until_finished()
 
     # -- paths ------------------------------------------------------------
     def _step_dir(self, step: int) -> str:
@@ -53,6 +64,9 @@ class CheckpointManager:
         path = self._step_dir(step)
         import jax
 
+        # one save in flight at a time: the previous epoch's background
+        # write must be durable before this one's delete/exists logic runs
+        self._ckptr.wait_until_finished()
         primary = jax.process_index() == 0
         if jax.process_count() > 1:
             if os.path.exists(path):
@@ -69,7 +83,8 @@ class CheckpointManager:
         # every process participates in the orbax save (multi-controller
         # barriers run inside; the primary writes replicated data) ...
         self._ckptr.save(path, self._savable(state))
-        self._ckptr.wait_until_finished()
+        if not self.use_async:
+            self._ckptr.wait_until_finished()
         if not primary:
             # ... but the host-side sidecar/best/gc file ops are the
             # primary's alone — concurrent rmtree/copytree would race
@@ -77,6 +92,8 @@ class CheckpointManager:
         with open(self._meta_path(step), "w") as f:
             json.dump({"step": step, "metrics": metrics or {}}, f)
         if is_best:
+            # the step tree must be complete before it is copied
+            self._ckptr.wait_until_finished()
             # crash-safe replacement: stage the full copy first, then swap —
             # rmtree-before-copy left a window where a kill destroyed the
             # only copy of the best model (review r3)
@@ -90,12 +107,28 @@ class CheckpointManager:
                 shutil.rmtree(self.best_dir)
             os.replace(tmp, self.best_dir)
             os.replace(tmp + ".json", self.best_dir + ".json")
-        self._gc()
+        # async + no best-wait: this step's write may still be in flight
+        self._gc(pending=step if self.use_async and not is_best else None)
         return path
 
-    def _gc(self) -> None:
+    def _gc(self, pending: Optional[int] = None) -> None:
+        """Drop all but the newest `keep` steps. `pending`: a step whose
+        async write may still be in flight (its dir is invisible until
+        orbax finalizes) — counted toward the budget, never deleted; the
+        newest DURABLE step is also protected so a crash mid-write always
+        leaves at least one complete checkpoint."""
         steps = self.all_steps()
+        protect = set()
+        if pending is not None:
+            protect.add(pending)
+            durable = [s for s in steps if s != pending]
+            if durable:
+                protect.add(durable[-1])
+            if pending not in steps:
+                steps = sorted(steps + [pending])
         for s in steps[: max(0, len(steps) - self.keep)]:
+            if s in protect:
+                continue
             shutil.rmtree(self._step_dir(s), ignore_errors=True)
             try:
                 os.remove(self._meta_path(s))
@@ -138,6 +171,7 @@ class CheckpointManager:
             step = self.latest_step()
             if step is None:
                 raise FileNotFoundError(f"no checkpoints in {self.dir}")
+        self._ckptr.wait_until_finished()  # async: latest must be durable
         restored = self._ckptr.restore(self._step_dir(step),
                                        self._restore_target(state))
         return state.replace(**restored)
@@ -151,6 +185,7 @@ class CheckpointManager:
                 best = best + ".tmp"
             else:
                 raise FileNotFoundError(f"no best checkpoint in {self.dir}")
+        self._ckptr.wait_until_finished()
         restored = self._ckptr.restore(best, self._restore_target(state))
         return state.replace(**restored)
 
