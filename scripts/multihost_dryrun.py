@@ -106,8 +106,12 @@ def main(argv=None) -> int:
     # identical PRNG on every process -> identical replicated init values,
     # so shard_state/shard_batch device_puts satisfy the multi-controller
     # contract (each process contributes its addressable shards of the
-    # same global value)
-    variables = model.init(jax.random.PRNGKey(0), clips, memory)
+    # same global value). COMMIT the variables to this process's device 0
+    # like orbax-restored checkpoints are: shard_state must route
+    # committed leaves through the host (parallel/mesh.py::host_local)
+    variables = jax.device_put(model.init(jax.random.PRNGKey(0), clips,
+                                          memory),
+                               jax.local_devices()[0])
     tx = make_optimizer(TrainConfig(optimizer="sgd", lr=1e-3),
                         variables["params"],
                         slow_modules=("backbone", "encoder"))
@@ -205,9 +209,14 @@ def stage2_extractor(cfg, train_ds):
     sample, _ = train_ds.get_clip(0)
     v1 = m1.init(jax.random.PRNGKey(0),
                  jnp.asarray(sample[None], jnp.float32))
-    return {"params": {"backbone": v1["params"]["backbone"],
-                       "encoder": v1["params"]["encoder"]},
-            "batch_stats": {"backbone": v1["batch_stats"]["backbone"]}}
+    sub = {"params": {"backbone": v1["params"]["backbone"],
+                      "encoder": v1["params"]["encoder"]},
+           "batch_stats": {"backbone": v1["batch_stats"]["backbone"]}}
+    # COMMIT the leaves to this process's device 0, like orbax-restored
+    # checkpoints are: build_lfb must route them through the host before
+    # replicating over the global mesh (parallel/mesh.py::host_local) —
+    # uncommitted init output would hide that path
+    return jax.device_put(sub, jax.local_devices()[0])
 
 
 def print_history(tag: str, pid, hist) -> None:

@@ -80,6 +80,25 @@ def mesh_spans_processes(mesh) -> bool:
     return len({d.process_index for d in mesh.devices.flat}) > 1
 
 
+def host_local(tree):
+    """np.asarray any COMMITTED process-local jax.Array leaves of a pytree.
+
+    A committed array (e.g. orbax-restored variables, an explicit
+    device_put) cannot be device_put onto a sharding that spans other
+    processes — jax treats that as an unsupported cross-host transfer.
+    Multi-controller callers hold the same full value on every process, so
+    dropping those leaves to host lets the global placement take each
+    process's shards from it. Uncommitted arrays (fresh jnp/model.init
+    output) and global (non-fully-addressable) arrays pass through."""
+    def to_host(x):
+        if (isinstance(x, jax.Array) and getattr(x, "committed", False)
+                and x.is_fully_addressable):
+            return np.asarray(x)
+        return x
+
+    return jax.tree_util.tree_map(to_host, tree)
+
+
 def require_single_controller(mesh, what: str) -> None:
     """Inference engines fetch batch-sharded outputs straight to the host;
     a mesh spanning controllers makes those spans non-addressable, and one
@@ -206,6 +225,11 @@ def shard_state(mesh: Mesh, state, use_tp: bool = True):
     is matched STRUCTURALLY: the longest path suffix that names a parameter,
     with a shape check. (A shape-keyed lookup would silently misplace slots
     the first time two same-shaped params get different specs.)"""
+    if mesh_spans_processes(mesh):
+        # committed leaves (orbax-restored init variables) can't cross-host
+        # device_put — take them through the host (same full value on
+        # every process)
+        state = host_local(state)
     psh = param_shardings(mesh, state.params, use_tp=use_tp)
     rep = replicated_sharding(mesh)
 

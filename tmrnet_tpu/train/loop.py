@@ -380,16 +380,23 @@ def _fit(cfg: ExperimentConfig, model, train_ds: ClipDataset,
         # the feature bank must live on the mesh's device set, or the jitted
         # step sees inputs committed to incompatible devices; replicate it
         # (Cholec80-scale bank is ~90 MB bf16 — cheap next to activations)
-        from tmrnet_tpu.parallel.mesh import replicated_sharding
+        from tmrnet_tpu.parallel.mesh import host_local, replicated_sharding
 
         rep = replicated_sharding(mesh)
+
+        def _replicate(feats):
+            if feed.multi:
+                # committed features (caller's own device_put) can't
+                # cross-host device_put — take them through the host
+                feats = host_local(feats)
+            return jax.device_put(feats, rep)
+
         if bank is not None:
-            bank = FeatureBank(features=jax.device_put(bank.features, rep),
+            bank = FeatureBank(features=_replicate(bank.features),
                                first_rows=bank.first_rows)
         if val_bank is not None:
-            val_bank = FeatureBank(
-                features=jax.device_put(val_bank.features, rep),
-                first_rows=val_bank.first_rows)
+            val_bank = FeatureBank(features=_replicate(val_bank.features),
+                                   first_rows=val_bank.first_rows)
 
     schedule = make_schedule(t)
     if start_epoch and hasattr(schedule, "scale"):
@@ -625,9 +632,17 @@ def build_lfb(cfg: ExperimentConfig, extractor_variables,
     put_batch = jnp.asarray
     local_rows = None
     if mesh is not None:
-        from tmrnet_tpu.parallel.mesh import replicated_sharding
+        from tmrnet_tpu.parallel.mesh import (
+            host_local,
+            mesh_spans_processes,
+            replicated_sharding,
+        )
 
         rep = replicated_sharding(mesh)
+        if mesh_spans_processes(mesh):
+            # committed leaves (orbax-restored extractor checkpoints)
+            # can't cross-host device_put — take them through the host
+            extractor_variables = host_local(extractor_variables)
         extractor_variables = jax.device_put(extractor_variables, rep)
         dp = mesh.shape[mesh.axis_names[0]]
         # loader batches are padded to full size, so divisibility is
