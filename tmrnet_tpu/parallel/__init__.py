@@ -8,4 +8,6 @@ from tmrnet_tpu.parallel.mesh import (  # noqa: F401
     initialize_multihost,
     process_local_bounds,
     global_batch_from_local,
+    mesh_spans_processes,
+    host_local,
 )
