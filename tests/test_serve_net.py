@@ -19,7 +19,10 @@ from tmrnet_tpu.eval.stream import StreamingInference
 
 class _Client:
     def __init__(self, port):
-        self.sock = socket.create_connection(("127.0.0.1", port), timeout=10)
+        # generous recv timeout: the first tick compiles the engine inside
+        # the serve loop, and a loaded host (concurrent pytest) can push
+        # that past 10 s — the assertions are order-based, not timing-based
+        self.sock = socket.create_connection(("127.0.0.1", port), timeout=60)
         self.f = self.sock.makefile("r")
 
     def send(self, obj):
@@ -104,7 +107,7 @@ def test_tcp_two_clients_route_isolate_and_recover_slots():
         # free the slot for c1's new stream
         c2.send({"id": "b", "image": "b2"})
         c2.close()
-        deadline = time.monotonic() + 5
+        deadline = time.monotonic() + 30  # loaded-host patience (flaked at 5)
         while True:    # join retries until the Disconnect frees the slot
             c1.send({"id": "c", "image": "c0"})
             c1.send({"step": True})
@@ -207,7 +210,7 @@ def test_tcp_oversize_line_disconnects_offender_only():
         assert bad.f.readline() == ""    # connection closed on us
 
         # the freed slot serves the well-behaved client
-        deadline = time.monotonic() + 5
+        deadline = time.monotonic() + 30  # loaded-host patience (flaked at 5)
         while True:
             good.send({"id": "y", "image": "v1"})
             good.send({"step": True})
