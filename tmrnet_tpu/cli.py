@@ -1236,8 +1236,12 @@ def cmd_doctor(args) -> int:
 
     try:
         devs = jax.devices()
-        add("ok", "devices",
-            f"{len(devs)} x {devs[0].platform} ({devs[0].device_kind})")
+        det = f"{len(devs)} x {devs[0].platform} ({devs[0].device_kind})"
+        if jax.process_count() > 1:
+            # multi-controller runtime (mesh.multihost): say who we are
+            det += (f", process {jax.process_index()}/{jax.process_count()}"
+                    f" ({len(jax.local_devices())} local)")
+        add("ok", "devices", det)
     except Exception as e:  # no backend at all is a hard failure
         add("FAIL", "devices", f"jax backend init failed: {e}")
 
