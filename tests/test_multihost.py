@@ -316,3 +316,101 @@ def test_two_process_resume_continues_from_checkpoint(tmp_path):
         assert abs(h.val_loss - va_loss) < 1e-3 * max(1.0, va_loss)
         assert abs(h.train_acc - tr_acc) < 1e-3
         assert abs(h.val_acc - va_acc) < 1e-3
+
+
+_CLI_CHILD = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+from tmrnet_tpu.cli import main
+sys.exit(main(sys.argv[1:]))
+"""
+
+
+def test_two_process_cli_train_bank(tmp_path):
+    """The USER-FACING multihost path: two processes run the real CLI
+    (`train-bank --set mesh.multihost=true` with explicit rendezvous
+    knobs) against a shared synthetic frame tree. Covers argument parsing,
+    _mesh_for's init-before-logger ordering, MetricLogger single-writer
+    gating, per-process local data loading, and the shared checkpoint —
+    none of which the dryrun script exercises."""
+    import csv
+
+    import numpy as np
+
+    try:
+        import cv2
+    except ImportError:  # pragma: no cover
+        import pytest
+
+        pytest.skip("cv2 unavailable")
+
+    root = tmp_path
+    rows = []
+    for v in range(2):
+        d = root / "frames" / str(v + 1)
+        d.mkdir(parents=True)
+        for j in range(16):
+            lab = (j // 5) % 3
+            img = np.full((32, 32, 3), 40 + 60 * lab, np.uint8)
+            p = str(d / f"f{j:04d}.png")
+            cv2.imwrite(p, img)
+            rows.append((p, lab, v))
+    with open(root / "train.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["frame", "class", "id"])
+        for p, lab, v in rows:
+            w.writerow([p, lab, v])
+
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    args = [
+        "train-bank",
+        "--train-manifest", str(root / "train.csv"),
+        "--val-manifest", str(root / "train.csv"),
+        "--log-dir", str(root / "logs"),
+        "--set", "model.backbone=tiny", "--set", "model.stage_sizes=1,1",
+        "--set", "model.width=8", "--set", "model.hidden_dim=16",
+        "--set", "model.num_classes=3", "--set", "model.compute_dtype=float32",
+        "--set", "data.sequence_length=4", "--set", "data.batch_clips=8",
+        "--set", "data.crop_size=32", "--set", "data.resize=32",
+        "--set", "train.epochs=2", "--set", "train.log_every=1000",
+        "--set", f"train.checkpoint_dir={root / 'ckpt'}",
+        "--set", "mesh.multihost=true",
+        "--set", f"mesh.coordinator=127.0.0.1:{port}",
+        "--set", "mesh.num_processes=2",
+    ]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _CLI_CHILD] + args
+            + ["--set", f"mesh.process_id={i}"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))))
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out}"
+    # both controllers report the identical best epoch
+    bests = [re.search(r"best epoch (\d+): val_acc=([0-9.]+)", o)
+             for o in outs]
+    assert all(bests), f"missing best line:\n{outs[0]}\n{outs[1]}"
+    assert bests[0].groups() == bests[1].groups()
+    # shared checkpoint landed; exactly ONE process wrote the metrics file
+    assert os.path.exists(root / "ckpt" / "best")
+    jsonl = root / "logs" / "metrics.jsonl"
+    assert jsonl.exists()
+    lines = [json.loads(l) for l in open(jsonl)]
+    epochs = [l for l in lines if "epoch/train_loss" in l]
+    assert len(epochs) == 2, f"duplicated writers? {len(epochs)} epoch rows"
