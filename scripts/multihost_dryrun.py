@@ -34,7 +34,10 @@ def main(argv=None) -> int:
     ap.add_argument("--process-id", type=int, required=True)
     ap.add_argument("--local-devices", type=int, default=4,
                     help="virtual CPU devices hosted by THIS process")
-    ap.add_argument("--model-parallel", type=int, default=2)
+    ap.add_argument("--model-parallel", type=int, default=None,
+                    help="model (TP) axis width. Default: 2 in step mode, "
+                         "1 in the full-training modes (pass 2 there to "
+                         "prove TP composes with local-feed data loading)")
     ap.add_argument("--mode", choices=("step", "stage1", "stage2"),
                     default="step",
                     help="step: one sharded stage-2 train step; stage1: a "
@@ -92,7 +95,8 @@ def main(argv=None) -> int:
     from tmrnet_tpu.train.state import create_train_state
     from tmrnet_tpu.train.steps import make_stage2_steps
 
-    mp = args.model_parallel if n % args.model_parallel == 0 else 1
+    mp = args.model_parallel if args.model_parallel else 2
+    mp = mp if n % mp == 0 else 1
     mesh = make_mesh(MeshConfig(data_parallel=n // mp, model_parallel=mp))
 
     cfg = ModelConfig(backbone="resnet50", head="tmr", num_classes=7,
@@ -240,7 +244,8 @@ def stage2_data_parallel(args, n: int) -> int:
     from tmrnet_tpu.train.loop import build_lfb, train_stage2
 
     cfg, train_ds, val_ds = build_synthetic_stage2(args.workdir, args.epochs)
-    mesh = make_mesh(MeshConfig(data_parallel=n, model_parallel=1))
+    mp = args.model_parallel or 1   # TP axis: opt-in for the training modes
+    mesh = make_mesh(MeshConfig(data_parallel=n // mp, model_parallel=mp))
     bank = build_lfb(cfg, stage2_extractor(cfg, train_ds), train_ds,
                      force=True, mesh=mesh)
     print(f"stage2 proc {args.process_id}: "
@@ -266,7 +271,8 @@ def stage1_data_parallel(args, n: int) -> int:
     from tmrnet_tpu.train.loop import train_stage1
 
     cfg, train_ds, val_ds = build_synthetic_stage1(args.workdir, args.epochs)
-    mesh = make_mesh(MeshConfig(data_parallel=n, model_parallel=1))
+    mp = args.model_parallel or 1   # TP axis: opt-in for the training modes
+    mesh = make_mesh(MeshConfig(data_parallel=n // mp, model_parallel=mp))
     _state, hist = train_stage1(cfg, train_ds, val_ds, mesh=mesh)
     print_history("stage1", args.process_id, hist)
     return 0

@@ -414,3 +414,47 @@ def test_two_process_cli_train_bank(tmp_path):
     lines = [json.loads(l) for l in open(jsonl)]
     epochs = [l for l in lines if "epoch/train_loss" in l]
     assert len(epochs) == 2, f"duplicated writers? {len(epochs)} epoch rows"
+
+
+def test_two_process_stage2_with_tensor_parallel(tmp_path):
+    """TP composes with local-feed multi-controller training: a dp=2 x tp=2
+    global mesh over two controllers (each process owns one full data row
+    pair + a model-axis half) runs the LFB build + stage-2 training and
+    matches a single-process run on the SAME dp=4(->2)xtp=2 mesh shape —
+    the TP rules shard the NLBlock/fc GEMMs, so this proves the sharded
+    head math and the local batch slices agree across controllers."""
+    shared = tmp_path / "shared"
+    shared.mkdir()
+    outs = _run_pair(["--mode", "stage2", "--workdir", str(shared),
+                      "--model-parallel", "2"])
+    s0, s1 = _epoch_stats(outs[0]), _epoch_stats(outs[1])
+    assert s0 == s1, f"controllers disagree:\n{outs[0]}\n{outs[1]}"
+    sums = [float(re.search(r"bank_sum=([0-9.]+)", o).group(1)) for o in outs]
+    assert sums[0] == sums[1]
+
+    spec = importlib.util.spec_from_file_location("multihost_dryrun", _SCRIPT)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    import numpy as np
+
+    from tmrnet_tpu.config import MeshConfig
+    from tmrnet_tpu.parallel.mesh import make_mesh
+    from tmrnet_tpu.train.loop import build_lfb, train_stage2
+
+    single = tmp_path / "single"
+    single.mkdir()
+    cfg, train_ds, val_ds = mod.build_synthetic_stage2(str(single))
+    mesh = make_mesh(MeshConfig(data_parallel=4, model_parallel=2))
+    bank = build_lfb(cfg, mod.stage2_extractor(cfg, train_ds), train_ds,
+                     force=True, mesh=mesh)
+    ref_sum = float(np.abs(np.asarray(bank.features)).sum())
+    assert abs(ref_sum - sums[0]) < 1e-3 * max(1.0, ref_sum)
+    _state, hist = train_stage2(cfg, train_ds, bank, val_ds, bank, mesh=mesh)
+    assert len(hist) == len(s0)
+    for h, (epoch, tr_loss, tr_acc, va_loss, va_acc) in zip(hist, s0):
+        assert h.epoch == int(epoch)
+        assert abs(h.train_loss - tr_loss) < 1e-3 * max(1.0, tr_loss)
+        assert abs(h.val_loss - va_loss) < 1e-3 * max(1.0, va_loss)
+        assert abs(h.train_acc - tr_acc) < 1e-3
+        assert abs(h.val_acc - va_acc) < 1e-3
