@@ -142,3 +142,49 @@ def test_reference_citations_resolve():
                            f"(candidates max {n} lines)")
     assert checked >= 100, f"citation scan regex matched only {checked}"
     assert not bad, "stale reference citations:\n" + "\n".join(bad)
+
+
+def test_doc_cli_commands_parse():
+    """Every `python -m tmrnet_tpu ...` command shown in README.md and
+    docs/*.md must parse with the real CLI parser (required flags present,
+    no renamed/removed flags, backslash continuations intact — a comment
+    that breaks a continuation orphans the tail args and fails here)."""
+    import contextlib
+    import io
+    import shlex
+
+    from tmrnet_tpu.cli import build_parser
+
+    parser = build_parser()
+    docs = [os.path.join(REPO, "README.md")] + sorted(
+        glob.glob(os.path.join(REPO, "docs", "*.md")))
+    checked, bad = 0, []
+    for doc in docs:
+        with open(doc) as f:
+            text = f.read()
+        for block in re.findall(r"```(?:bash|sh|shell)\n(.*?)```", text,
+                                re.DOTALL):
+            block = re.sub(r"\\\n\s*", " ", block)  # join continuations
+            for line in block.splitlines():
+                line = line.strip()
+                if line.startswith("$ "):
+                    line = line[2:]
+                for part in re.split(r"&&|\|\|", line):
+                    part = part.strip()
+                    if not part.startswith("python -m tmrnet_tpu"):
+                        continue
+                    # strip trailing comments and shell redirections
+                    part = re.split(r"#|<|>", part)[0].strip()
+                    if " ..." in part or part.endswith("..."):
+                        continue  # explicit doc ellipsis
+                    argv = shlex.split(part)[3:]
+                    if not argv:
+                        continue
+                    checked += 1
+                    try:
+                        with contextlib.redirect_stderr(io.StringIO()):
+                            parser.parse_args(argv)
+                    except SystemExit:
+                        bad.append(f"{os.path.relpath(doc, REPO)}: {part}")
+    assert checked >= 25, f"doc command scan found only {checked} commands"
+    assert not bad, "doc CLI commands that do not parse:\n" + "\n".join(bad)
