@@ -188,3 +188,28 @@ def test_doc_cli_commands_parse():
                         bad.append(f"{os.path.relpath(doc, REPO)}: {part}")
     assert checked >= 25, f"doc command scan found only {checked} commands"
     assert not bad, "doc CLI commands that do not parse:\n" + "\n".join(bad)
+
+
+def test_api_index_covers_public_exports():
+    """docs/API.md's symbol index must name every package-level export —
+    an undocumented public symbol is either missing docs or should not be
+    exported."""
+    import importlib
+
+    with open(os.path.join(REPO, "docs", "API.md")) as f:
+        doc = f.read()
+    missing = []
+    for sub in ("", ".data", ".models", ".memory", ".train", ".parallel",
+                ".eval", ".ops", ".utils"):
+        mod = importlib.import_module("tmrnet_tpu" + sub)
+        for n in dir(mod):
+            if n.startswith("_"):
+                continue
+            obj = getattr(mod, n)
+            if getattr(obj, "__name__", "").startswith("tmrnet_tpu") and \
+                    obj.__class__.__name__ == "module":
+                continue  # submodule handles, not API symbols
+            if n not in doc:
+                missing.append(f"tmrnet_tpu{sub}.{n}")
+    assert not missing, ("public exports absent from docs/API.md: "
+                         f"{missing}")
