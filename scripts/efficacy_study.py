@@ -1,0 +1,187 @@
+"""Learning efficacy study: prove the stage-1 -> LFB -> stage-2 pipeline
+actually LEARNS temporal structure, end-to-end through the real CLI.
+
+The reference method exists because long-term memory should beat a
+frame-only model (`train_non-local_mutiConv_resnet.py:208-253`); with no
+real Cholec80 assets in this environment, this study demonstrates it on
+the synthetic memory-dependent task of `tmrnet_tpu/data/synthetic.py`:
+phases 1/4 and 3/6 are pixel-identical, disambiguated only by the phase
+that came before — which sits outside the 10-frame clip but inside the
+30-row memory window.
+
+Every step runs through `python -m tmrnet_tpu ...` (in-process): synth ->
+manifest -> train-bank -> test(stage1 baseline) -> build-lfb(train,val) ->
+train-tmr(tmr, nl_only) -> test -> export -> evaluate (the ported Main.m
+protocol). Results land in docs/QUALITY.md.
+
+Usage:  python scripts/efficacy_study.py --work /tmp/efficacy --seeds 0 1
+"""
+
+from __future__ import annotations
+
+import argparse
+import contextlib
+import io
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tmrnet_tpu.cli import main as cli_main  # noqa: E402
+
+
+def run_cli(argv) -> str:
+    """One in-process CLI invocation; returns captured stdout."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli_main([str(a) for a in argv])
+    out = buf.getvalue()
+    if rc != 0:
+        raise RuntimeError(f"CLI {argv[0]} failed rc={rc}:\n{out}")
+    return out
+
+
+def last_json(text: str) -> dict:
+    lines = [ln for ln in text.strip().splitlines() if ln.startswith("{")]
+    return json.loads(lines[-1]) if lines else {}
+
+
+def common_overrides(work: str, seed: int, hw: int = 32, hidden: int = 32,
+                     batch: int = 16) -> list:
+    """Tiny-scale config shared by every arm (CPU-runnable; the task's
+    structure, not its scale, is what the study measures)."""
+    sets = [
+        f"data.crop_size={hw - 4}", f"data.resize={hw}",
+        "data.mean=0.5,0.5,0.5", "data.std=0.25,0.25,0.25",
+        f"data.batch_clips={batch}", "data.num_workers=2", "data.prefetch=2",
+        "model.backbone=tiny", f"model.hidden_dim={hidden}",
+        "model.compute_dtype=float32",
+        "memory.window=30",
+        f"train.seed={seed}", "train.schedule=constant",
+        "train.log_every=1000",
+    ]
+    return [x for s in sets for x in ("--set", s)]
+
+
+def train_and_score(work: str, seed: int, head: str, stage1_dir: str,
+                    epochs: int, lr: float) -> dict:
+    """Stage-2 training (tmr | nl_only) + protocol scoring of the result."""
+    ckpt = os.path.join(work, f"ckpt-{head}-s{seed}")
+    ov = common_overrides(work, seed)
+    run_cli(["train-tmr",
+             "--train-manifest", f"{work}/train.pkl",
+             "--val-manifest", f"{work}/val.pkl",
+             "--lfb", f"{work}/lfb_train.npz",
+             "--val-lfb", f"{work}/lfb_val.npz",
+             "--stage1-ckpt", stage1_dir,
+             "--log-dir", f"{work}/logs-{head}-s{seed}",
+             *ov, "--set", f"model.head={head}",
+             "--set", f"train.epochs={epochs}", "--set", f"train.lr={lr}",
+             "--set", f"train.checkpoint_dir={ckpt}"])
+    return score_arm(work, seed, head, ckpt, extractor=stage1_dir)
+
+
+def score_arm(work: str, seed: int, arm: str, ckpt: str,
+              extractor: str = "") -> dict:
+    """test -> export -> evaluate for one trained arm; returns its numbers."""
+    ov = common_overrides(work, seed)
+    head = "stage1" if arm == "stage1" else arm
+    preds = f"{work}/preds-{arm}-s{seed}.npz"
+    argv = ["test", "--manifest", f"{work}/test.pkl", "--ckpt", ckpt,
+            "--out", preds, *ov, "--set", f"model.head={head}"]
+    if extractor:
+        argv += ["--extractor-ckpt", extractor]
+    t = last_json(run_cli(argv))
+    pred_dir = f"{work}/eval-{arm}-s{seed}/phase"
+    gt_dir = f"{work}/eval-{arm}-s{seed}/gt-phase"
+    run_cli(["export", "--manifest", f"{work}/test.pkl", "--preds", preds,
+             "--pred-dir", pred_dir, "--gt-dir", gt_dir])
+    jout = f"{work}/protocol-{arm}-s{seed}.json"
+    run_cli(["evaluate", "--pred-dir", pred_dir, "--gt-dir", gt_dir,
+             "--json-out", jout])
+    with open(jout) as f:
+        rep = json.load(f)
+    return {"arm": arm, "seed": seed,
+            "clip_accuracy": t["clip_accuracy"],
+            "protocol_accuracy": rep["mean_accuracy"],
+            "protocol_jaccard": rep["mean_jaccard"]}
+
+
+def run_study(work: str, seed: int = 0, videos=(8, 2, 4),
+              epochs1: int = 6, epochs2: int = 6,
+              lr1: float = 0.05, lr2: float = 0.001,
+              heads=("tmr", "nl_only"), hw: int = 32) -> list:
+    """Full pipeline for one seed. Returns one result dict per arm
+    (stage1 + each stage-2 head)."""
+    os.makedirs(work, exist_ok=True)
+    # 1) dataset + manifests (data seed fixed: every seed trains on the
+    #    same videos; train.seed varies init/shuffles/augs)
+    if not os.path.exists(f"{work}/test.pkl"):
+        run_cli(["synth", "--out-dir", work, "--train", videos[0],
+                 "--val", videos[1], "--test", videos[2], "--hw", hw,
+                 "--seed", 0])
+        for split in ("train", "val", "test"):
+            run_cli(["manifest", "--frames", f"{work}/frames-{split}",
+                     "--annotations", f"{work}/annotations",
+                     "--stride", 1, "--out", f"{work}/{split}.pkl"])
+    ov = common_overrides(work, seed)
+
+    # 2) stage-1 memory-bank model (the frame-only baseline arm)
+    s1 = f"{work}/ckpt-stage1-s{seed}"
+    run_cli(["train-bank", "--train-manifest", f"{work}/train.pkl",
+             "--val-manifest", f"{work}/val.pkl",
+             "--log-dir", f"{work}/logs-s1-s{seed}", *ov,
+             "--set", f"train.epochs={epochs1}", "--set", f"train.lr={lr1}",
+             "--set", f"train.checkpoint_dir={s1}"])
+    results = [score_arm(work, seed, "stage1", s1)]
+
+    # 3) LFB banks from the frozen stage-1 extractor
+    for split in ("train", "val"):
+        run_cli(["build-lfb", "--manifest", f"{work}/{split}.pkl",
+                 "--ckpt", s1, "--out", f"{work}/lfb_{split}.npz", *ov])
+
+    # 4) stage-2 heads over the bank
+    for head in heads:
+        results.append(train_and_score(work, seed, head, s1, epochs2, lr2))
+    return results
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--work", required=True)
+    ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1])
+    ap.add_argument("--epochs1", type=int, default=6)
+    ap.add_argument("--epochs2", type=int, default=6)
+    ap.add_argument("--lr1", type=float, default=0.05)
+    # stage-2 heads sit on a residual attention stack: 0.02 was measured to
+    # destabilize around step ~50 (loss -> 1e21 -> NaN); 1e-3 trains to
+    # val_acc 1.0 in two epochs on the synthetic task
+    ap.add_argument("--lr2", type=float, default=0.001)
+    ap.add_argument("--train-videos", type=int, default=8)
+    args = ap.parse_args(argv)
+    all_rows = []
+    for seed in args.seeds:
+        rows = run_study(args.work, seed,
+                         videos=(args.train_videos, 2, 4),
+                         epochs1=args.epochs1, epochs2=args.epochs2,
+                         lr1=args.lr1, lr2=args.lr2)
+        all_rows.extend(rows)
+        for r in rows:
+            print(json.dumps(r))
+    with open(os.path.join(args.work, "efficacy_results.json"), "w") as f:
+        json.dump(all_rows, f, indent=2)
+    # margin summary
+    by_arm = {}
+    for r in all_rows:
+        by_arm.setdefault(r["arm"], []).append(r["clip_accuracy"])
+    base = sum(by_arm["stage1"]) / len(by_arm["stage1"])
+    for arm, accs in sorted(by_arm.items()):
+        mean = sum(accs) / len(accs)
+        print(f"{arm:8s} clip_acc mean={mean:.4f} "
+              f"(margin vs stage1: {mean - base:+.4f}) seeds={accs}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,40 @@
+"""Learning efficacy: the stage-1 -> LFB -> stage-2 pipeline LEARNS temporal
+structure (VERDICT r3 #1). Runs the synthetic memory-dependent task
+(data/synthetic.py) end-to-end through the REAL CLI — synth, manifest,
+train-bank, build-lfb, train-tmr, test, export, evaluate — and asserts the
+memory head beats the frame-only stage-1 baseline by a clear margin.
+
+The task is constructed so a memoryless model cannot exceed a known
+accuracy ceiling (ambiguous phase pairs are pixel-identical; only the
+phase history disambiguates — see data/synthetic.py). Full-scale numbers
+with two seeds and the nl_only ablation live in docs/QUALITY.md
+(scripts/efficacy_study.py)."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"))
+
+from efficacy_study import run_study  # noqa: E402
+
+pytestmark = pytest.mark.slow
+
+
+def test_memory_head_beats_frame_only_baseline(tmp_path):
+    rows = run_study(str(tmp_path), seed=0, videos=(6, 2, 3),
+                     epochs1=4, epochs2=4, heads=("tmr",))
+    by = {r["arm"]: r for r in rows}
+    s1, tmr = by["stage1"], by["tmr"]
+
+    # the baseline learned the learnable part (well above 1/7 chance) ...
+    assert s1["clip_accuracy"] > 0.5, f"stage1 failed to learn: {s1}"
+    # ... but the memory head resolves what the baseline cannot
+    margin = tmr["clip_accuracy"] - s1["clip_accuracy"]
+    assert margin >= 0.05, (
+        f"memory gave no clear gain: stage1={s1['clip_accuracy']:.4f} "
+        f"tmr={tmr['clip_accuracy']:.4f} (margin {margin:+.4f})")
+    # the ported protocol scorer sees the same ordering
+    assert tmr["protocol_accuracy"] > s1["protocol_accuracy"], (s1, tmr)

@@ -1,0 +1,86 @@
+"""Unit tests for the synthetic memory-dependent dataset generator
+(data/synthetic.py) — the substrate of the learning efficacy study."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tmrnet_tpu.data.synthetic import (
+    PHASE_TOKENS,
+    ambiguous_phases,
+    frame_only_ceiling,
+    generate_video,
+    render_frames,
+    write_synthetic_dataset,
+)
+
+
+def test_token_map_structure():
+    """The default token map has exactly two ambiguous pairs whose
+    PREDECESSOR phases render distinctly — the property that makes the
+    task solvable with memory and unsolvable without."""
+    assert ambiguous_phases() == [1, 3, 4, 6]
+    tokens = PHASE_TOKENS
+    assert tokens[1] == tokens[4] and tokens[3] == tokens[6]
+    # predecessors of each ambiguous pair are distinct
+    assert tokens[0] != tokens[3]   # phase 1 vs phase 4 lookback
+    assert tokens[2] != tokens[5]   # phase 3 vs phase 6 lookback
+
+
+def test_ambiguous_phases_render_identically_distributed():
+    """Paired phases must be pixel-indistinguishable in distribution: same
+    palette color, same noise process."""
+    rng = np.random.default_rng(0)
+    a = render_frames(np.full(64, PHASE_TOKENS[1]), 16, rng)
+    rng = np.random.default_rng(0)
+    b = render_frames(np.full(64, PHASE_TOKENS[4]), 16, rng)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_generate_video_shapes_and_monotone_labels():
+    rng = np.random.default_rng(1)
+    frames, labels = generate_video(rng, dur_range=(5, 8), hw=16)
+    assert frames.shape == (len(labels), 16, 16, 3)
+    assert frames.dtype == np.uint8
+    assert labels[0] == 0 and labels[-1] == 6
+    assert (np.diff(labels) >= 0).all()          # monotonic phase progress
+    assert set(np.unique(labels)) == set(range(7))
+    durs = np.bincount(labels)
+    assert durs.min() >= 5 and durs.max() <= 8
+
+
+def test_write_dataset_feeds_the_real_manifest_builder(tmp_path):
+    """The on-disk layout must round-trip through the production manifest
+    walker (packed .npy + annotation txts, numeric video ids)."""
+    from tmrnet_tpu.config import CHOLEC80_PHASES
+    from tmrnet_tpu.data.manifests import build_manifest_from_frames
+
+    out = write_synthetic_dataset(str(tmp_path), {"train": 2, "test": 1},
+                                  seed=3, dur_range=(5, 7), hw=16)
+    m = build_manifest_from_frames(out["train"], out["annotations"],
+                                   CHOLEC80_PHASES, sample_stride=1)
+    assert [v.video_id for v in m.videos] == ["1", "2"]
+    mt = build_manifest_from_frames(out["test"], out["annotations"],
+                                    CHOLEC80_PHASES, sample_stride=1)
+    assert [v.video_id for v in mt.videos] == ["3"]
+    # labels round-trip exactly and frames load through the packed reader
+    from tmrnet_tpu.data.pipeline import load_frame
+
+    v = m.videos[0]
+    raw = np.load(os.path.join(out["train"], "1.npy"))
+    assert len(v) == raw.shape[0] == len(v.labels)
+    np.testing.assert_array_equal(load_frame(v.frame_paths[4]), raw[4])
+    assert v.labels[0] == 0 and v.labels[-1] == 6
+
+
+def test_frame_only_ceiling_formula():
+    # seq as long as the max duration -> every clip sees the predecessor
+    assert frame_only_ceiling(seq=26, dur_range=(15, 25)) == 1.0
+    # seq=1, all-ambiguous map -> pure coin flip on ambiguous frames
+    c = frame_only_ceiling(num_phases=2, seq=1, dur_range=(10, 10),
+                           tokens=(0, 0))
+    assert c == pytest.approx(0.5)
+    # defaults sit in a plausible band
+    c = frame_only_ceiling()
+    assert 0.75 < c < 0.9

@@ -16,6 +16,7 @@ drivers (SURVEY.md section 5, config notes):
   export-ckpt checkpoint -> reference-format torch .pth (migration out)
   export-model inference step -> portable StableHLO artifact (jax.export)
   pack       image-tree manifest -> raw per-video .npy packs (zero-decode)
+  synth      synthetic memory-dependent dataset (learning efficacy study)
   migrate    reference command line -> equivalent tmrnet-tpu command(s)
   doctor     environment + artifact diagnostics (no reference equivalent)
 
@@ -346,6 +347,36 @@ def cmd_manifest(args) -> int:
     return 0
 
 
+def cmd_synth(args) -> int:
+    """Generate the synthetic memory-dependent dataset of the learning
+    efficacy study (data/synthetic.py, docs/QUALITY.md): packed .npy video
+    splits + phase annotations, consumable by `manifest --stride 1` and
+    every downstream command unchanged."""
+    from tmrnet_tpu.data.synthetic import (
+        ambiguous_phases,
+        frame_only_ceiling,
+        write_synthetic_dataset,
+    )
+
+    splits = {"train": args.train, "val": args.val, "test": args.test}
+    splits = {k: v for k, v in splits.items() if v > 0}
+    if not splits:
+        raise SystemExit("nothing to generate: all of --train/--val/--test "
+                         "are 0")
+    dur = (args.dur_min, args.dur_max)
+    out = write_synthetic_dataset(args.out_dir, splits, seed=args.seed,
+                                  num_phases=args.phases, dur_range=dur,
+                                  hw=args.hw)
+    print(json.dumps({
+        "out": out,
+        "videos": sum(splits.values()),
+        "ambiguous_phases": ambiguous_phases()[: args.phases],
+        "frame_only_ceiling": round(
+            frame_only_ceiling(args.phases, args.seq, dur), 4),
+    }))
+    return 0
+
+
 def cmd_pack(args) -> int:
     """Pack a manifest's frame images into per-video raw uint8 .npy files
     plus a manifest whose paths read them back ('<file>.npy#<idx>',
@@ -554,6 +585,16 @@ def cmd_test(args) -> int:
     from tmrnet_tpu.train.loop import build_lfb
 
     cfg = load_config(args)
+    # memoryless heads (stage1): frame-only protocol scoring — no bank, no
+    # memory gather; the clip engine handles it (the efficacy study's
+    # baseline arm, docs/QUALITY.md)
+    memoryless = cfg.model.head not in ("tmr", "nl_only")
+    if memoryless:
+        if args.engine not in (None, "clip"):
+            raise SystemExit(
+                f"--engine {args.engine} runs the memory head; "
+                f"model.head={cfg.model.head} scores with --engine clip")
+        args.engine = "clip"
     if args.engine is None:
         # default = corpus (strictly faster at protocol scale, parity-proven,
         # lazy host RAM — VERDICT r2 #2); auto-fall back to the clip engine
@@ -572,13 +613,29 @@ def cmd_test(args) -> int:
         cfg = dataclasses.replace(
             cfg, eval=dataclasses.replace(cfg.eval, corpus=True))
         args.engine = "video"
+    # multi-controller protocol evaluation: videos partition across
+    # processes, each runs a process-LOCAL corpus engine, predictions
+    # all-gather, process 0 writes the outputs (eval/distributed.py;
+    # byte-identical to the single-process run). Init DCN before the
+    # first backend query (the weight restore below).
+    dist_mesh = None
+    distributed = cfg.mesh.multihost
+    if distributed:
+        if args.engine != "video" or not cfg.eval.corpus:
+            raise SystemExit(
+                "multi-controller test runs --engine corpus only (videos "
+                "are partitioned across processes; other engines are "
+                "single-controller — docs/SCALING.md 'Multi-host')")
+        from tmrnet_tpu.eval.distributed import local_eval_mesh
+
+        dist_mesh = local_eval_mesh(cfg)
     m = _load_manifest(args.manifest)
     ds = _dataset(cfg, m, False, device_normalize=True)
     _, variables = _restore_variables(cfg, cfg.model.head, args.ckpt,
                                       args.torch_ckpt, cfg.data.crop_size)
     bank = None
-    if args.engine == "video":
-        pass  # bank is built inside the fused video pass
+    if args.engine == "video" or memoryless:
+        pass  # fused video pass builds its own bank; stage1 reads none
     elif args.lfb and os.path.exists(args.lfb):
         # .pkl = reference g_LFB pickle, validated against the manifest
         bank = load_bank(args.lfb, seq_len=cfg.data.sequence_length,
@@ -608,8 +665,9 @@ def cmd_test(args) -> int:
                 "--engine video builds per-video memory windows; the "
                 "reference cross-video quirk (memory.compat_cross_video) "
                 "requires --engine clip")
-        engine = VideoInference(cfg, variables, extractor2,
-                                mesh=_mesh_for(cfg, batch=0))
+        engine = (None if distributed else
+                  VideoInference(cfg, variables, extractor2,
+                                 mesh=_mesh_for(cfg, batch=0)))
         d = cfg.data
         tf = EvalTransform(d.crop_size, d.resize, d.test_crop_type,
                            d.mean, d.std,
@@ -622,7 +680,14 @@ def cmd_test(args) -> int:
 
         results = [None] * len(m.videos)
         vb = max(1, cfg.eval.video_batch)
-        if cfg.eval.corpus:
+        if distributed:
+            from tmrnet_tpu.eval.distributed import run_corpus_distributed
+
+            results = run_corpus_distributed(
+                cfg, variables, extractor2,
+                [len(v) for v in m.videos],
+                lambda i: load_video(m.videos[i]), mesh=dist_mesh)
+        elif cfg.eval.corpus:
             # flat-stream corpus engine: zero per-video backbone padding,
             # lazy loading (one video in host RAM at a time)
             results = engine.run_corpus(
@@ -661,6 +726,11 @@ def cmd_test(args) -> int:
             cfg, variables, bank,
             mesh=_mesh_for(cfg, batch=cfg.eval.batch_clips,
                            what="eval.batch_clips")).run(ds)
+    if distributed:
+        import jax
+
+        if jax.process_index() != 0:
+            return 0   # every process holds the results; one writer
     np.savez(args.out, preds=res.preds, scores=res.scores, rows=res.rows)
     if args.ref_pickle:
         # reference prediction-pickle pair (<name>.pkl + <name>.score.pkl,
@@ -1447,6 +1517,24 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--train-videos", type=int, default=0,
                     help="first N videos to the train split (0 = single split)")
     sp.set_defaults(fn=cmd_manifest)
+
+    sp = sub.add_parser("synth", help="generate the synthetic memory-"
+                                      "dependent dataset (efficacy study)")
+    sp.add_argument("--out-dir", required=True)
+    sp.add_argument("--train", type=int, default=8,
+                    help="train-split videos (frames-train/)")
+    sp.add_argument("--val", type=int, default=2)
+    sp.add_argument("--test", type=int, default=4)
+    sp.add_argument("--phases", type=int, default=7)
+    sp.add_argument("--dur-min", type=int, default=15,
+                    help="min frames per phase")
+    sp.add_argument("--dur-max", type=int, default=25)
+    sp.add_argument("--hw", type=int, default=32, help="frame side length")
+    sp.add_argument("--seq", type=int, default=10,
+                    help="clip length, only for the printed frame-only "
+                         "ceiling estimate")
+    sp.add_argument("--seed", type=int, default=0)
+    sp.set_defaults(fn=cmd_synth)
 
     sp = sub.add_parser("pack", help="frame images -> per-video raw .npy "
                                      "(zero-decode reads)")

@@ -12,6 +12,13 @@ from tmrnet_tpu.data.packed import (  # noqa: F401
     pack_manifest,
     pack_video,
 )
+from tmrnet_tpu.data.synthetic import (  # noqa: F401
+    PHASE_TOKENS,
+    ambiguous_phases,
+    frame_only_ceiling,
+    generate_video,
+    write_synthetic_dataset,
+)
 from tmrnet_tpu.data.manifests import (  # noqa: F401
     Manifest,
     VideoRecord,

@@ -18,7 +18,7 @@ Two paths, both jitted end-to-end:
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -56,8 +56,8 @@ class ClipInference:
     double-buffered either way (data/device_feed.py).
     """
 
-    def __init__(self, cfg: ExperimentConfig, variables, bank: FeatureBank,
-                 mesh=None):
+    def __init__(self, cfg: ExperimentConfig,
+                 variables, bank: Optional[FeatureBank] = None, mesh=None):
         from tmrnet_tpu.parallel.mesh import require_single_controller
 
         require_single_controller(mesh, "ClipInference")
@@ -65,19 +65,39 @@ class ClipInference:
         self.mesh = mesh
         model = build_model(cfg.model)
         self.window = cfg.memory.window
+        # memoryless heads (stage1): per-clip forward with no bank — the
+        # frame-only baseline of the efficacy study (docs/QUALITY.md) and
+        # the protocol score of a stage-1 checkpoint on its own
+        self.memoryless = cfg.model.head not in ("tmr", "nl_only")
+        if not self.memoryless and bank is None:
+            raise ValueError(
+                f"head {cfg.model.head!r} reads the feature bank; pass one")
         cdt = jnp.dtype(cfg.model.compute_dtype)
         prep = DevicePrep(cfg.data, cdt)
 
-        @jax.jit
-        def infer(variables, features, clips, idx):
-            # idx: (B, window) bank rows, computed host-side — either the
-            # clamped windows (paper intent) or the reference-quirk table
-            # (memory.compat_cross_video); the gather runs on device
-            clips = prep(clips)
-            memory = jnp.take(features, idx, axis=0)
-            logits = model.apply(variables, clips, memory, train=False)
-            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-            return jnp.argmax(probs, axis=-1), probs
+        if self.memoryless:
+
+            @jax.jit
+            def infer(variables, features, clips, idx):
+                del features, idx
+                logits = model.apply(variables, prep(clips), train=False)
+                if logits.ndim == 3:   # stage1 emits per-timestep logits;
+                    logits = logits[:, -1, :]  # score the clip's last frame
+                probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+                return jnp.argmax(probs, axis=-1), probs
+
+        else:
+
+            @jax.jit
+            def infer(variables, features, clips, idx):
+                # idx: (B, window) bank rows, computed host-side — either the
+                # clamped windows (paper intent) or the reference-quirk table
+                # (memory.compat_cross_video); the gather runs on device
+                clips = prep(clips)
+                memory = jnp.take(features, idx, axis=0)
+                logits = model.apply(variables, clips, memory, train=False)
+                probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+                return jnp.argmax(probs, axis=-1), probs
 
         self._infer = infer
         if mesh is not None:
@@ -85,10 +105,14 @@ class ClipInference:
 
             rep = replicated_sharding(mesh)
             variables = jax.device_put(variables, rep)
-            bank = FeatureBank(jax.device_put(bank.features, rep),
-                               jax.device_put(bank.first_rows, rep))
+            if bank is not None:
+                bank = FeatureBank(jax.device_put(bank.features, rep),
+                                   jax.device_put(bank.first_rows, rep))
         self.variables = variables
         self.bank = bank
+        # uniform jit signature: memoryless runs carry tiny dummies
+        self._features = (bank.features if bank is not None
+                          else jnp.zeros((1, cfg.model.hidden_dim), cdt))
 
     def run(self, ds: ClipDataset) -> InferenceResult:
         from tmrnet_tpu.data.device_feed import device_prefetch
@@ -106,6 +130,8 @@ class ClipInference:
                 ds.seq_len, ds.manifest.video_lengths, self.window)
 
         def window_idx(r: np.ndarray) -> np.ndarray:
+            if self.memoryless:   # dummy gather index (head ignores it)
+                return np.zeros((len(r), 1), np.int32)
             if quirk_table is not None:
                 return quirk_table[r].astype(np.int32)
             from tmrnet_tpu.data.indexing import memory_window_rows
@@ -134,7 +160,7 @@ class ClipInference:
                                         array_indices=(0, 1)):
             b = len(rows) - pad
             _, probs = self._infer(
-                self.variables, self.bank.features, clips_d, idx_d)
+                self.variables, self._features, clips_d, idx_d)
             probs = np.asarray(probs)
             if ncrops > 1:  # average softmax over crops (multi-crop protocol)
                 probs = probs.reshape(len(rows), ncrops, -1).mean(axis=1)
