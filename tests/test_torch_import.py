@@ -250,3 +250,60 @@ def test_resnest_export_import_roundtrip():
     for path, leaf in sa:
         np.testing.assert_allclose(np.asarray(leaf), np.asarray(sb[path]),
                                    atol=1e-6, err_msg=str(path))
+
+
+def _imagenet_dict_from(variables, stage_sizes):
+    """Strip the 'share.' prefix and the head keys from an exported
+    reference dict -> exactly the naming of a bare ImageNet trunk file
+    (torchvision resnet50 / torch-hub resnest50), plus a 1000-class fc
+    like the real downloads carry."""
+    from tmrnet_tpu.models.torch_import import export_reference_checkpoint
+
+    sd = export_reference_checkpoint(variables, head="stage1",
+                                     stage_sizes=stage_sizes)
+    out = {k[len("share."):]: v for k, v in sd.items()
+           if k.startswith("share.")}
+    out["fc.weight"] = np.zeros((1000, 64), np.float32)
+    out["fc.bias"] = np.zeros((1000,), np.float32)
+    return out
+
+
+@pytest.mark.parametrize("backbone", ["tiny", "resnest50"])
+def test_imagenet_bootstrap_dispatch(backbone):
+    """--torch-init with a BARE ImageNet trunk file (no 'share.' prefix, no
+    LSTM keys — scripts/fetch_imagenet_init.py output for both arches):
+    convert_reference_checkpoint must detect it, convert the trunk only,
+    and drop the 1000-class fc, so merging over a fresh stage-1 init gives
+    a runnable model (the documented pretrained-bootstrap workflow)."""
+    from tmrnet_tpu.config import ModelConfig
+    from tmrnet_tpu.models.tmrnet import build_model
+    from tmrnet_tpu.models.torch_import import convert_reference_checkpoint
+
+    cfg = ModelConfig(backbone=backbone, stage_sizes=(1, 1), width=8,
+                      hidden_dim=32, num_classes=7, head="stage1",
+                      compute_dtype="float32")
+    model = build_model(cfg)
+    variables = model.init(jax.random.PRNGKey(5), jnp.ones((1, 4, 32, 32, 3)))
+    sd = _imagenet_dict_from(variables, (1, 1))
+    assert "conv1.weight" in sd or "conv1.0.weight" in sd
+    assert not any(k.startswith(("share.", "lstm.")) for k in sd)
+
+    converted = convert_reference_checkpoint(sd, head="stage1",
+                                             stage_sizes=(1, 1))
+    # trunk only: no classifier, no lstm leaked through
+    assert set(converted["params"]) == {"backbone"}
+    assert set(converted["batch_stats"]) == {"backbone"}
+    assert_shapes_match(init_vars=variables["params"],
+                        converted=converted["params"])
+    # round-trips the trunk weights exactly
+    flat_a = dict(jax.tree_util.tree_leaves_with_path(
+        variables["params"]["backbone"]))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(
+            converted["params"]["backbone"]):
+        np.testing.assert_allclose(np.asarray(leaf),
+                                   np.asarray(flat_a[path]), atol=1e-6,
+                                   err_msg=str(path))
+    merged = {c: merge_variables(variables[c], converted[c])
+              for c in variables}
+    out = model.apply(merged, jnp.ones((1, 4, 32, 32, 3)))
+    assert out.shape == (1, 4, 7)

@@ -154,13 +154,31 @@ def convert_reference_checkpoint(
     (`train_non-local_mutiConv_resnet.py:707,774`); the analogue here is
     converting whatever subset of keys exists and merging over a fresh init
     (see merge_variables). The trunk family dispatches on the key names:
-    a deep stem (`share.conv1.0.weight`) means the resnest-package ResNeSt
-    (`train_non-local_mutiConv_resnest.py:24,207-210`).
+    a deep stem (`share.conv1.0.weight` / bare `conv1.0.weight`) means the
+    resnest-package ResNeSt (`train_non-local_mutiConv_resnest.py:24,207-210`).
+
+    Bare ImageNet trunks (torchvision resnet50 / torch-hub resnest50, from
+    scripts/fetch_imagenet_init.py: no `share.` prefix and no LSTM keys —
+    both references construct theirs with pretrained=True,
+    `train_singlenet_phase_1fc.py:204` / `_resnest.py:207-210`) convert to
+    backbone-only variables; their 1000-class `fc` is dropped like the
+    reference drops it when wrapping the trunk.
     """
     if "share.conv1.0.weight" in sd:
         trunk_params, trunk_stats = convert_resnest_trunk(sd, stage_sizes)
-    else:
+    elif "conv1.0.weight" in sd:      # bare resnest-pkg ImageNet trunk
+        trunk_params, trunk_stats = convert_resnest_trunk(sd, stage_sizes,
+                                                          prefix="")
+    elif "share.conv1.weight" in sd:
         trunk_params, trunk_stats = convert_resnet_trunk(sd, stage_sizes)
+    else:                              # bare torchvision ImageNet trunk
+        trunk_params, trunk_stats = convert_resnet_trunk(sd, stage_sizes,
+                                                         prefix="")
+    if "lstm.weight_ih_l0" not in sd:
+        # ImageNet bootstrap: trunk only (its 1000-class fc would shape-clash
+        # with the phase classifier — the reference discards it too)
+        return {"params": {"backbone": trunk_params},
+                "batch_stats": {"backbone": trunk_stats}}
     params: Tree = {"backbone": trunk_params,
                     "encoder": {"lstm": lstm_params(sd, "lstm")}}
     stats: Tree = {"backbone": trunk_stats}
@@ -236,8 +254,23 @@ def convert_imagenet_resnet(sd: Mapping[str, Any],
                             ) -> Dict[str, Tree]:
     """torchvision ImageNet resnet50 state_dict (no 'share.' prefix) ->
     backbone-only variables; the 1000-class fc is dropped like the reference
-    does when wrapping the trunk."""
+    does when wrapping the trunk. (convert_reference_checkpoint dispatches
+    here automatically for --torch-init files.)"""
     trunk_params, trunk_stats = convert_resnet_trunk(sd, stage_sizes, prefix="")
+    return {"params": {"backbone": trunk_params},
+            "batch_stats": {"backbone": trunk_stats}}
+
+
+def convert_imagenet_resnest(sd: Mapping[str, Any],
+                             stage_sizes: Sequence[int] = (3, 4, 6, 3)
+                             ) -> Dict[str, Tree]:
+    """torch-hub / resnest-package ImageNet resnest50 state_dict (bare
+    'conv1.0.weight' deep-stem naming, from
+    `scripts/fetch_imagenet_init.py --arch resnest50`) -> backbone-only
+    variables — the pretrained bootstrap of the reference's best-accuracy
+    config (`train_non-local_mutiConv_resnest.py:24,207-210`)."""
+    trunk_params, trunk_stats = convert_resnest_trunk(sd, stage_sizes,
+                                                      prefix="")
     return {"params": {"backbone": trunk_params},
             "batch_stats": {"backbone": trunk_stats}}
 
