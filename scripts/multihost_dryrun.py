@@ -38,17 +38,26 @@ def main(argv=None) -> int:
                     help="model (TP) axis width. Default: 2 in step mode, "
                          "1 in the full-training modes (pass 2 there to "
                          "prove TP composes with local-feed data loading)")
-    ap.add_argument("--mode", choices=("step", "stage1", "stage2"),
+    ap.add_argument("--mode", choices=("step", "stage1", "stage2", "eval"),
                     default="step",
                     help="step: one sharded stage-2 train step; stage1: a "
                          "full train_stage1 run with per-process local "
                          "data loading (each process decodes only the "
                          "batch rows its devices consume); stage2: "
                          "clip-engine LFB build + train_stage2 the same "
-                         "way (memory gathers + bank scatter included)")
+                         "way (memory gathers + bank scatter included); "
+                         "eval: distributed corpus protocol evaluation "
+                         "(videos partitioned across processes, "
+                         "eval/distributed.py)")
     ap.add_argument("--workdir", default=None,
                     help="stage1 mode: SHARED checkpoint/work dir (orbax "
                          "multi-controller saves coordinate through it)")
+    ap.add_argument("--interleave-data-axis", action="store_true",
+                    help="stage1 mode: build the mesh with processes "
+                         "INTERLEAVED along the data axis, so "
+                         "process_local_bounds raises and _BatchFeed falls "
+                         "back to the full global feed (the documented "
+                         "fallback path)")
     ap.add_argument("--epochs", type=int, default=2,
                     help="stage1 mode: epoch count (large values let a "
                          "preemption test SIGTERM one controller mid-run)")
@@ -85,6 +94,8 @@ def main(argv=None) -> int:
         return stage1_data_parallel(args, n)
     if args.mode == "stage2":
         return stage2_data_parallel(args, n)
+    if args.mode == "eval":
+        return eval_distributed(args, n)
 
     import jax.numpy as jnp
 
@@ -256,6 +267,91 @@ def stage2_data_parallel(args, n: int) -> int:
     return 0
 
 
+def build_synthetic_eval():
+    """Deterministic tiny corpus-eval setup, identical on every process (and
+    in the single-process comparison run of tests/test_multihost_eval.py):
+    5 memory-dependent synthetic videos (data/synthetic.py) + a seeded TMR
+    model. Returns (cfg, videos uint8 list, labels list, variables,
+    extractor_variables)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tmrnet_tpu.config import (
+        DataConfig,
+        EvalConfig,
+        ExperimentConfig,
+        MemoryConfig,
+        ModelConfig,
+    )
+    from tmrnet_tpu.data.synthetic import generate_video
+    from tmrnet_tpu.models.tmrnet import build_model
+
+    seq, hw = 4, 24
+    cfg = ExperimentConfig(
+        data=DataConfig(sequence_length=seq, crop_size=hw, resize=hw,
+                        mean=(0.5, 0.5, 0.5), std=(0.25, 0.25, 0.25)),
+        model=ModelConfig(backbone="tiny", stage_sizes=(1, 1), width=8,
+                          hidden_dim=16, num_classes=7, head="tmr",
+                          compute_dtype="float32"),
+        memory=MemoryConfig(window=4),
+        # chunk < every process's local frame total, so the flat-stream
+        # launches are shape-identical however the videos are partitioned
+        eval=EvalConfig(corpus=True, corpus_chunk=64),
+    )
+    rng = np.random.default_rng(7)
+    vids, labs = [], []
+    for _ in range(5):
+        frames, labels = generate_video(rng, dur_range=(5, 9), hw=hw)
+        vids.append(frames)
+        labs.append(labels)
+    model = build_model(cfg.model)
+    clips = jnp.zeros((1, seq, hw, hw, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(3), clips,
+                           jnp.zeros((1, 4, 16)))
+    ev = {"params": {"backbone": variables["params"]["backbone"],
+                     "encoder": variables["params"]["encoder"]},
+          "batch_stats": {"backbone": variables["batch_stats"]["backbone"]}}
+    return cfg, vids, labs, variables, ev
+
+
+def eval_distributed(args, n: int) -> int:
+    """Distributed corpus protocol evaluation: this process runs its video
+    partition on a process-LOCAL mesh, predictions all-gather, and every
+    process prints the identical protocol table + a prediction checksum
+    (compared byte-for-byte against a single-process run by
+    tests/test_multihost_eval.py)."""
+    import hashlib
+
+    import jax
+    import numpy as np
+
+    from tmrnet_tpu.config import CHOLEC80_PHASES, MeshConfig
+    from tmrnet_tpu.eval.distributed import run_corpus_distributed
+    from tmrnet_tpu.eval.metrics import evaluate_protocol
+    from tmrnet_tpu.parallel.mesh import make_mesh
+
+    cfg, vids, labs, variables, ev = build_synthetic_eval()
+    local = jax.local_devices()
+    mesh = (make_mesh(MeshConfig(data_parallel=len(local)), devices=local)
+            if len(local) > 1 else None)
+    results = run_corpus_distributed(
+        cfg, variables, ev, [v.shape[0] for v in vids],
+        lambda i: vids[i], mesh=mesh)
+    seq = cfg.data.sequence_length
+    gts = [l[seq - 1:] for l in labs]
+    preds = [p for p, _ in results]
+    rep = evaluate_protocol(gts, preds, protocol="cholec80",
+                            phase_names=CHOLEC80_PHASES)
+    digest = hashlib.sha256(
+        np.concatenate(preds).astype(np.int64).tobytes()).hexdigest()[:16]
+    print(f"eval proc {args.process_id}: preds_sha={digest}", flush=True)
+    print(rep.format_table(), flush=True)
+    return 0
+
+
 def stage1_data_parallel(args, n: int) -> int:
     """Full train_stage1 over the global mesh with PER-PROCESS LOCAL data
     loading: _fit's _BatchFeed detects a mesh spanning processes, each process's
@@ -272,7 +368,16 @@ def stage1_data_parallel(args, n: int) -> int:
 
     cfg, train_ds, val_ds = build_synthetic_stage1(args.workdir, args.epochs)
     mp = args.model_parallel or 1   # TP axis: opt-in for the training modes
-    mesh = make_mesh(MeshConfig(data_parallel=n // mp, model_parallel=mp))
+    devices = None
+    if args.interleave_data_axis:
+        # processes interleaved along the data axis: each process's batch
+        # rows are then NON-contiguous, process_local_bounds raises, and
+        # _BatchFeed must fall back to the full global feed (shard_batch)
+        devs = jax.devices()
+        per, np_ = args.local_devices, args.num_processes
+        devices = [devs[j * per + k] for k in range(per) for j in range(np_)]
+    mesh = make_mesh(MeshConfig(data_parallel=n // mp, model_parallel=mp),
+                     devices=devices)
     _state, hist = train_stage1(cfg, train_ds, val_ds, mesh=mesh)
     print_history("stage1", args.process_id, hist)
     return 0

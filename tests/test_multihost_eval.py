@@ -1,0 +1,165 @@
+"""Multi-controller evaluation + >=4-process hardening (VERDICT r3 #2/#3).
+
+Real OS processes, virtual CPU devices, jax.distributed rendezvous — the
+same harness as tests/test_multihost.py, covering:
+
+* 2-process distributed corpus protocol evaluation: videos partition
+  across controllers, predictions all-gather, and BOTH processes print a
+  protocol table byte-identical to the single-process run's.
+* 4-process x 2-device local-feed stage-1 training + cross-controller
+  resume (everything else in the suite stops at 2 processes).
+* the process-interleaved mesh fallback: process_local_bounds raises, the
+  trainer feeds full global batches instead, results unchanged.
+"""
+
+import importlib.util
+import os
+import re
+import socket
+import subprocess
+import sys
+
+_SCRIPT = os.path.join(os.path.dirname(__file__), os.pardir, "scripts",
+                       "multihost_dryrun.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _run_procs(num_processes: int, local_devices: int, extra_args,
+               timeout: int = 540):
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # children host their own virtual devices
+    procs = [
+        subprocess.Popen(
+            [sys.executable, _SCRIPT, "--coordinator", f"127.0.0.1:{port}",
+             "--num-processes", str(num_processes), "--process-id", str(i),
+             "--local-devices", str(local_devices)] + extra_args,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env)
+        for i in range(num_processes)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out}"
+    return outs
+
+
+def _load_dryrun():
+    spec = importlib.util.spec_from_file_location("multihost_dryrun", _SCRIPT)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+_EPOCH_RE = re.compile(
+    r"stage\d proc \d: epoch=(\d+) train_loss=([0-9.]+) train_acc=([0-9.]+) "
+    r"val_loss=([0-9.]+) val_acc=([0-9.]+)")
+
+
+def _epoch_stats(out):
+    stats = [tuple(float(g) for g in m.groups())
+             for m in _EPOCH_RE.finditer(out)]
+    assert stats, f"no epoch lines:\n{out}"
+    return stats
+
+
+def _table_of(out: str) -> str:
+    i = out.index("=" * 48)
+    return out[i:].strip()
+
+
+def test_two_process_corpus_eval_matches_single_process():
+    """Distributed protocol evaluation: both controllers print the same
+    prediction checksum and a protocol table BYTE-IDENTICAL to the
+    single-process run over the same manifest."""
+    outs = _run_procs(2, 4, ["--mode", "eval"])
+    shas = [re.search(r"preds_sha=([0-9a-f]+)", o).group(1) for o in outs]
+    assert shas[0] == shas[1]
+    tables = [_table_of(o) for o in outs]
+    assert tables[0] == tables[1]
+
+    # single-process reference: identical synthetic setup, plain engine
+    import hashlib
+
+    import numpy as np
+
+    mod = _load_dryrun()
+    from tmrnet_tpu.eval.infer import VideoInference
+    from tmrnet_tpu.eval.metrics import evaluate_protocol
+
+    cfg, vids, labs, variables, ev = mod.build_synthetic_eval()
+    results = VideoInference(cfg, variables, ev).run_corpus(
+        vids, chunk=cfg.eval.corpus_chunk)
+    seq = cfg.data.sequence_length
+    rep = evaluate_protocol([l[seq - 1:] for l in labs],
+                            [p for p, _ in results], protocol="cholec80")
+    digest = hashlib.sha256(np.concatenate(
+        [p for p, _ in results]).astype(np.int64).tobytes()).hexdigest()[:16]
+    assert digest == shas[0], "distributed preds differ from single-process"
+    assert rep.format_table() == tables[0]
+
+
+def test_four_process_stage1_local_feed_and_resume(tmp_path):
+    """4 controllers x 2 devices: local-feed training agrees across all
+    four processes, and a relaunch resumes from the shared checkpoint."""
+    shared = tmp_path / "shared"
+    shared.mkdir()
+    outs = _run_procs(4, 2, ["--mode", "stage1", "--workdir", str(shared),
+                             "--epochs", "2"])
+    stats = [_epoch_stats(o) for o in outs]
+    assert all(s == stats[0] for s in stats[1:]), "controllers disagree"
+    assert [int(e[0]) for e in stats[0]] == [0, 1]
+
+    # resume across 4 controllers: only epochs 2-3 run
+    outs2 = _run_procs(4, 2, ["--mode", "stage1", "--workdir", str(shared),
+                              "--epochs", "4"])
+    stats2 = [_epoch_stats(o) for o in outs2]
+    assert all(s == stats2[0] for s in stats2[1:])
+    assert [int(e[0]) for e in stats2[0]] == [2, 3], "not a resume"
+
+    # the global mesh is the same dp=8 as the single-process comparison
+    mod = _load_dryrun()
+    from tmrnet_tpu.config import MeshConfig
+    from tmrnet_tpu.parallel.mesh import make_mesh
+    from tmrnet_tpu.train.loop import train_stage1
+
+    single = tmp_path / "single"
+    single.mkdir()
+    cfg, train_ds, val_ds = mod.build_synthetic_stage1(str(single), epochs=4)
+    mesh = make_mesh(MeshConfig(data_parallel=8, model_parallel=1))
+    _state, hist = train_stage1(cfg, train_ds, val_ds, mesh=mesh)
+    full = stats[0] + stats2[0]
+    assert len(hist) == len(full)
+    for h, (epoch, tr_loss, tr_acc, va_loss, va_acc) in zip(hist, full):
+        assert h.epoch == int(epoch)
+        assert abs(h.train_loss - tr_loss) < 1e-3 * max(1.0, tr_loss)
+        assert abs(h.val_loss - va_loss) < 1e-3 * max(1.0, va_loss)
+        assert abs(h.train_acc - tr_acc) < 1e-3
+        assert abs(h.val_acc - va_acc) < 1e-3
+
+
+def test_interleaved_mesh_falls_back_to_global_feed(tmp_path):
+    """A mesh whose data axis interleaves the two processes: the local-feed
+    optimization is impossible (process_local_bounds raises), _BatchFeed
+    falls back to full global batches, and training still completes with
+    both controllers in agreement."""
+    shared = tmp_path / "shared"
+    shared.mkdir()
+    outs = _run_procs(2, 4, ["--mode", "stage1", "--workdir", str(shared),
+                             "--interleave-data-axis"])
+    s0, s1 = _epoch_stats(outs[0]), _epoch_stats(outs[1])
+    assert s0 == s1, f"controllers disagree:\n{outs[0]}\n{outs[1]}"
+    assert [int(e[0]) for e in s0] == [0, 1]

@@ -1,3 +1,8 @@
+from tmrnet_tpu.eval.distributed import (  # noqa: F401
+    local_eval_mesh,
+    partition_videos,
+    run_corpus_distributed,
+)
 from tmrnet_tpu.eval.metrics import (  # noqa: F401
     relaxed_evaluate,
     aggregate_videos,
