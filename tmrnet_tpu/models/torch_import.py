@@ -160,7 +160,8 @@ def convert_reference_checkpoint(
     Bare ImageNet trunks (torchvision resnet50 / torch-hub resnest50, from
     scripts/fetch_imagenet_init.py: no `share.` prefix and no LSTM keys —
     both references construct theirs with pretrained=True,
-    `train_singlenet_phase_1fc.py:204` / `_resnest.py:207-210`) convert to
+    `train_singlenet_phase_1fc.py:204` /
+    `train_non-local_mutiConv_resnest.py:207-210`) convert to
     backbone-only variables; their 1000-class `fc` is dropped like the
     reference drops it when wrapping the trunk.
     """
