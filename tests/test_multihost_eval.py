@@ -151,6 +151,112 @@ def test_four_process_stage1_local_feed_and_resume(tmp_path):
         assert abs(h.val_acc - va_acc) < 1e-3
 
 
+_CLI_CHILD = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+from tmrnet_tpu.cli import main
+sys.exit(main(sys.argv[1:]))
+"""
+
+
+def test_two_process_cli_test_matches_single_process(tmp_path):
+    """The USER-FACING distributed-eval path from docs/SCALING.md: two
+    processes run the real CLI (`test --set mesh.multihost=true` with
+    rendezvous knobs) against a shared manifest + trained checkpoints, and
+    process 0's preds.npz is identical to a single-process run's."""
+    import json
+
+    import numpy as np
+
+    from tmrnet_tpu.cli import main as cli_main
+
+    work = str(tmp_path)
+
+    def run_cli(argv):
+        assert cli_main([str(a) for a in argv]) == 0, argv
+
+    ov = []
+    for s in ("data.crop_size=20", "data.resize=24",
+              "data.mean=0.5,0.5,0.5", "data.std=0.25,0.25,0.25",
+              "data.sequence_length=6", "data.batch_clips=8",
+              "data.num_workers=2", "data.prefetch=2",
+              "model.backbone=tiny", "model.hidden_dim=32",
+              "model.compute_dtype=float32", "memory.window=8",
+              "train.seed=0", "train.schedule=constant",
+              "train.log_every=1000", "train.epochs=1", "train.lr=0.001"):
+        ov += ["--set", s]
+
+    run_cli(["synth", "--out-dir", work, "--train", 2, "--val", 1,
+             "--test", 3, "--hw", 24, "--dur-min", 8, "--dur-max", 12,
+             "--seed", 0])
+    for split in ("train", "val", "test"):
+        run_cli(["manifest", "--frames", f"{work}/frames-{split}",
+                 "--annotations", f"{work}/annotations",
+                 "--stride", 1, "--out", f"{work}/{split}.pkl"])
+    s1 = f"{work}/ckpt-s1"
+    run_cli(["train-bank", "--train-manifest", f"{work}/train.pkl",
+             "--val-manifest", f"{work}/val.pkl",
+             "--log-dir", f"{work}/logs-s1", *ov,
+             "--set", "train.lr=0.05",
+             "--set", f"train.checkpoint_dir={s1}"])
+    for split in ("train", "val"):
+        run_cli(["build-lfb", "--manifest", f"{work}/{split}.pkl",
+                 "--ckpt", s1, "--out", f"{work}/lfb_{split}.npz", *ov])
+    tmr = f"{work}/ckpt-tmr"
+    run_cli(["train-tmr", "--train-manifest", f"{work}/train.pkl",
+             "--val-manifest", f"{work}/val.pkl",
+             "--lfb", f"{work}/lfb_train.npz",
+             "--val-lfb", f"{work}/lfb_val.npz",
+             "--stage1-ckpt", s1, "--log-dir", f"{work}/logs-tmr", *ov,
+             "--set", f"train.checkpoint_dir={tmr}"])
+
+    test_args = ["test", "--manifest", f"{work}/test.pkl", "--ckpt", tmr,
+                 "--extractor-ckpt", s1, *ov]
+    run_cli(test_args + ["--out", f"{work}/preds_single.npz"])
+
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    mh = ["--out", f"{work}/preds_mh.npz",
+          "--set", "mesh.multihost=true",
+          "--set", f"mesh.coordinator=127.0.0.1:{port}",
+          "--set", "mesh.num_processes=2"]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _CLI_CHILD] + [str(a) for a in test_args]
+            + mh + ["--set", f"mesh.process_id={i}"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))))
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out}"
+    # process 0 is the single writer/reporter (process 1 exits quietly)
+    j0 = [ln for ln in outs[0].splitlines() if ln.startswith("{")]
+    assert "clip_accuracy" in json.loads(j0[-1]), outs[0]
+    assert not [ln for ln in outs[1].splitlines()
+                if ln.startswith("{") and "clip_accuracy" in ln], outs[1]
+
+    single = np.load(f"{work}/preds_single.npz")
+    mh_out = np.load(f"{work}/preds_mh.npz")
+    np.testing.assert_array_equal(single["preds"], mh_out["preds"])
+    np.testing.assert_allclose(single["scores"], mh_out["scores"],
+                               rtol=1e-6)
+    np.testing.assert_array_equal(single["rows"], mh_out["rows"])
+
+
 def test_interleaved_mesh_falls_back_to_global_feed(tmp_path):
     """A mesh whose data axis interleaves the two processes: the local-feed
     optimization is impossible (process_local_bounds raises), _BatchFeed

@@ -261,7 +261,15 @@ def _restore_variables(cfg, head: str, ckpt_dir: Optional[str],
         from tmrnet_tpu.train.state import create_train_state
         from tmrnet_tpu.utils.checkpoint import CheckpointManager
 
-        tx = make_optimizer(cfg.train, variables["params"])
+        # the template's opt_state structure must match the TRAINER's
+        # exactly — see slow_modules_for_head (a mismatch made orbax restore
+        # those leaves from the checkpoint's own sharding file, which only
+        # reconstructs on the training topology; caught by the 2-process
+        # CLI eval test)
+        from tmrnet_tpu.train.optim import slow_modules_for_head
+
+        tx = make_optimizer(cfg.train, variables["params"],
+                            slow_modules=slow_modules_for_head(head))
         state = create_train_state(model, variables, tx)
         mgr = CheckpointManager(ckpt_dir)
         state = (mgr.restore_best(state) if os.path.exists(mgr.best_dir)

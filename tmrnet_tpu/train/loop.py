@@ -39,7 +39,12 @@ from tmrnet_tpu.memory.lfb import (
 )
 from tmrnet_tpu.models.tmrnet import build_model
 from tmrnet_tpu.train.losses import balanced_class_weights
-from tmrnet_tpu.train.optim import make_optimizer, make_schedule, set_learning_rate
+from tmrnet_tpu.train.optim import (
+    make_optimizer,
+    make_schedule,
+    set_learning_rate,
+    slow_modules_for_head,
+)
 from tmrnet_tpu.train.state import TrainState, create_train_state
 from tmrnet_tpu.train.steps import make_stage1_steps, make_stage2_steps
 from tmrnet_tpu.utils.checkpoint import BestTracker, CheckpointManager
@@ -577,8 +582,8 @@ def train_stage1(cfg: ExperimentConfig, train_ds: ClipDataset,
     model = build_model(dataclasses.replace(cfg.model, head="stage1",
                                             remat=cfg.train.remat))
     return _fit(cfg, model, train_ds, val_ds, use_memory=False, bank=None,
-                slow_modules=("backbone",), init_variables=init_variables,
-                mesh=mesh, log=log)
+                slow_modules=slow_modules_for_head("stage1"),
+                init_variables=init_variables, mesh=mesh, log=log)
 
 
 def build_lfb(cfg: ExperimentConfig, extractor_variables,
@@ -757,6 +762,6 @@ def train_stage2(cfg: ExperimentConfig, train_ds: ClipDataset,
     model = build_model(dataclasses.replace(cfg.model, head=head,
                                             remat=cfg.train.remat))
     return _fit(cfg, model, train_ds, val_ds, use_memory=True, bank=bank,
-                slow_modules=("backbone", "encoder"),
+                slow_modules=slow_modules_for_head(head),
                 init_variables=init_variables, mesh=mesh, log=log,
                 val_bank=val_bank)

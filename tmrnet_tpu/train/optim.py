@@ -57,6 +57,21 @@ def _trace_dampened(decay: float, dampening: float
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def slow_modules_for_head(head: str) -> Sequence[str]:
+    """The param groups each driver trains at lr * trunk_lr_scale: stage-2
+    heads fine-tune backbone+encoder slowly (reference builds its optimizer
+    groups the same way per driver); everything else only the backbone.
+
+    Single source of truth shared by the trainers AND the eval restore
+    template: a template whose opt_state GROUPS differ from the trainer's
+    makes orbax restore the mismatched leaves from the checkpoint's own
+    sharding file, which only reconstructs on the training topology — a
+    stage-2 checkpoint then failed to restore for eval on any other device
+    count."""
+    return (("backbone", "encoder") if head in ("tmr", "nl_only")
+            else ("backbone",))
+
+
 def make_optimizer(cfg: TrainConfig, params: Any,
                    slow_modules: Sequence[str] = ("backbone",)
                    ) -> optax.GradientTransformation:
