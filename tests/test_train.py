@@ -92,6 +92,41 @@ def test_optimizer_group_scaling():
     np.testing.assert_allclose(np.asarray(updates["fc"]["w"]), -1.0)
 
 
+def test_grad_clip_torch_semantics():
+    """train.grad_clip clips the GLOBAL grad norm before the optimizer
+    (torch clip_grad_norm_ before step()); lr injection still works through
+    the extra chain wrapper."""
+    cfg = TrainConfig(optimizer="sgd", lr=1.0, momentum=0.0,
+                      weight_decay=0.0, trunk_lr_scale=0.1, grad_clip=1.0)
+    params = {"backbone": {"w": jnp.ones((2,))}, "fc": {"w": jnp.ones((2,))}}
+    tx = make_optimizer(cfg, params)
+    state = tx.init(params)
+    grads = {"backbone": {"w": jnp.full((2,), 3.0)},
+             "fc": {"w": jnp.full((2,), 4.0)}}
+    updates, state = tx.update(grads, state, params)
+    # global norm = sqrt(2*9 + 2*16) = sqrt(50); each grad scales by
+    # 1/sqrt(50), then the group lrs apply (backbone at lr*0.1)
+    import math
+
+    scale = 1.0 / math.sqrt(50.0)
+    np.testing.assert_allclose(np.asarray(updates["backbone"]["w"]),
+                               -0.1 * 3.0 * scale, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(updates["fc"]["w"]),
+                               -4.0 * scale, rtol=1e-6)
+    # below the threshold nothing changes
+    small = {"backbone": {"w": jnp.full((2,), 0.1)},
+             "fc": {"w": jnp.full((2,), 0.1)}}
+    updates, state = tx.update(small, state, params)
+    np.testing.assert_allclose(np.asarray(updates["fc"]["w"]), -0.1,
+                               rtol=1e-6)
+    # lr re-injection reaches through the clip wrapper
+    state = set_learning_rate(state, 0.5)
+    assert current_learning_rate(state) == pytest.approx(0.5)
+    updates, _ = tx.update(small, state, params)
+    np.testing.assert_allclose(np.asarray(updates["fc"]["w"]), -0.05,
+                               rtol=1e-6)
+
+
 def test_set_learning_rate_no_recompile():
     cfg = TrainConfig(optimizer="sgd", lr=0.5, momentum=0.0, weight_decay=0.0)
     params = {"fc": {"w": jnp.ones((2,))}}

@@ -188,6 +188,12 @@ class TrainConfig:
     # `train_non-local_mutiConv_resnest.py:29-30`) on one chip. Combine with
     # remat for the largest effective batches.
     grad_accum: int = 1
+    # Global-gradient-norm clip applied before the optimizer (torch
+    # clip_grad_norm_ semantics). 0 = off (reference parity: it never
+    # clips). The stage-2 residual attention stack destabilizes at high lr
+    # (loss -> 1e21 -> NaN measured at lr 2e-2 on the synthetic efficacy
+    # task); clipping is the production guard for aggressive schedules.
+    grad_clip: float = 0.0
 
 
 @dataclass(frozen=True)

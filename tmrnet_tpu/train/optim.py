@@ -122,6 +122,10 @@ def make_optimizer(cfg: TrainConfig, params: Any,
     opt = optax.multi_transform(
         {"slow": make_group(cfg.trunk_lr_scale), "fast": make_group(1.0)},
         labels)
+    if cfg.grad_clip > 0:
+        # clip the GLOBAL grad norm before any group transform, like torch
+        # clip_grad_norm_ before optimizer.step()
+        opt = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), opt)
     if cfg.grad_accum > 1:
         # Gradient MEAN over k micro-batches, params update every k-th step:
         # k micro-steps at lr == one k*B-batch step of the MEAN loss at lr
