@@ -31,6 +31,13 @@ def test_memory_head_beats_frame_only_baseline(tmp_path):
 
     # the baseline learned the learnable part (well above 1/7 chance) ...
     assert s1["clip_accuracy"] > 0.5, f"stage1 failed to learn: {s1}"
+    # ... but stays at/below the provable memoryless ceiling — if it beats
+    # the ceiling, the ambiguous pairs are distinguishable and the task no
+    # longer measures memory (e.g. a rendering regression)
+    from tmrnet_tpu.data.synthetic import frame_only_ceiling
+
+    assert s1["clip_accuracy"] <= frame_only_ceiling() + 0.08, (
+        f"baseline beat the memoryless ceiling — task broken: {s1}")
     # ... but the memory head resolves what the baseline cannot
     margin = tmr["clip_accuracy"] - s1["clip_accuracy"]
     assert margin >= 0.05, (
