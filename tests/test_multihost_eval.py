@@ -19,6 +19,8 @@ import socket
 import subprocess
 import sys
 
+import pytest
+
 _SCRIPT = os.path.join(os.path.dirname(__file__), os.pardir, "scripts",
                        "multihost_dryrun.py")
 
@@ -161,76 +163,72 @@ sys.exit(main(sys.argv[1:]))
 """
 
 
-def test_two_process_cli_test_matches_single_process(tmp_path):
-    """The USER-FACING distributed-eval path from docs/SCALING.md: two
-    processes run the real CLI (`test --set mesh.multihost=true` with
-    rendezvous knobs) against a shared manifest + trained checkpoints, and
-    process 0's preds.npz is identical to a single-process run's."""
-    import json
+_CLI_OV = []
+for _s in ("data.crop_size=20", "data.resize=24",
+           "data.mean=0.5,0.5,0.5", "data.std=0.25,0.25,0.25",
+           "data.sequence_length=6", "data.batch_clips=8",
+           "data.num_workers=2", "data.prefetch=2",
+           "model.backbone=tiny", "model.hidden_dim=32",
+           "model.compute_dtype=float32", "memory.window=8",
+           "train.seed=0", "train.schedule=constant",
+           "train.log_every=1000", "train.epochs=1", "train.lr=0.001"):
+    _CLI_OV += ["--set", _s]
 
-    import numpy as np
 
+def _run_cli(argv):
     from tmrnet_tpu.cli import main as cli_main
 
-    work = str(tmp_path)
+    assert cli_main([str(a) for a in argv]) == 0, argv
 
-    def run_cli(argv):
-        assert cli_main([str(a) for a in argv]) == 0, argv
 
-    ov = []
-    for s in ("data.crop_size=20", "data.resize=24",
-              "data.mean=0.5,0.5,0.5", "data.std=0.25,0.25,0.25",
-              "data.sequence_length=6", "data.batch_clips=8",
-              "data.num_workers=2", "data.prefetch=2",
-              "model.backbone=tiny", "model.hidden_dim=32",
-              "model.compute_dtype=float32", "memory.window=8",
-              "train.seed=0", "train.schedule=constant",
-              "train.log_every=1000", "train.epochs=1", "train.lr=0.001"):
-        ov += ["--set", s]
-
-    run_cli(["synth", "--out-dir", work, "--train", 2, "--val", 1,
-             "--test", 3, "--hw", 24, "--dur-min", 8, "--dur-max", 12,
-             "--seed", 0])
+@pytest.fixture(scope="module")
+def cli_workdir(tmp_path_factory):
+    """Shared synthetic dataset + trained stage-1/TMR checkpoints for the
+    user-facing CLI multihost tests (built once, in-process)."""
+    work = str(tmp_path_factory.mktemp("cli_mh"))
+    _run_cli(["synth", "--out-dir", work, "--train", 2, "--val", 1,
+              "--test", 3, "--hw", 24, "--dur-min", 8, "--dur-max", 12,
+              "--seed", 0])
     for split in ("train", "val", "test"):
-        run_cli(["manifest", "--frames", f"{work}/frames-{split}",
-                 "--annotations", f"{work}/annotations",
-                 "--stride", 1, "--out", f"{work}/{split}.pkl"])
+        _run_cli(["manifest", "--frames", f"{work}/frames-{split}",
+                  "--annotations", f"{work}/annotations",
+                  "--stride", 1, "--out", f"{work}/{split}.pkl"])
     s1 = f"{work}/ckpt-s1"
-    run_cli(["train-bank", "--train-manifest", f"{work}/train.pkl",
-             "--val-manifest", f"{work}/val.pkl",
-             "--log-dir", f"{work}/logs-s1", *ov,
-             "--set", "train.lr=0.05",
-             "--set", f"train.checkpoint_dir={s1}"])
+    _run_cli(["train-bank", "--train-manifest", f"{work}/train.pkl",
+              "--val-manifest", f"{work}/val.pkl",
+              "--log-dir", f"{work}/logs-s1", *_CLI_OV,
+              "--set", "train.lr=0.05",
+              "--set", f"train.checkpoint_dir={s1}"])
     for split in ("train", "val"):
-        run_cli(["build-lfb", "--manifest", f"{work}/{split}.pkl",
-                 "--ckpt", s1, "--out", f"{work}/lfb_{split}.npz", *ov])
+        _run_cli(["build-lfb", "--manifest", f"{work}/{split}.pkl",
+                  "--ckpt", s1, "--out", f"{work}/lfb_{split}.npz",
+                  *_CLI_OV])
     tmr = f"{work}/ckpt-tmr"
-    run_cli(["train-tmr", "--train-manifest", f"{work}/train.pkl",
-             "--val-manifest", f"{work}/val.pkl",
-             "--lfb", f"{work}/lfb_train.npz",
-             "--val-lfb", f"{work}/lfb_val.npz",
-             "--stage1-ckpt", s1, "--log-dir", f"{work}/logs-tmr", *ov,
-             "--set", f"train.checkpoint_dir={tmr}"])
+    _run_cli(["train-tmr", "--train-manifest", f"{work}/train.pkl",
+              "--val-manifest", f"{work}/val.pkl",
+              "--lfb", f"{work}/lfb_train.npz",
+              "--val-lfb", f"{work}/lfb_val.npz",
+              "--stage1-ckpt", s1, "--log-dir", f"{work}/logs-tmr",
+              *_CLI_OV, "--set", f"train.checkpoint_dir={tmr}"])
+    return work
 
-    test_args = ["test", "--manifest", f"{work}/test.pkl", "--ckpt", tmr,
-                 "--extractor-ckpt", s1, *ov]
-    run_cli(test_args + ["--out", f"{work}/preds_single.npz"])
 
+def _run_cli_children(args, work, num_processes=2):
+    """Launch `num_processes` real CLI children with rendezvous knobs."""
     port = _free_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
-    mh = ["--out", f"{work}/preds_mh.npz",
-          "--set", "mesh.multihost=true",
+    mh = ["--set", "mesh.multihost=true",
           "--set", f"mesh.coordinator=127.0.0.1:{port}",
-          "--set", "mesh.num_processes=2"]
+          "--set", f"mesh.num_processes={num_processes}"]
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", _CLI_CHILD] + [str(a) for a in test_args]
+            [sys.executable, "-c", _CLI_CHILD] + [str(a) for a in args]
             + mh + ["--set", f"mesh.process_id={i}"],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env, cwd=os.path.dirname(os.path.dirname(
                 os.path.abspath(__file__))))
-        for i in range(2)
+        for i in range(num_processes)
     ]
     outs = []
     for p in procs:
@@ -243,6 +241,26 @@ def test_two_process_cli_test_matches_single_process(tmp_path):
         outs.append(out)
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out}"
+    return outs
+
+
+def test_two_process_cli_test_matches_single_process(cli_workdir):
+    """The USER-FACING distributed-eval path from docs/SCALING.md: two
+    processes run the real CLI (`test --set mesh.multihost=true` with
+    rendezvous knobs) against a shared manifest + trained checkpoints, and
+    process 0's preds.npz is identical to a single-process run's."""
+    import json
+
+    import numpy as np
+
+    work = cli_workdir
+    test_args = ["test", "--manifest", f"{work}/test.pkl",
+                 "--ckpt", f"{work}/ckpt-tmr",
+                 "--extractor-ckpt", f"{work}/ckpt-s1", *_CLI_OV]
+    _run_cli(test_args + ["--out", f"{work}/preds_single.npz"])
+
+    outs = _run_cli_children(test_args + ["--out", f"{work}/preds_mh.npz"],
+                             work)
     # process 0 is the single writer/reporter (process 1 exits quietly)
     j0 = [ln for ln in outs[0].splitlines() if ln.startswith("{")]
     assert "clip_accuracy" in json.loads(j0[-1]), outs[0]
@@ -255,6 +273,32 @@ def test_two_process_cli_test_matches_single_process(tmp_path):
     np.testing.assert_allclose(single["scores"], mh_out["scores"],
                                rtol=1e-6)
     np.testing.assert_array_equal(single["rows"], mh_out["rows"])
+
+
+def test_two_process_cli_build_lfb_matches_single_process(cli_workdir):
+    """Distributed bank build: two processes run the real CLI
+    (`build-lfb --set mesh.multihost=true`), each extracting its video
+    partition with the video engine (one backbone pass per frame), and
+    process 0's .npz bank equals the single-process video build's."""
+    import numpy as np
+
+    work = cli_workdir
+    lfb_args = ["build-lfb", "--manifest", f"{work}/test.pkl",
+                "--ckpt", f"{work}/ckpt-s1", "--engine", "video", *_CLI_OV]
+    _run_cli(lfb_args + ["--out", f"{work}/lfb_single.npz"])
+
+    outs = _run_cli_children(lfb_args + ["--out", f"{work}/lfb_mh.npz"],
+                             work)
+    assert "bank:" in outs[0]
+    assert "bank:" not in outs[1]          # one writer/reporter
+
+    single = np.load(f"{work}/lfb_single.npz")
+    mh_out = np.load(f"{work}/lfb_mh.npz")
+    np.testing.assert_array_equal(single["first_rows"],
+                                  mh_out["first_rows"])
+    np.testing.assert_allclose(single["features"], mh_out["features"],
+                               rtol=1e-6, atol=1e-7)
+    assert float(np.abs(mh_out["features"]).sum()) > 0  # not all-zero
 
 
 def test_interleaved_mesh_falls_back_to_global_feed(tmp_path):

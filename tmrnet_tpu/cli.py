@@ -511,6 +511,22 @@ def cmd_build_lfb(args) -> int:
     if args.engine == "video" and args.videos:
         # fail before the (slow) dataset probe and checkpoint restore
         raise SystemExit("build-lfb --engine video needs a frame manifest")
+    # multi-controller bank build: videos partition across processes, each
+    # runs a process-LOCAL video-engine extractor (one backbone pass per
+    # frame), feature blocks all-gather, process 0 writes the cache
+    # (eval/distributed.py; byte-identical to the single-process build).
+    # Init DCN before the first backend query (the restore below).
+    dist_mesh = None
+    if cfg.mesh.multihost:
+        if args.engine != "video":
+            raise SystemExit(
+                "multi-controller build-lfb partitions videos across "
+                "processes with --engine video (the clip engine instead "
+                "shards batches over one global mesh — pass an explicit "
+                "mesh via train-tmr's in-training build for that)")
+        from tmrnet_tpu.eval.distributed import local_eval_mesh
+
+        dist_mesh = local_eval_mesh(cfg)
     if args.videos:
         ds = _video_dataset(cfg, args.videos, args.annotations, False)
     elif args.manifest:
@@ -524,10 +540,20 @@ def cmd_build_lfb(args) -> int:
     _, variables = _restore_variables(cfg, head, args.ckpt, args.torch_ckpt,
                                       cfg.data.crop_size)
     extractor = _extractor_subset(variables)
-    bank = build_lfb(cfg, extractor, ds, cache_path=args.out, force=True,
-                     engine=args.engine,
-                     mesh=_mesh_for(cfg, batch=0 if args.engine == "video"
-                                    else cfg.data.batch_clips))
+    if cfg.mesh.multihost:
+        from tmrnet_tpu.eval.distributed import run_lfb_distributed
+
+        bank = run_lfb_distributed(cfg, extractor, ds,
+                                   cache_path=args.out, mesh=dist_mesh)
+        import jax
+
+        if jax.process_index() != 0:
+            return 0   # every process holds the bank; one writer/reporter
+    else:
+        bank = build_lfb(cfg, extractor, ds, cache_path=args.out, force=True,
+                         engine=args.engine,
+                         mesh=_mesh_for(cfg, batch=0 if args.engine == "video"
+                                        else cfg.data.batch_clips))
     print(f"bank: {bank.num_rows} rows x {bank.feature_dim} -> {args.out}")
     return 0
 

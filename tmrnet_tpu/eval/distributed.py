@@ -104,6 +104,80 @@ def gather_video_results(
             for i in range(nv)]
 
 
+def run_lfb_distributed(cfg: ExperimentConfig, extractor_variables, ds,
+                        cache_path: Optional[str] = None, mesh=None):
+    """Video-engine LFB build partitioned over controllers.
+
+    Each process runs the video-engine extractor (ONE backbone pass per
+    frame — seq_len x less work than the clip-wise multi-controller build
+    that `train.loop.build_lfb` falls back to on a global mesh) over its
+    own video partition with a process-LOCAL `VideoInference`; the
+    per-video feature blocks all-gather so every process returns the full
+    bank; process 0 writes the .npz cache. Features are byte-identical to
+    the single-process video build: each video's math is independent of
+    which process computes it (tests/test_multihost_eval.py).
+
+    The gather ships the full (rows, hidden) matrix from every process
+    (non-owned rows zero) and selects rows by owner — at the reference's
+    scale (150k rows x 512 f32) that is ~300 MB/process over DCN, fine for
+    a build job that runs once per dataset.
+
+    mesh: optional PROCESS-LOCAL mesh (`local_eval_mesh`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tmrnet_tpu.eval.infer import VideoInference
+    from tmrnet_tpu.memory.lfb import FeatureBank, save_bank
+    from tmrnet_tpu.train.loop import (
+        framewise_transform_for_video_build,
+        load_video_frames,
+    )
+
+    from tmrnet_tpu.data.indexing import clips_per_video
+
+    tf = framewise_transform_for_video_build(ds)
+    lengths = ds.manifest.video_lengths
+    bank = FeatureBank.create(ds.seq_len, lengths, cfg.model.hidden_dim)
+    total, dim = bank.features.shape
+    first_of = np.concatenate(
+        [[0], np.cumsum(clips_per_video(ds.seq_len, lengths))]
+    ).astype(np.int64)
+
+    parts = partition_videos(lengths, jax.process_count())
+    mine = parts[jax.process_index()]
+    feats = np.zeros((total, dim), np.float32)
+    row_owner = np.zeros((total,), np.int64)
+    for p, vids in enumerate(parts):
+        for i in vids:
+            row_owner[first_of[i]:first_of[i + 1]] = p
+    if mine:
+        eng = VideoInference(cfg, extractor_variables, extractor_variables,
+                             mesh=mesh)
+        pending = []
+        for i in mine:
+            frames = load_video_frames(ds, ds.manifest.videos[i])
+            if tf is not None:
+                frames = tf(frames)
+            # keep the values on device until every video is dispatched
+            # (one fetch per video AFTER dispatch, not inside the loop)
+            pending.append((i, eng.bank_features(frames)))
+        for i, vals in pending:
+            k = first_of[i + 1] - first_of[i]
+            if k:
+                feats[first_of[i]:first_of[i + 1]] = (
+                    np.asarray(vals).astype(np.float32))
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        g = np.asarray(multihost_utils.process_allgather(feats))
+        feats = g[row_owner, np.arange(total)]
+    bank = FeatureBank(features=jnp.asarray(feats),
+                       first_rows=bank.first_rows)
+    if cache_path and jax.process_index() == 0:
+        save_bank(cache_path, bank)
+    return bank
+
+
 def run_corpus_distributed(
     cfg: ExperimentConfig,
     variables,

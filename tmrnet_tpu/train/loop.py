@@ -684,13 +684,9 @@ def build_lfb(cfg: ExperimentConfig, extractor_variables,
     return bank
 
 
-def _build_lfb_video(cfg: ExperimentConfig, extractor_variables, ds,
-                     path: Optional[str], mesh=None) -> FeatureBank:
-    """Video-engine LFB build: backbone once per unique frame, sliding LSTM
-    windows -> one bank row per clip position (seq_len x less backbone work
-    than the clip-wise build at identical features)."""
-    from tmrnet_tpu.eval.infer import VideoInference
-
+def framewise_transform_for_video_build(ds):
+    """Validate + return the dataset's transform for a video-engine bank
+    build (shared with the distributed builder in eval/distributed.py)."""
     if not hasattr(ds, "manifest"):
         raise ValueError("engine='video' needs a frame-manifest dataset")
     tf = ds.transform
@@ -701,25 +697,39 @@ def _build_lfb_video(cfg: ExperimentConfig, extractor_variables, ds,
         raise ValueError(
             "engine='video' needs a deterministic frame-wise transform "
             f"(EvalTransform crop types 1/2/3); got {type(tf).__name__}")
+    return tf
 
-    def load_video_frames(video):
-        # same decode-failure policy as ClipDataset.get_clip: zero-fill
-        # under error_policy='zeros' so one corrupt frame doesn't abort a
-        # multi-hour build the clip engine would survive
-        out = []
-        for p in video.frame_paths:
-            try:
-                out.append(ds.frame_loader(p))
-            except Exception:
-                if getattr(ds, "error_policy", "raise") != "zeros":
-                    raise
-                out.append(None)
-        shape = next((f.shape for f in out if f is not None), None)
-        if shape is None:
-            raise ValueError(f"video {video.video_id}: every frame failed "
-                             f"to decode")
-        return np.stack([f if f is not None
-                         else np.zeros(shape, np.uint8) for f in out])
+
+def load_video_frames(ds, video) -> np.ndarray:
+    """One video's raw uint8 frames (N, H, W, 3) via the dataset's loader.
+
+    Same decode-failure policy as ClipDataset.get_clip: zero-fill under
+    error_policy='zeros' so one corrupt frame doesn't abort a multi-hour
+    build the clip engine would survive."""
+    out = []
+    for p in video.frame_paths:
+        try:
+            out.append(ds.frame_loader(p))
+        except Exception:
+            if getattr(ds, "error_policy", "raise") != "zeros":
+                raise
+            out.append(None)
+    shape = next((f.shape for f in out if f is not None), None)
+    if shape is None:
+        raise ValueError(f"video {video.video_id}: every frame failed "
+                         f"to decode")
+    return np.stack([f if f is not None
+                     else np.zeros(shape, np.uint8) for f in out])
+
+
+def _build_lfb_video(cfg: ExperimentConfig, extractor_variables, ds,
+                     path: Optional[str], mesh=None) -> FeatureBank:
+    """Video-engine LFB build: backbone once per unique frame, sliding LSTM
+    windows -> one bank row per clip position (seq_len x less backbone work
+    than the clip-wise build at identical features)."""
+    from tmrnet_tpu.eval.infer import VideoInference
+
+    tf = framewise_transform_for_video_build(ds)
 
     eng = VideoInference(cfg, extractor_variables, extractor_variables,
                          mesh=mesh)
@@ -732,7 +742,7 @@ def _build_lfb_video(cfg: ExperimentConfig, extractor_variables, ds,
         feats = jax.device_put(feats, replicated_sharding(mesh))
     row = 0
     for video in ds.manifest.videos:
-        frames = load_video_frames(video)
+        frames = load_video_frames(ds, video)
         if tf is not None:
             frames = tf(frames)
         vals = eng.bank_features(frames)            # (clips, hidden), device
