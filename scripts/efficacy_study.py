@@ -48,15 +48,19 @@ def last_json(text: str) -> dict:
 
 
 def common_overrides(work: str, seed: int, hw: int = 32, hidden: int = 32,
-                     batch: int = 16) -> list:
-    """Tiny-scale config shared by every arm (CPU-runnable; the task's
-    structure, not its scale, is what the study measures)."""
+                     batch: int = 16, backbone: str = "tiny",
+                     compute_dtype: str = "float32") -> list:
+    """Config shared by every arm. The tiny defaults are CPU-runnable (the
+    task's structure, not its scale, is what the study measures); pass
+    --full-scale to the CLI for the real ResNet-50 at 224px on the TPU
+    (docs/QUALITY.md 'Full scale')."""
     sets = [
-        f"data.crop_size={hw - 4}", f"data.resize={hw}",
+        f"data.crop_size={224 if hw >= 224 else hw - 4}",
+        f"data.resize={hw}",
         "data.mean=0.5,0.5,0.5", "data.std=0.25,0.25,0.25",
         f"data.batch_clips={batch}", "data.num_workers=2", "data.prefetch=2",
-        "model.backbone=tiny", f"model.hidden_dim={hidden}",
-        "model.compute_dtype=float32",
+        f"model.backbone={backbone}", f"model.hidden_dim={hidden}",
+        f"model.compute_dtype={compute_dtype}",
         "memory.window=30",
         f"train.seed={seed}", "train.schedule=constant",
         "train.log_every=1000",
@@ -65,10 +69,10 @@ def common_overrides(work: str, seed: int, hw: int = 32, hidden: int = 32,
 
 
 def train_and_score(work: str, seed: int, head: str, stage1_dir: str,
-                    epochs: int, lr: float) -> dict:
+                    epochs: int, lr: float, scale: dict = {}) -> dict:
     """Stage-2 training (tmr | nl_only) + protocol scoring of the result."""
     ckpt = os.path.join(work, f"ckpt-{head}-s{seed}")
-    ov = common_overrides(work, seed)
+    ov = common_overrides(work, seed, **scale)
     run_cli(["train-tmr",
              "--train-manifest", f"{work}/train.pkl",
              "--val-manifest", f"{work}/val.pkl",
@@ -79,13 +83,14 @@ def train_and_score(work: str, seed: int, head: str, stage1_dir: str,
              *ov, "--set", f"model.head={head}",
              "--set", f"train.epochs={epochs}", "--set", f"train.lr={lr}",
              "--set", f"train.checkpoint_dir={ckpt}"])
-    return score_arm(work, seed, head, ckpt, extractor=stage1_dir)
+    return score_arm(work, seed, head, ckpt, extractor=stage1_dir,
+                     scale=scale)
 
 
 def score_arm(work: str, seed: int, arm: str, ckpt: str,
-              extractor: str = "") -> dict:
+              extractor: str = "", scale: dict = {}) -> dict:
     """test -> export -> evaluate for one trained arm; returns its numbers."""
-    ov = common_overrides(work, seed)
+    ov = common_overrides(work, seed, **scale)
     head = "stage1" if arm == "stage1" else arm
     preds = f"{work}/preds-{arm}-s{seed}.npz"
     argv = ["test", "--manifest", f"{work}/test.pkl", "--ckpt", ckpt,
@@ -111,12 +116,14 @@ def score_arm(work: str, seed: int, arm: str, ckpt: str,
 def run_study(work: str, seed: int = 0, videos=(8, 2, 4),
               epochs1: int = 6, epochs2: int = 6,
               lr1: float = 0.05, lr2: float = 0.001,
-              heads=("tmr", "nl_only"), hw: int = 32) -> list:
+              heads=("tmr", "nl_only"), hw: int = 32,
+              scale: dict = {}) -> list:
     """Full pipeline for one seed. Returns one result dict per arm
     (stage1 + each stage-2 head)."""
     os.makedirs(work, exist_ok=True)
     # 1) dataset + manifests (data seed fixed: every seed trains on the
     #    same videos; train.seed varies init/shuffles/augs)
+    hw = scale.get("hw", hw)
     if not os.path.exists(f"{work}/test.pkl"):
         run_cli(["synth", "--out-dir", work, "--train", videos[0],
                  "--val", videos[1], "--test", videos[2], "--hw", hw,
@@ -125,7 +132,7 @@ def run_study(work: str, seed: int = 0, videos=(8, 2, 4),
             run_cli(["manifest", "--frames", f"{work}/frames-{split}",
                      "--annotations", f"{work}/annotations",
                      "--stride", 1, "--out", f"{work}/{split}.pkl"])
-    ov = common_overrides(work, seed)
+    ov = common_overrides(work, seed, **scale)
 
     # 2) stage-1 memory-bank model (the frame-only baseline arm)
     s1 = f"{work}/ckpt-stage1-s{seed}"
@@ -134,7 +141,7 @@ def run_study(work: str, seed: int = 0, videos=(8, 2, 4),
              "--log-dir", f"{work}/logs-s1-s{seed}", *ov,
              "--set", f"train.epochs={epochs1}", "--set", f"train.lr={lr1}",
              "--set", f"train.checkpoint_dir={s1}"])
-    results = [score_arm(work, seed, "stage1", s1)]
+    results = [score_arm(work, seed, "stage1", s1, scale=scale)]
 
     # 3) LFB banks from the frozen stage-1 extractor
     for split in ("train", "val"):
@@ -143,7 +150,8 @@ def run_study(work: str, seed: int = 0, videos=(8, 2, 4),
 
     # 4) stage-2 heads over the bank
     for head in heads:
-        results.append(train_and_score(work, seed, head, s1, epochs2, lr2))
+        results.append(train_and_score(work, seed, head, s1, epochs2, lr2,
+                                       scale=scale))
     return results
 
 
@@ -159,13 +167,20 @@ def main(argv=None) -> int:
     # val_acc 1.0 in two epochs on the synthetic task
     ap.add_argument("--lr2", type=float, default=0.001)
     ap.add_argument("--train-videos", type=int, default=8)
+    ap.add_argument("--heads", nargs="+", default=["tmr", "nl_only"])
+    ap.add_argument("--full-scale", action="store_true",
+                    help="the real ResNet-50 at 224px crops, bf16 — run on "
+                         "the TPU host (docs/QUALITY.md 'Full scale')")
     args = ap.parse_args(argv)
+    scale = ({"hw": 250, "hidden": 512, "backbone": "resnet50",
+              "compute_dtype": "bfloat16"} if args.full_scale else {})
     all_rows = []
     for seed in args.seeds:
         rows = run_study(args.work, seed,
                          videos=(args.train_videos, 2, 4),
                          epochs1=args.epochs1, epochs2=args.epochs2,
-                         lr1=args.lr1, lr2=args.lr2)
+                         lr1=args.lr1, lr2=args.lr2, heads=tuple(args.heads),
+                         scale=scale)
         all_rows.extend(rows)
         for r in rows:
             print(json.dumps(r))
