@@ -117,7 +117,7 @@ def run_study(work: str, seed: int = 0, videos=(8, 2, 4),
               epochs1: int = 6, epochs2: int = 6,
               lr1: float = 0.05, lr2: float = 0.001,
               heads=("tmr", "nl_only"), hw: int = 32,
-              scale: dict = {}) -> list:
+              dur=(15, 25), scale: dict = {}) -> list:
     """Full pipeline for one seed. Returns one result dict per arm
     (stage1 + each stage-2 head)."""
     os.makedirs(work, exist_ok=True)
@@ -127,7 +127,7 @@ def run_study(work: str, seed: int = 0, videos=(8, 2, 4),
     if not os.path.exists(f"{work}/test.pkl"):
         run_cli(["synth", "--out-dir", work, "--train", videos[0],
                  "--val", videos[1], "--test", videos[2], "--hw", hw,
-                 "--seed", 0])
+                 "--dur-min", dur[0], "--dur-max", dur[1], "--seed", 0])
         for split in ("train", "val", "test"):
             run_cli(["manifest", "--frames", f"{work}/frames-{split}",
                      "--annotations", f"{work}/annotations",
@@ -167,6 +167,12 @@ def main(argv=None) -> int:
     # val_acc 1.0 in two epochs on the synthetic task
     ap.add_argument("--lr2", type=float, default=0.001)
     ap.add_argument("--train-videos", type=int, default=8)
+    ap.add_argument("--val-videos", type=int, default=2)
+    ap.add_argument("--test-videos", type=int, default=4)
+    ap.add_argument("--dur-min", type=int, default=15,
+                    help="phase duration range; shorter videos keep the "
+                         "host/tunnel-bound full-scale run tractable")
+    ap.add_argument("--dur-max", type=int, default=25)
     ap.add_argument("--heads", nargs="+", default=["tmr", "nl_only"])
     ap.add_argument("--full-scale", action="store_true",
                     help="the real ResNet-50 at 224px crops, bf16 — run on "
@@ -177,10 +183,11 @@ def main(argv=None) -> int:
     all_rows = []
     for seed in args.seeds:
         rows = run_study(args.work, seed,
-                         videos=(args.train_videos, 2, 4),
+                         videos=(args.train_videos, args.val_videos,
+                                 args.test_videos),
                          epochs1=args.epochs1, epochs2=args.epochs2,
                          lr1=args.lr1, lr2=args.lr2, heads=tuple(args.heads),
-                         scale=scale)
+                         dur=(args.dur_min, args.dur_max), scale=scale)
         all_rows.extend(rows)
         for r in rows:
             print(json.dumps(r))
