@@ -101,6 +101,63 @@ def test_run_corpus_distributed_single_process_matches_engine():
         np.testing.assert_allclose(gs, ws, rtol=1e-6)
 
 
+def test_run_lfb_distributed_single_process_matches_video_build(tmp_path):
+    """process_count()==1: the distributed bank builder must equal the
+    plain video-engine build_lfb (same features, same first_rows), and
+    write an identical .npz cache."""
+    import dataclasses
+
+    from tmrnet_tpu.config import ExperimentConfig
+    from tmrnet_tpu.data.synthetic import write_synthetic_dataset
+    from tmrnet_tpu.data.manifests import build_manifest_from_frames
+    from tmrnet_tpu.data.pipeline import ClipDataset
+    from tmrnet_tpu.data.transforms import EvalTransform
+    from tmrnet_tpu.eval.distributed import run_lfb_distributed
+    from tmrnet_tpu.models.tmrnet import build_model
+    from tmrnet_tpu.train.loop import build_lfb
+    from tmrnet_tpu.config import CHOLEC80_PHASES
+
+    import jax
+    import jax.numpy as jnp
+
+    hw, seq = 24, 4
+    out = write_synthetic_dataset(str(tmp_path), {"t": 3}, seed=5,
+                                  dur_range=(4, 6), hw=hw)
+    m = build_manifest_from_frames(out["t"], out["annotations"],
+                                   CHOLEC80_PHASES, sample_stride=1)
+    cfg = ExperimentConfig(
+        data=dataclasses.replace(ExperimentConfig().data,
+                                 sequence_length=seq, crop_size=20,
+                                 resize=hw, mean=(0.5, 0.5, 0.5),
+                                 std=(0.25, 0.25, 0.25)),
+        model=dataclasses.replace(ExperimentConfig().model,
+                                  backbone="tiny", stage_sizes=(1, 1),
+                                  width=8, hidden_dim=16, num_classes=7,
+                                  compute_dtype="float32"),
+    )
+    tf = EvalTransform(20, hw, 1, cfg.data.mean, cfg.data.std,
+                       normalize=False)
+    ds = ClipDataset(m, seq, transform=tf)
+    model = build_model(dataclasses.replace(cfg.model, head="lfb"))
+    variables = model.init(jax.random.PRNGKey(2),
+                           jnp.zeros((1, seq, 20, 20, 3)))
+
+    got = run_lfb_distributed(cfg, variables, ds,
+                              cache_path=str(tmp_path / "mh.npz"))
+    want = build_lfb(cfg, variables, ds, engine="video",
+                     cache_path=str(tmp_path / "single.npz"), force=True)
+    np.testing.assert_array_equal(np.asarray(got.first_rows),
+                                  np.asarray(want.first_rows))
+    np.testing.assert_allclose(np.asarray(got.features),
+                               np.asarray(want.features), rtol=1e-6,
+                               atol=1e-7)
+    a = np.load(tmp_path / "mh.npz")
+    b = np.load(tmp_path / "single.npz")
+    np.testing.assert_allclose(a["features"], b["features"], rtol=1e-6,
+                               atol=1e-7)
+    assert np.abs(a["features"]).sum() > 0
+
+
 def test_process_local_bounds_noncontiguous_raises(monkeypatch):
     """A mesh whose data axis interleaves processes gives this process
     non-contiguous batch rows; the guard must raise (callers fall back to

@@ -114,6 +114,25 @@ def test_two_process_corpus_eval_matches_single_process():
     assert rep.format_table() == tables[0]
 
 
+def test_three_process_corpus_eval_uneven_partition():
+    """3 controllers x 2 devices over 5 videos: the longest-first partition
+    is uneven (2/2/1), and every process still prints the identical
+    prediction checksum and protocol table."""
+    outs = _run_procs(3, 2, ["--mode", "eval"])
+    shas = {re.search(r"preds_sha=([0-9a-f]+)", o).group(1) for o in outs}
+    assert len(shas) == 1, f"checksums diverge: {shas}"
+    tables = {_table_of(o) for o in outs}
+    assert len(tables) == 1
+
+    # sanity: the partition really is uneven at these counts
+    from tmrnet_tpu.eval.distributed import partition_videos
+
+    mod = _load_dryrun()
+    _cfg, vids, _labs, _v, _ev = mod.build_synthetic_eval()
+    parts = partition_videos([v.shape[0] for v in vids], 3)
+    assert sorted(len(p) for p in parts) == [1, 2, 2]
+
+
 def test_four_process_stage1_local_feed_and_resume(tmp_path):
     """4 controllers x 2 devices: local-feed training agrees across all
     four processes, and a relaunch resumes from the shared checkpoint."""
