@@ -647,3 +647,37 @@ def test_cli_train_bank_device_normalize(tmp_path, tiny_cfg_json, capsys):
                "--train-manifest", str(manifest)])
     assert rc == 0
     assert "best epoch" in capsys.readouterr().out
+
+
+def test_cli_test_rejects_lfb_head_and_stray_bank_flags(tiny_cfg_json):
+    """Misconfiguration guards in cmd_test (ADVICE r4): head='lfb' emits
+    features, not logits — scoring it must refuse loudly (previously the
+    memoryless gate matched it and softmax'd hidden_dim pseudo-classes);
+    and a frame-only head passed an explicit --lfb bank must error instead
+    of silently ignoring it (a likely mis-set model.head). Both guards
+    fire before any file access."""
+    import pytest
+
+    with pytest.raises(SystemExit, match="feature extractor"):
+        main(["test", "--config", tiny_cfg_json, "--manifest", "nope.pkl",
+              "--ckpt", "nope", "--set", "model.head=lfb"])
+    with pytest.raises(SystemExit, match="frame-only"):
+        main(["test", "--config", tiny_cfg_json, "--manifest", "nope.pkl",
+              "--ckpt", "nope", "--set", "model.head=stage1",
+              "--lfb", "bank.npz"])
+
+
+def test_clip_inference_rejects_lfb_head(tiny_cfg_json):
+    """ClipInference shares the same gate: constructing it with the
+    extractor head raises instead of silently producing garbage scores."""
+    import pytest
+
+    from tmrnet_tpu.config import ExperimentConfig
+    from tmrnet_tpu.eval.infer import ClipInference
+
+    import dataclasses as dc
+
+    cfg = ExperimentConfig.from_json(open(tiny_cfg_json).read())
+    cfg = dc.replace(cfg, model=dc.replace(cfg.model, head="lfb"))
+    with pytest.raises(ValueError, match="feature extractor"):
+        ClipInference(cfg, variables={})

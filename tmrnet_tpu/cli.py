@@ -621,13 +621,26 @@ def cmd_test(args) -> int:
     cfg = load_config(args)
     # memoryless heads (stage1): frame-only protocol scoring — no bank, no
     # memory gather; the clip engine handles it (the efficacy study's
-    # baseline arm, docs/QUALITY.md)
-    memoryless = cfg.model.head not in ("tmr", "nl_only")
+    # baseline arm, docs/QUALITY.md). memoryless_head refuses head='lfb'
+    # (a feature extractor, not a classifier).
+    from tmrnet_tpu.eval.infer import memoryless_head
+
+    try:
+        memoryless = memoryless_head(cfg.model.head)
+    except ValueError as e:
+        raise SystemExit(str(e))
     if memoryless:
         if args.engine not in (None, "clip"):
             raise SystemExit(
                 f"--engine {args.engine} runs the memory head; "
                 f"model.head={cfg.model.head} scores with --engine clip")
+        if args.lfb or args.load_lfb:
+            # an explicitly passed bank would be silently unused — likely a
+            # mis-set model.head while scoring a stage-2 checkpoint
+            raise SystemExit(
+                f"model.head={cfg.model.head} is frame-only and cannot "
+                "consume --lfb/--load-lfb; drop the bank flags or set "
+                "--set model.head=tmr|nl_only")
         args.engine = "clip"
     if args.engine is None:
         # default = corpus (strictly faster at protocol scale, parity-proven,

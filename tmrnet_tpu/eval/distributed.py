@@ -41,6 +41,16 @@ def partition_videos(lengths: Sequence[int], num_parts: int
     return [sorted(p) for p in parts]
 
 
+def _distributed_initialized() -> bool:
+    """True iff jax.distributed.initialize already ran in this process."""
+    try:
+        from jax._src import distributed
+
+        return distributed.global_state.client is not None
+    except Exception:  # pragma: no cover - private-API drift fallback
+        return False
+
+
 def local_eval_mesh(cfg: ExperimentConfig):
     """Initialize the multi-controller runtime and return a PROCESS-LOCAL
     mesh over this process's devices (None with one local device): the
@@ -50,13 +60,16 @@ def local_eval_mesh(cfg: ExperimentConfig):
     from tmrnet_tpu.parallel.mesh import initialize_multihost
 
     m = cfg.mesh
-    try:
+    # Only skip init when the runtime is ALREADY initialized — swallowing
+    # every RuntimeError would also hide genuine rendezvous failures
+    # (XlaRuntimeError is a RuntimeError subclass), and a process whose
+    # init silently failed would recompute the full eval as process 0 and
+    # race the real process 0 on the output files.
+    if not _distributed_initialized():
         initialize_multihost(
             coordinator=m.coordinator or None,
             num_processes=None if m.num_processes < 0 else m.num_processes,
             process_id=None if m.process_id < 0 else m.process_id)
-    except RuntimeError:
-        pass  # already initialized earlier in this process
     import jax
 
     local = jax.local_devices()
@@ -117,10 +130,10 @@ def run_lfb_distributed(cfg: ExperimentConfig, extractor_variables, ds,
     the single-process video build: each video's math is independent of
     which process computes it (tests/test_multihost_eval.py).
 
-    The gather ships the full (rows, hidden) matrix from every process
-    (non-owned rows zero) and selects rows by owner — at the reference's
-    scale (150k rows x 512 f32) that is ~300 MB/process over DCN, fine for
-    a build job that runs once per dataset.
+    The gather is owner-sliced: each process ships only its OWNED rows
+    (padded to the max per-process row count), ~(rows/P x hidden) instead
+    of the full matrix — at the reference's scale (150k rows x 512 f32)
+    that is ~300 MB/P per process over DCN instead of ~300 MB each.
 
     mesh: optional PROCESS-LOCAL mesh (`local_eval_mesh`)."""
     import jax
@@ -169,8 +182,18 @@ def run_lfb_distributed(cfg: ExperimentConfig, extractor_variables, ds,
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
 
-        g = np.asarray(multihost_utils.process_allgather(feats))
-        feats = g[row_owner, np.arange(total)]
+        # owner-sliced all-gather: every process sends only the rows it
+        # owns, padded to the max owned-row count (allgather needs one
+        # static shape); receivers scatter each slot back by ownership
+        own_rows = [np.flatnonzero(row_owner == p)
+                    for p in range(jax.process_count())]
+        maxn = max((len(r) for r in own_rows), default=0)
+        send = np.zeros((max(maxn, 1), dim), np.float32)
+        mine_rows = own_rows[jax.process_index()]
+        send[:len(mine_rows)] = feats[mine_rows]
+        g = np.asarray(multihost_utils.process_allgather(send))
+        for p, rows in enumerate(own_rows):
+            feats[rows] = g[p, :len(rows)]
     bank = FeatureBank(features=jnp.asarray(feats),
                        first_rows=bank.first_rows)
     if cache_path and jax.process_index() == 0:

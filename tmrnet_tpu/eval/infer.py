@@ -38,6 +38,20 @@ from tmrnet_tpu.models.tmrnet import build_model
 _AUTO_CHUNK_FRAMES = 4096
 
 
+def memoryless_head(head: str) -> bool:
+    """True for heads scored frame-only, with no feature bank (the stage-1
+    baseline arm of the efficacy study). Single source of truth for
+    ClipInference and `cli.cmd_test`. The 'lfb' extractor is neither: its
+    apply returns (B, hidden) FEATURES, not class logits — softmax/argmax
+    over them would silently score hidden_dim pseudo-classes, so refuse."""
+    if head == "lfb":
+        raise ValueError(
+            "model.head='lfb' is the feature extractor (emits (B, hidden) "
+            "features, not logits) and cannot be scored; use head 'stage1' "
+            "for the frame-only baseline or 'tmr'/'nl_only' for memory heads")
+    return head not in ("tmr", "nl_only")
+
+
 @dataclasses.dataclass
 class InferenceResult:
     """Per-clip predictions grouped by video (clip row order)."""
@@ -68,7 +82,7 @@ class ClipInference:
         # memoryless heads (stage1): per-clip forward with no bank — the
         # frame-only baseline of the efficacy study (docs/QUALITY.md) and
         # the protocol score of a stage-1 checkpoint on its own
-        self.memoryless = cfg.model.head not in ("tmr", "nl_only")
+        self.memoryless = memoryless_head(cfg.model.head)
         if not self.memoryless and bank is None:
             raise ValueError(
                 f"head {cfg.model.head!r} reads the feature bank; pass one")
