@@ -49,11 +49,14 @@ def last_json(text: str) -> dict:
 
 def common_overrides(work: str, seed: int, hw: int = 32, hidden: int = 32,
                      batch: int = 16, backbone: str = "tiny",
-                     compute_dtype: str = "float32") -> list:
+                     compute_dtype: str = "float32",
+                     task: str = "pairs") -> list:
     """Config shared by every arm. The tiny defaults are CPU-runnable (the
     task's structure, not its scale, is what the study measures); pass
     --full-scale to the CLI for the real ResNet-50 at 224px on the TPU
-    (docs/QUALITY.md 'Full scale')."""
+    (docs/QUALITY.md 'Full scale'). task='multiscale' switches to the
+    12-phase tmr-vs-nl_only ranking task (window 60, data/synthetic.py
+    MULTISCALE_SPEC)."""
     sets = [
         f"data.crop_size={224 if hw >= 224 else hw - 4}",
         f"data.resize={hw}",
@@ -61,18 +64,26 @@ def common_overrides(work: str, seed: int, hw: int = 32, hidden: int = 32,
         f"data.batch_clips={batch}", "data.num_workers=2", "data.prefetch=2",
         f"model.backbone={backbone}", f"model.hidden_dim={hidden}",
         f"model.compute_dtype={compute_dtype}",
-        "memory.window=30",
         f"train.seed={seed}", "train.schedule=constant",
         "train.log_every=1000",
     ]
+    if task == "multiscale":
+        from tmrnet_tpu.data.synthetic import MULTISCALE_SEQ, MULTISCALE_WINDOW
+
+        sets += ["model.num_classes=12",
+                 f"memory.window={MULTISCALE_WINDOW}",
+                 f"data.sequence_length={MULTISCALE_SEQ}"]
+    else:
+        sets.append("memory.window=30")
     return [x for s in sets for x in ("--set", s)]
 
 
 def train_and_score(work: str, seed: int, head: str, stage1_dir: str,
-                    epochs: int, lr: float, scale: dict = {}) -> dict:
+                    epochs: int, lr: float, scale: dict = {},
+                    task: str = "pairs") -> dict:
     """Stage-2 training (tmr | nl_only) + protocol scoring of the result."""
     ckpt = os.path.join(work, f"ckpt-{head}-s{seed}")
-    ov = common_overrides(work, seed, **scale)
+    ov = common_overrides(work, seed, task=task, **scale)
     run_cli(["train-tmr",
              "--train-manifest", f"{work}/train.pkl",
              "--val-manifest", f"{work}/val.pkl",
@@ -84,13 +95,51 @@ def train_and_score(work: str, seed: int, head: str, stage1_dir: str,
              "--set", f"train.epochs={epochs}", "--set", f"train.lr={lr}",
              "--set", f"train.checkpoint_dir={ckpt}"])
     return score_arm(work, seed, head, ckpt, extractor=stage1_dir,
-                     scale=scale)
+                     scale=scale, task=task)
+
+
+def multiscale_metrics(manifest_path: str, preds_path: str,
+                       seq: int = 0) -> dict:
+    """Task-specific scores for the 12-phase multiscale task: accuracy on
+    the DESIGNED pair (phases 5 vs 11 — provably a coin flip for any model
+    reading the window as an unordered row multiset, incl. nl_only), plus
+    unrelaxed macro-Jaccard over all phases. The 7-phase reference
+    protocol scorer doesn't apply here."""
+    import numpy as np
+
+    from tmrnet_tpu.data.indexing import clip_start_indices
+    from tmrnet_tpu.data.manifests import load_pickle_manifest
+    from tmrnet_tpu.data.synthetic import (
+        MULTISCALE_PAIR,
+        MULTISCALE_SEQ,
+        MULTISCALE_SPEC,
+    )
+
+    seq = seq or MULTISCALE_SEQ
+    m, _ = load_pickle_manifest(manifest_path)
+    starts = clip_start_indices(seq, m.video_lengths)
+    y = m.flat_labels()[starts + seq - 1]
+    p = np.load(preds_path)["preds"]
+    assert len(p) == len(y), (len(p), len(y))
+    mask = np.isin(y, MULTISCALE_PAIR)
+    nph = len(MULTISCALE_SPEC)
+    jac = []
+    for c in range(nph):
+        inter = int(((p == c) & (y == c)).sum())
+        union = int(((p == c) | (y == c)).sum())
+        if union:
+            jac.append(inter / union)
+    return {"pair_accuracy": float((p[mask] == y[mask]).mean()),
+            "macro_jaccard": float(np.mean(jac))}
 
 
 def score_arm(work: str, seed: int, arm: str, ckpt: str,
-              extractor: str = "", scale: dict = {}) -> dict:
-    """test -> export -> evaluate for one trained arm; returns its numbers."""
-    ov = common_overrides(work, seed, **scale)
+              extractor: str = "", scale: dict = {},
+              task: str = "pairs") -> dict:
+    """test -> export -> evaluate for one trained arm; returns its numbers.
+    (multiscale: test -> pair/jaccard scores — the reference protocol
+    scorer is 7-phase.)"""
+    ov = common_overrides(work, seed, task=task, **scale)
     head = "stage1" if arm == "stage1" else arm
     preds = f"{work}/preds-{arm}-s{seed}.npz"
     argv = ["test", "--manifest", f"{work}/test.pkl", "--ckpt", ckpt,
@@ -98,6 +147,10 @@ def score_arm(work: str, seed: int, arm: str, ckpt: str,
     if extractor:
         argv += ["--extractor-ckpt", extractor]
     t = last_json(run_cli(argv))
+    if task == "multiscale":
+        ms = multiscale_metrics(f"{work}/test.pkl", preds)
+        return {"arm": arm, "seed": seed, "task": task,
+                "clip_accuracy": t["clip_accuracy"], **ms}
     pred_dir = f"{work}/eval-{arm}-s{seed}/phase"
     gt_dir = f"{work}/eval-{arm}-s{seed}/gt-phase"
     run_cli(["export", "--manifest", f"{work}/test.pkl", "--preds", preds,
@@ -117,7 +170,7 @@ def run_study(work: str, seed: int = 0, videos=(8, 2, 4),
               epochs1: int = 6, epochs2: int = 6,
               lr1: float = 0.05, lr2: float = 0.001,
               heads=("tmr", "nl_only"), hw: int = 32,
-              dur=(15, 25), scale: dict = {}) -> list:
+              dur=(15, 25), scale: dict = {}, task: str = "pairs") -> list:
     """Full pipeline for one seed. Returns one result dict per arm
     (stage1 + each stage-2 head)."""
     os.makedirs(work, exist_ok=True)
@@ -127,12 +180,13 @@ def run_study(work: str, seed: int = 0, videos=(8, 2, 4),
     if not os.path.exists(f"{work}/test.pkl"):
         run_cli(["synth", "--out-dir", work, "--train", videos[0],
                  "--val", videos[1], "--test", videos[2], "--hw", hw,
-                 "--dur-min", dur[0], "--dur-max", dur[1], "--seed", 0])
+                 "--dur-min", dur[0], "--dur-max", dur[1], "--seed", 0,
+                 "--task", task])
         for split in ("train", "val", "test"):
             run_cli(["manifest", "--frames", f"{work}/frames-{split}",
                      "--annotations", f"{work}/annotations",
                      "--stride", 1, "--out", f"{work}/{split}.pkl"])
-    ov = common_overrides(work, seed, **scale)
+    ov = common_overrides(work, seed, task=task, **scale)
 
     # 2) stage-1 memory-bank model (the frame-only baseline arm)
     s1 = f"{work}/ckpt-stage1-s{seed}"
@@ -141,7 +195,7 @@ def run_study(work: str, seed: int = 0, videos=(8, 2, 4),
              "--log-dir", f"{work}/logs-s1-s{seed}", *ov,
              "--set", f"train.epochs={epochs1}", "--set", f"train.lr={lr1}",
              "--set", f"train.checkpoint_dir={s1}"])
-    results = [score_arm(work, seed, "stage1", s1, scale=scale)]
+    results = [score_arm(work, seed, "stage1", s1, scale=scale, task=task)]
 
     # 3) LFB banks from the frozen stage-1 extractor
     for split in ("train", "val"):
@@ -151,7 +205,7 @@ def run_study(work: str, seed: int = 0, videos=(8, 2, 4),
     # 4) stage-2 heads over the bank
     for head in heads:
         results.append(train_and_score(work, seed, head, s1, epochs2, lr2,
-                                       scale=scale))
+                                       scale=scale, task=task))
     return results
 
 
@@ -174,6 +228,11 @@ def main(argv=None) -> int:
                          "host/tunnel-bound full-scale run tractable")
     ap.add_argument("--dur-max", type=int, default=25)
     ap.add_argument("--heads", nargs="+", default=["tmr", "nl_only"])
+    ap.add_argument("--task", choices=("pairs", "multiscale"),
+                    default="pairs",
+                    help="'multiscale' runs the 12-phase tmr-vs-nl_only "
+                         "ranking task (window 60; --dur-min/--dur-max "
+                         "ignored — the spec fixes durations)")
     ap.add_argument("--full-scale", action="store_true",
                     help="the real ResNet-50 at 224px crops, bf16 — run on "
                          "the TPU host (docs/QUALITY.md 'Full scale')")
@@ -187,7 +246,8 @@ def main(argv=None) -> int:
                                  args.test_videos),
                          epochs1=args.epochs1, epochs2=args.epochs2,
                          lr1=args.lr1, lr2=args.lr2, heads=tuple(args.heads),
-                         dur=(args.dur_min, args.dur_max), scale=scale)
+                         dur=(args.dur_min, args.dur_max), scale=scale,
+                         task=args.task)
         all_rows.extend(rows)
         for r in rows:
             print(json.dumps(r))
@@ -202,6 +262,14 @@ def main(argv=None) -> int:
         mean = sum(accs) / len(accs)
         print(f"{arm:8s} clip_acc mean={mean:.4f} "
               f"(margin vs stage1: {mean - base:+.4f}) seeds={accs}")
+    if args.task == "multiscale":
+        by_pair = {}
+        for r in all_rows:
+            by_pair.setdefault(r["arm"], []).append(r["pair_accuracy"])
+        for arm, accs in sorted(by_pair.items()):
+            mean = sum(accs) / len(accs)
+            print(f"{arm:8s} pair_acc mean={mean:.4f} seeds="
+                  f"{[round(a, 4) for a in accs]}  (setwise ceiling 0.5)")
     return 0
 
 

@@ -84,3 +84,102 @@ def test_frame_only_ceiling_formula():
     # defaults sit in a plausible band
     c = frame_only_ceiling()
     assert 0.75 < c < 0.9
+
+
+# ---------------------------------------------------------------------------
+# multi-scale task (VERDICT r4 #1)
+
+
+def test_multiscale_spec_invariants_hold():
+    """The C1-C5 arithmetic that makes the task's claims PROVABLE (no row
+    spans both markers; k=7 bridges only the close gap; the other block
+    stays out of the window; no start-clamp multiplicity leak; matched
+    durations) — and the checker actually rejects violations."""
+    from tmrnet_tpu.data.synthetic import (
+        MULTISCALE_SPEC,
+        check_multiscale_spec,
+    )
+
+    check_multiscale_spec()  # the shipped spec passes
+
+    def edited(i, lo, hi):
+        s = [list(x) for x in MULTISCALE_SPEC]
+        s[i][1], s[i][2] = lo, hi
+        return [tuple(x) for x in s]
+
+    with pytest.raises(ValueError, match="C1"):
+        check_multiscale_spec(edited(2, 3, 4))      # a row spans X+Y
+    with pytest.raises(ValueError, match="C2"):
+        check_multiscale_spec(edited(2, 5, 12))     # close gap too wide
+    with pytest.raises(ValueError, match="C2"):
+        check_multiscale_spec(edited(8, 8, 9))      # far gap bridgeable
+    with pytest.raises(ValueError, match="C3"):
+        check_multiscale_spec(edited(6, 5, 8))      # old T leaks in
+    with pytest.raises(ValueError, match="C4"):
+        check_multiscale_spec(edited(0, 10, 12))    # start clamp leak
+    with pytest.raises(ValueError, match="C5"):
+        check_multiscale_spec(edited(5, 6, 8))      # pair durations differ
+
+
+def test_multiscale_video_structure():
+    """Generated videos are one monotone pass over the 12 phases with
+    durations inside the spec and the paired phases pixel-identically
+    TOKENED (same palette color)."""
+    from tmrnet_tpu.data.synthetic import (
+        MULTISCALE_SPEC,
+        generate_video_multiscale,
+    )
+
+    rng = np.random.default_rng(3)
+    frames, labels = generate_video_multiscale(rng)
+    assert labels.min() == 0 and labels.max() == 11
+    assert (np.diff(labels) >= 0).all()
+    for p, (tok, lo, hi) in enumerate(MULTISCALE_SPEC):
+        n = int((labels == p).sum())
+        assert lo <= n <= hi, (p, n)
+    # paired phases share their token; mean color identical up to the
+    # per-frame brightness jitter (+-12 uniform; short phases average only
+    # a handful of draws, so allow ~3 sigma of the mean difference)
+    for a, b in ((1, 7), (2, 8), (5, 11)):
+        ca = frames[labels == a].astype(np.float64).mean(axis=(0, 1, 2))
+        cb = frames[labels == b].astype(np.float64).mean(axis=(0, 1, 2))
+        np.testing.assert_allclose(ca, cb, atol=15.0)
+        # and both are FAR from every other token's base color
+    from tmrnet_tpu.data.synthetic import MULTISCALE_SPEC, _PALETTE
+
+    toks = [s[0] for s in MULTISCALE_SPEC]
+    for a, b in ((1, 7), (2, 8), (5, 11)):
+        assert toks[a] == toks[b]
+        others = [t for t in set(toks) if t != toks[a]]
+        ca = frames[labels == a].astype(np.float64).mean(axis=(0, 1, 2))
+        for t in others:
+            assert np.abs(ca - _PALETTE[t]).max() > 40
+
+
+def test_multiscale_ceilings():
+    """The pair is a provable coin flip for set-wise readers; the
+    Monte-Carlo frame-only Bayes ceiling sits just above 0.5 (only phase
+    6's straddle clips are clip-decidable)."""
+    from tmrnet_tpu.data.synthetic import (
+        multiscale_frame_only_ceiling,
+        multiscale_pair_ceiling,
+    )
+
+    assert multiscale_pair_ceiling() == 0.5
+    c = multiscale_frame_only_ceiling(n_mc=500)
+    assert 0.5 < c < 0.62, c
+
+
+def test_multiscale_writer_feeds_manifest_builder(tmp_path):
+    """task='multiscale' writes the standard packed layout with NUMERIC
+    labels, consumed by the real manifest builder unchanged."""
+    from tmrnet_tpu.data.manifests import build_manifest_from_frames
+    from tmrnet_tpu.data.synthetic import write_synthetic_dataset
+
+    out = write_synthetic_dataset(str(tmp_path), {"test": 2}, seed=1,
+                                  task="multiscale")
+    m = build_manifest_from_frames(out["test"], out["annotations"],
+                                   phase_names=[], sample_stride=1)
+    assert len(m.videos) == 2
+    labs = m.flat_labels()
+    assert labs.min() == 0 and labs.max() == 11

@@ -361,8 +361,14 @@ def cmd_synth(args) -> int:
     splits + phase annotations, consumable by `manifest --stride 1` and
     every downstream command unchanged."""
     from tmrnet_tpu.data.synthetic import (
+        MULTISCALE_PAIR,
+        MULTISCALE_SPEC,
+        MULTISCALE_WINDOW,
         ambiguous_phases,
+        check_multiscale_spec,
         frame_only_ceiling,
+        multiscale_frame_only_ceiling,
+        multiscale_pair_ceiling,
         write_synthetic_dataset,
     )
 
@@ -372,6 +378,25 @@ def cmd_synth(args) -> int:
         raise SystemExit("nothing to generate: all of --train/--val/--test "
                          "are 0")
     dur = (args.dur_min, args.dur_max)
+    if args.task == "multiscale":
+        from tmrnet_tpu.data.synthetic import MULTISCALE_SEQ
+
+        check_multiscale_spec()
+        out = write_synthetic_dataset(args.out_dir, splits, seed=args.seed,
+                                      hw=args.hw, task="multiscale")
+        print(json.dumps({
+            "out": out,
+            "videos": sum(splits.values()),
+            "task": "multiscale",
+            "num_phases": len(MULTISCALE_SPEC),
+            "seq": MULTISCALE_SEQ,
+            "window": MULTISCALE_WINDOW,
+            "designed_pair": list(MULTISCALE_PAIR),
+            "pair_ceiling_setwise": multiscale_pair_ceiling(),
+            "frame_only_ceiling": round(
+                multiscale_frame_only_ceiling(), 4),
+        }))
+        return 0
     out = write_synthetic_dataset(args.out_dir, splits, seed=args.seed,
                                   num_phases=args.phases, dur_range=dur,
                                   hw=args.hw)
@@ -838,6 +863,20 @@ def cmd_stream(args) -> int:
 
     cfg = load_config(args)
     m = _load_manifest(args.manifest)
+    # Multi-controller streaming: streams are embarrassingly parallel (each
+    # stream's ring state is independent), so the scale-out is pure work
+    # partitioning — the manifest's videos split across processes exactly
+    # like distributed eval (eval/distributed.py), each process runs its own
+    # single-controller engine over its local devices, and process 0 merges
+    # the gathered rows (grouped per video in manifest order; the live
+    # tick-interleaved order is process-local). docs/SCALING.md "Streaming".
+    # Init DCN before the first backend query (the weight restore below).
+    distributed = cfg.mesh.multihost
+    dist_mesh = None
+    if distributed:
+        from tmrnet_tpu.eval.distributed import local_eval_mesh
+
+        dist_mesh = local_eval_mesh(cfg)
     engine = None
     if args.artifact:
         # model-code-free: the exported stream step is the model and its
@@ -868,21 +907,38 @@ def cmd_stream(args) -> int:
     if args.max_steps:
         lengths = [min(n, args.max_steps) for n in lengths]
 
+    if distributed:
+        import jax
+
+        from tmrnet_tpu.eval.distributed import partition_videos
+
+        my_videos = partition_videos(
+            lengths, jax.process_count())[jax.process_index()]
+        # distributed rows buffer per video and merge at the end, so every
+        # frame needs a slot in the gathered (preds) array; -1 = no pred
+        dist_preds = {v: np.full(lengths[v], -1, np.int64)
+                      for v in my_videos}
+    else:
+        my_videos = list(range(n_videos))
+
     # Fixed-B slot multiplexing: videos queue for `--max-streams` compiled
     # slots; a finished video's slot is recycled in place (reset_streams), so
     # one program serves any number of videos and finished streams stop
     # burning compute. Default B = 64 slots: one-slot-per-video on the full
     # 40-video protocol at 250^2 uint8 would demand ~28 GB of host RAM
     # (VERDICT r2 #6); -1 restores it explicitly.
+    n_mine = max(len(my_videos), 1)
     if engine is not None:
         # the artifact bakes its slot count; surplus slots idle on blanks
         num_slots = engine.slots
     else:
-        max_streams = n_videos if args.max_streams < 0 else args.max_streams
-        num_slots = min(max_streams or n_videos, n_videos)
+        max_streams = n_mine if args.max_streams < 0 else args.max_streams
+        num_slots = min(max_streams or n_mine, n_mine)
         # Under a mesh, streams shard over the data axis: round the slot
         # count up to the axis size — surplus slots idle on blank frames.
-        mesh = _mesh_for(cfg, batch=0)
+        # Multihost runs use the PROCESS-LOCAL mesh (streams are partitioned
+        # across controllers; each engine stays single-controller).
+        mesh = dist_mesh if distributed else _mesh_for(cfg, batch=0)
         if mesh is not None:
             dp = mesh.shape[cfg.mesh.data_axis]
             num_slots = -(-num_slots // dp) * dp
@@ -901,13 +957,15 @@ def cmd_stream(args) -> int:
         loaded[v] = tf(np.stack([load_frame(p) for p in paths]))
         return v
 
-    pending = deque(range(n_videos))
+    pending = deque(my_videos)
     slot_video = [assign(pending.popleft()) if pending else -1
                   for _ in range(num_slots)]
     slot_t = [0] * num_slots
-    blank = np.zeros_like(next(iter(loaded.values()))[0])
+    blank = (np.zeros_like(next(iter(loaded.values()))[0]) if loaded
+             else None)
     correct = total = steps = 0
-    with open(args.out, "w") as f:
+    f = open(args.out, "w") if not distributed else None
+    try:
         while any(v >= 0 for v in slot_video):
             frames = np.stack([loaded[v][slot_t[i]] if v >= 0 else blank
                                for i, v in enumerate(slot_video)])
@@ -920,10 +978,13 @@ def cmd_stream(args) -> int:
                     continue
                 t, video = slot_t[i], m.videos[v]
                 ok = bool(valid[i]) and t >= seq - 1
-                f.write(json.dumps({
-                    "video": video.video_id, "frame": t,
-                    "pred": int(preds[i]) if ok else None,
-                    "valid": ok}) + "\n")
+                if f is not None:
+                    f.write(json.dumps({
+                        "video": video.video_id, "frame": t,
+                        "pred": int(preds[i]) if ok else None,
+                        "valid": ok}) + "\n")
+                elif ok:
+                    dist_preds[v][t] = int(preds[i])
                 if ok:
                     correct += int(preds[i] == video.labels[t])
                     total += 1
@@ -936,6 +997,48 @@ def cmd_stream(args) -> int:
                     slot_t[i] = 0
             if any(reset):
                 state = engine.reset_streams(state, reset)
+    finally:
+        if f is not None:
+            f.close()
+    if distributed:
+        # merge: all-gather the per-video prediction rows (same machinery
+        # as distributed eval, k = every frame), then process 0 writes the
+        # JSONL grouped per video in manifest order and owns the summary
+        from tmrnet_tpu.eval.distributed import (
+            gather_video_results,
+            partition_videos,
+        )
+
+        parts = partition_videos(lengths, jax.process_count())
+        owner_of = [0] * n_videos
+        for p, vids in enumerate(parts):
+            for i in vids:
+                owner_of[i] = p
+        local = {v: (pr, np.zeros((len(pr), 1), np.float32))
+                 for v, pr in dist_preds.items()}
+        merged = gather_video_results(local, owner_of, lengths,
+                                      seq_len=1, num_classes=1)
+        if jax.process_index() == 0:
+            correct = total = 0
+            with open(args.out, "w") as fo:
+                for v, (pr, _) in enumerate(merged):
+                    video = m.videos[v]
+                    for t in range(lengths[v]):
+                        ok = pr[t] >= 0
+                        fo.write(json.dumps({
+                            "video": video.video_id, "frame": int(t),
+                            "pred": int(pr[t]) if ok else None,
+                            "valid": bool(ok)}) + "\n")
+                        if ok:
+                            correct += int(pr[t] == video.labels[t])
+                            total += 1
+            acc = correct / total if total else 0.0
+            print(json.dumps({
+                "streams": n_videos, "slots": num_slots,
+                "processes": jax.process_count(), "steps": int(steps),
+                "clip_accuracy": round(acc, 6),
+                "predictions": total, "out": args.out}))
+        return 0
     acc = correct / total if total else 0.0
     print(json.dumps({"streams": n_videos, "slots": num_slots,
                       "steps": int(steps),
@@ -1572,6 +1675,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="train-split videos (frames-train/)")
     sp.add_argument("--val", type=int, default=2)
     sp.add_argument("--test", type=int, default=4)
+    sp.add_argument("--task", choices=("pairs", "multiscale"),
+                    default="pairs",
+                    help="'pairs' = the memory-required task; 'multiscale' "
+                         "= the 12-phase tmr-vs-nl_only ranking task "
+                         "(fixed spec, needs memory.window=60)")
     sp.add_argument("--phases", type=int, default=7)
     sp.add_argument("--dur-min", type=int, default=15,
                     help="min frames per phase")

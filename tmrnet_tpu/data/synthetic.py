@@ -101,6 +101,7 @@ def write_synthetic_dataset(
     hw: int = 32,
     tokens: Sequence[int] = PHASE_TOKENS,
     phase_names: Optional[Sequence[str]] = None,
+    task: str = "pairs",
 ) -> Dict[str, str]:
     """Write a synthetic dataset in the exact on-disk layout the real
     pipeline consumes: packed raw uint8 `.npy` videos (data/packed.py)
@@ -112,8 +113,18 @@ def write_synthetic_dataset(
     splits: ordered {split_name: num_videos}; video ids are numeric and
     globally unique across splits (numeric dir-order parity preserved).
     Returns {split_name: frames_dir} (+ {"annotations": dir}).
+
+    task: 'pairs' (the original memory-required task above) or 'multiscale'
+    (the 12-phase tmr-vs-nl_only ranking task, MULTISCALE_SPEC; labels are
+    written numerically — the annotation reader takes digit labels).
     """
-    names = list(phase_names or CHOLEC80_PHASES)
+    if task not in ("pairs", "multiscale"):
+        raise ValueError(f"unknown synthetic task {task!r}")
+    if task == "multiscale":
+        num_phases = len(MULTISCALE_SPEC)
+        names = [str(i) for i in range(num_phases)]
+    else:
+        names = list(phase_names or CHOLEC80_PHASES)
     if len(names) < num_phases:
         raise ValueError(f"need >= {num_phases} phase names")
     rng = np.random.default_rng(seed)
@@ -127,14 +138,184 @@ def write_synthetic_dataset(
         out[split] = frames_dir
         for _ in range(count):
             vid += 1
-            frames, labels = generate_video(rng, num_phases, dur_range, hw,
-                                            tokens)
+            if task == "multiscale":
+                frames, labels = generate_video_multiscale(rng, hw)
+            else:
+                frames, labels = generate_video(rng, num_phases, dur_range,
+                                                hw, tokens)
             np.save(os.path.join(frames_dir, f"{vid}.npy"), frames)
             with open(os.path.join(ann_dir, f"{vid}-phase.txt"), "w") as f:
                 f.write("Frame\tPhase\n")
                 for j, lab in enumerate(labels.tolist()):
                     f.write(f"{j}\t{names[lab]}\n")
     return out
+
+
+# --------------------------------------------------------------------------
+# Multi-scale task (VERDICT r4 #1): RANK tmr vs nl_only.
+#
+# The paper's named contribution over the plain non-local ablation is the
+# multi-scale TimeConv pyramid (reference `Training TMRNet/
+# NLBlock_MutiConv6_3.py:43-79`): parallel temporal convs (k in {3,5,7})
+# over the memory window BEFORE attention. The original task above cannot
+# rank the two heads (both saturate at ~1.0) because presence of a single
+# marker anywhere in the window is enough — a capability single-row
+# attention already has.
+#
+# This task is built on an architectural separation instead:
+#
+#   * NLBlock attends with ONE query over per-row features and carries no
+#     positional encoding (models/blocks.py NLBlock), so for a fixed clip
+#     embedding its output is a function of the MULTISET of window-row
+#     features. Any two classes whose window-row multisets are identically
+#     distributed are PROVABLY indistinguishable to the nl_only head.
+#   * TimeConv computes per-row features from a LOCAL NEIGHBORHOOD of up to
+#     7 adjacent rows before attention, so tmr is a function of the multiset
+#     of row NEIGHBORHOODS — it can detect local temporal arrangements that
+#     leave the row multiset unchanged.
+#
+# Construction (12 phases, monotonic; tokens F/X/F/Y/F2/T repeated twice):
+#
+#   0 lead F | 1 X | 2 gap F (CLOSE 5-6) | 3 Y | 4 tail F2 | 5 AMB T
+#   6 fill F | 7 X | 8 gap F (FAR 13-15) | 9 Y | 10 tail F2 | 11 AMB T
+#
+# Phases 5 and 11 render identically (token T); the only difference in
+# their histories is the X->Y gap: 5-6 frames (close) vs 13-15 (far).
+# The task runs at clip length seq=6 (MULTISCALE_SEQ) and memory window
+# 40: bank rows are LAST-STEP LSTM features, so a row most strongly
+# encodes the tokens at its END — the row ending at X's last frame and
+# the row ending at Y's first frame are exactly gap+1 rows apart, which a
+# k=7 kernel (span 6) reaches at gap 5 with ZERO feature retention needed
+# (at seq=10 / gap>=9 the conv would need X-ness retained 4-6 frames
+# after X ends, which the stage-1 objective never rewards — measured:
+# tmr stuck at pair_acc ~0.51 on that variant). Durations are chosen so:
+#
+#   C1 no single seq-frame row ever spans both X's end and Y's start
+#      (gap+2 > seq), so every individual row is class-uninformative;
+#   C2 TimeConv's k=7 kernel spans rows up to 6 apart: the nearest
+#      X-containing and Y-containing rows are gap-(seq-2) apart = 1-2 for
+#      the close gap (bridgeable by k=5/7) and >= 9 for the far gap —
+#      unbridgeable INFORMATION-THEORETICALLY: a row ending >= seq frames
+#      after X contains no X frame at all, and the nearest Y row is >6
+#      away regardless of what features retain;
+#   C3 the OTHER block's structure stays out of the window: min distance
+#      from an AMB_b query to AMB_a content is fill+X+gap+Y+tail >= 46 =
+#      window+seq frames, so old-T rows never leak in, while both X and Y
+#      of the OWN block stay fully inside (deepest X frame at offset
+#      o<=amb_max-seq: o+tail+Y+gap+X <= 4+4+8+15+8 = 39 <= 40);
+#   C4 the window never clamps at video start for AMB_a queries (clip
+#      start >= lead+X+gap+Y+tail-(seq-1) >= 50 >= window), so
+#      clamp-duplicate row MULTIPLICITY cannot leak class either;
+#   C5 every segment visible from the two AMB windows shares its token
+#      and duration distribution across blocks (gap/lead/fill all F),
+#      so the row multisets of the two classes are identically
+#      distributed and nl_only is at chance on the pair.
+#
+# The remaining five phase pairs (0,6), (1,7), (2,8), (3,9), (4,10) also
+# share tokens; most are decidable from marker PRESENCE (which nl_only has:
+# e.g. phase 7's window contains T, phase 1's does not), giving the 3-way
+# ranking stage1 < nl_only < tmr on overall accuracy, while pair (5,11)
+# accuracy isolates the architectural claim: ~0.5 for stage1 AND nl_only,
+# high for tmr. Measured results: docs/QUALITY.md "Multi-scale".
+# --------------------------------------------------------------------------
+
+# (token, dur_min, dur_max) per phase; tokens index _PALETTE.
+MULTISCALE_SPEC: Tuple[Tuple[int, int, int], ...] = (
+    (7, 26, 30),   # 0  lead    F (gray)
+    (1, 6, 8),     # 1  marker  X (green)
+    (7, 5, 6),     # 2  gap     F — CLOSE
+    (2, 6, 8),     # 3  marker  Y (blue)
+    (3, 2, 4),     # 4  tail    F2 (yellow)
+    (0, 8, 10),    # 5  AMB     T (red)
+    (7, 19, 22),   # 6  fill    F
+    (1, 6, 8),     # 7  marker  X
+    (7, 13, 15),   # 8  gap     F — FAR
+    (2, 6, 8),     # 9  marker  Y
+    (3, 2, 4),     # 10 tail    F2
+    (0, 8, 10),    # 11 AMB     T
+)
+MULTISCALE_SEQ = 6          # data.sequence_length for this task
+MULTISCALE_WINDOW = 40      # memory.window for this task
+MULTISCALE_PAIR = (5, 11)   # the designed multi-scale-only ambiguous pair
+
+
+def check_multiscale_spec(spec: Sequence[Tuple[int, int, int]] = MULTISCALE_SPEC,
+                          seq: Optional[int] = None,
+                          window: int = MULTISCALE_WINDOW) -> None:
+    """Assert the C1-C5 duration arithmetic above for a (possibly edited)
+    spec — a regression gate for the task's provable properties."""
+    seq = MULTISCALE_SEQ if seq is None else seq
+    tok = [s[0] for s in spec]
+    lo = [s[1] for s in spec]
+    hi = [s[2] for s in spec]
+    if len(spec) != 12 or tok[:6] != tok[6:]:
+        raise ValueError("multiscale spec: 12 phases, tokens repeated 2x6")
+    for a, b in ((1, 7), (3, 9), (4, 10), (5, 11)):
+        if (lo[a], hi[a]) != (lo[b], hi[b]):
+            raise ValueError(f"C5: durations of phases {a},{b} must match")
+    if lo[2] + 2 <= seq:
+        raise ValueError("C1: a row can span both X's end and Y's start "
+                         "(need close gap + 2 > seq)")
+    # nearest X-containing and Y-containing rows are gap-(seq-2) apart;
+    # k=7 reaches rows up to 6 apart
+    if hi[2] - (seq - 2) > 6:
+        raise ValueError("C2: close gap unbridgeable by k=7 TimeConv")
+    if lo[8] - (seq - 2) < 7:
+        raise ValueError("C2: far gap bridgeable by k=7 TimeConv")
+    # C3a: other block out of window for AMB_b queries (worst offset -seq+1)
+    if lo[6] + lo[7] + lo[8] + lo[9] + lo[10] < window + seq:
+        raise ValueError("C3: AMB_a content leaks into AMB_b windows")
+    # C3b: own X fully inside the window at the deepest AMB offset
+    worst = (hi[5] - seq) + hi[10] + hi[9] + hi[8] + hi[7]
+    if worst > window:
+        raise ValueError("C3: far-block X falls off the window edge")
+    # C4: no clamp for AMB_a queries
+    if lo[0] + lo[1] + lo[2] + lo[3] + lo[4] - (seq - 1) < window:
+        raise ValueError("C4: AMB_a windows clamp at video start")
+
+
+def generate_video_multiscale(
+    rng: np.random.Generator, hw: int = 32,
+    spec: Sequence[Tuple[int, int, int]] = MULTISCALE_SPEC,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """One multi-scale-task video. Returns (frames uint8, labels int64)."""
+    durs = np.array([rng.integers(lo, hi + 1) for _, lo, hi in spec])
+    labels = np.repeat(np.arange(len(spec), dtype=np.int64), durs)
+    frame_tokens = np.asarray([s[0] for s in spec], np.int64)[labels]
+    return render_frames(frame_tokens, hw, rng), labels
+
+
+def multiscale_pair_ceiling() -> float:
+    """Accuracy ceiling ON THE DESIGNED PAIR (phases 5 vs 11) for any model
+    that reads the window as an unordered multiset of per-row features —
+    which includes the frame-only stage1 AND the nl_only head (see module
+    comment, C1-C5): exactly a coin flip."""
+    return 0.5
+
+
+def multiscale_frame_only_ceiling(seq: Optional[int] = None, n_mc: int = 4000,
+                                  seed: int = 7) -> float:
+    """Monte-Carlo Bayes ceiling of a MEMORYLESS model on the multi-scale
+    task: the optimal classifier over the clip's own token string (clips
+    are scored by their last frame). Every phase pair shares its token
+    sequence distribution except clips straddling a distinctive previous
+    phase (phase 6's first seq-1 frames straddle AMB_a's T frames; phase
+    0 has no predecessor), so the ceiling lands just above 0.5."""
+    seq = MULTISCALE_SEQ if seq is None else seq
+    rng = np.random.default_rng(seed)
+    from collections import Counter, defaultdict
+
+    post: dict = defaultdict(Counter)
+    total = 0
+    for _ in range(n_mc):
+        durs = [rng.integers(lo, hi + 1) for _, lo, hi in MULTISCALE_SPEC]
+        labels = np.repeat(np.arange(12), durs)
+        toks = np.asarray([s[0] for s in MULTISCALE_SPEC])[labels]
+        for s in range(len(labels) - seq + 1):
+            post[tuple(toks[s:s + seq])][int(labels[s + seq - 1])] += 1
+            total += 1
+    correct = sum(max(c.values()) for c in post.values())
+    return correct / total
 
 
 def frame_only_ceiling(num_phases: int = 7, seq: int = 10,
