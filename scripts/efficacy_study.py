@@ -50,12 +50,12 @@ def last_json(text: str) -> dict:
 def common_overrides(work: str, seed: int, hw: int = 32, hidden: int = 32,
                      batch: int = 16, backbone: str = "tiny",
                      compute_dtype: str = "float32",
-                     task: str = "pairs") -> list:
+                     task: str = "pairs", extra_sets=()) -> list:
     """Config shared by every arm. The tiny defaults are CPU-runnable (the
     task's structure, not its scale, is what the study measures); pass
     --full-scale to the CLI for the real ResNet-50 at 224px on the TPU
     (docs/QUALITY.md 'Full scale'). task='multiscale' switches to the
-    12-phase tmr-vs-nl_only ranking task (window 60, data/synthetic.py
+    12-phase tmr-vs-nl_only ranking task (window 40, data/synthetic.py
     MULTISCALE_SPEC)."""
     sets = [
         f"data.crop_size={224 if hw >= 224 else hw - 4}",
@@ -75,6 +75,7 @@ def common_overrides(work: str, seed: int, hw: int = 32, hidden: int = 32,
                  f"data.sequence_length={MULTISCALE_SEQ}"]
     else:
         sets.append("memory.window=30")
+    sets.extend(extra_sets)
     return [x for s in sets for x in ("--set", s)]
 
 
@@ -231,14 +232,19 @@ def main(argv=None) -> int:
     ap.add_argument("--task", choices=("pairs", "multiscale"),
                     default="pairs",
                     help="'multiscale' runs the 12-phase tmr-vs-nl_only "
-                         "ranking task (window 60; --dur-min/--dur-max "
+                         "ranking task (window 40; --dur-min/--dur-max "
                          "ignored — the spec fixes durations)")
     ap.add_argument("--full-scale", action="store_true",
                     help="the real ResNet-50 at 224px crops, bf16 — run on "
                          "the TPU host (docs/QUALITY.md 'Full scale')")
+    ap.add_argument("--set", dest="extra_sets", action="append", default=[],
+                    help="extra key=value config overrides applied to every "
+                         "arm (e.g. --set train.grad_clip=5.0)")
     args = ap.parse_args(argv)
     scale = ({"hw": 250, "hidden": 512, "backbone": "resnet50",
               "compute_dtype": "bfloat16"} if args.full_scale else {})
+    if args.extra_sets:
+        scale = {**scale, "extra_sets": tuple(args.extra_sets)}
     all_rows = []
     for seed in args.seeds:
         rows = run_study(args.work, seed,

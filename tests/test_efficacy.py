@@ -38,10 +38,34 @@ def test_memory_head_beats_frame_only_baseline(tmp_path):
 
     assert s1["clip_accuracy"] <= frame_only_ceiling() + 0.08, (
         f"baseline beat the memoryless ceiling — task broken: {s1}")
-    # ... but the memory head resolves what the baseline cannot
+    # ... and its REMAINING errors are confined to the designed ambiguous
+    # pairs (1<->4, 3<->6): a baseline confused elsewhere means the task's
+    # learnable part failed to train, not that memory is missing
+    import numpy as np
+
+    from tmrnet_tpu.data.indexing import clip_start_indices
+    from tmrnet_tpu.data.manifests import load_pickle_manifest
+
+    m, _ = load_pickle_manifest(str(tmp_path / "test.pkl"))
+    starts = clip_start_indices(10, m.video_lengths)
+    y = m.flat_labels()[starts + 9]
+    p = np.load(str(tmp_path / "preds-stage1-s0.npz"))["preds"]
+    err = p != y
+    pairs = {(1, 4), (4, 1), (3, 6), (6, 3)}
+    within = sum(1 for a, b in zip(y[err], p[err])
+                 if (int(a), int(b)) in pairs)
+    frac = within / max(int(err.sum()), 1)
+    assert frac >= 0.8, (
+        f"only {frac:.2f} of baseline errors sit on the designed pairs — "
+        f"the baseline is broken, not memoryless-limited")
+    # ... but the memory head resolves what the baseline cannot, by a
+    # margin well clear of run-to-run noise (measured ~0.22 at this size;
+    # VERDICT r4 tightened the gate from 0.05)
     margin = tmr["clip_accuracy"] - s1["clip_accuracy"]
-    assert margin >= 0.05, (
+    assert margin >= 0.15, (
         f"memory gave no clear gain: stage1={s1['clip_accuracy']:.4f} "
         f"tmr={tmr['clip_accuracy']:.4f} (margin {margin:+.4f})")
-    # the ported protocol scorer sees the same ordering
+    # the ported protocol scorer sees the same ordering, on accuracy AND
+    # on Jaccard (segment-overlap), by a real margin (points out of 100)
     assert tmr["protocol_accuracy"] > s1["protocol_accuracy"], (s1, tmr)
+    assert tmr["protocol_jaccard"] >= s1["protocol_jaccard"] + 5.0, (s1, tmr)

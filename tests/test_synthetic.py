@@ -108,17 +108,19 @@ def test_multiscale_spec_invariants_hold():
         return [tuple(x) for x in s]
 
     with pytest.raises(ValueError, match="C1"):
-        check_multiscale_spec(edited(2, 3, 4))      # a row spans X+Y
+        check_multiscale_spec(edited(2, 1, 2))      # a row spans X+Y
     with pytest.raises(ValueError, match="C2"):
-        check_multiscale_spec(edited(2, 5, 12))     # close gap too wide
+        check_multiscale_spec(edited(2, 3, 12))     # close gap too wide
     with pytest.raises(ValueError, match="C2"):
-        check_multiscale_spec(edited(8, 8, 9))      # far gap bridgeable
+        check_multiscale_spec(edited(8, 6, 9))      # far gap bridgeable
     with pytest.raises(ValueError, match="C3"):
         check_multiscale_spec(edited(6, 5, 8))      # old T leaks in
     with pytest.raises(ValueError, match="C4"):
         check_multiscale_spec(edited(0, 10, 12))    # start clamp leak
     with pytest.raises(ValueError, match="C5"):
         check_multiscale_spec(edited(5, 6, 8))      # pair durations differ
+    with pytest.raises(ValueError, match="C6"):
+        check_multiscale_spec(edited(2, 3, 6))      # strong rows out of span
 
 
 def test_multiscale_video_structure():
@@ -158,8 +160,10 @@ def test_multiscale_video_structure():
 
 def test_multiscale_ceilings():
     """The pair is a provable coin flip for set-wise readers; the
-    Monte-Carlo frame-only Bayes ceiling sits just above 0.5 (only phase
-    6's straddle clips are clip-decidable)."""
+    Monte-Carlo frame-only Bayes ceiling sits just below 0.5 — ambiguous
+    pairs are coin flips AND pure-F clips split across four phases
+    (lead/close gap/fill/far gap), pulling the posterior max under 1/2
+    (measured 0.484 at the shipped spec)."""
     from tmrnet_tpu.data.synthetic import (
         multiscale_frame_only_ceiling,
         multiscale_pair_ceiling,
@@ -167,7 +171,7 @@ def test_multiscale_ceilings():
 
     assert multiscale_pair_ceiling() == 0.5
     c = multiscale_frame_only_ceiling(n_mc=500)
-    assert 0.5 < c < 0.62, c
+    assert 0.42 < c < 0.55, c
 
 
 def test_multiscale_writer_feeds_manifest_builder(tmp_path):

@@ -176,40 +176,49 @@ def write_synthetic_dataset(
 #
 # Construction (12 phases, monotonic; tokens F/X/F/Y/F2/T repeated twice):
 #
-#   0 lead F | 1 X | 2 gap F (CLOSE 5-6) | 3 Y | 4 tail F2 | 5 AMB T
-#   6 fill F | 7 X | 8 gap F (FAR 13-15) | 9 Y | 10 tail F2 | 11 AMB T
+#   0 lead F | 1 X | 2 gap F (CLOSE 3-4)  | 3 Y | 4 tail F2 | 5 AMB T
+#   6 fill F | 7 X | 8 gap F (FAR 9-11)   | 9 Y | 10 tail F2 | 11 AMB T
 #
 # Phases 5 and 11 render identically (token T); the only difference in
-# their histories is the X->Y gap: 5-6 frames (close) vs 13-15 (far).
-# The task runs at clip length seq=6 (MULTISCALE_SEQ) and memory window
-# 40: bank rows are LAST-STEP LSTM features, so a row most strongly
-# encodes the tokens at its END — the row ending at X's last frame and
-# the row ending at Y's first frame are exactly gap+1 rows apart, which a
-# k=7 kernel (span 6) reaches at gap 5 with ZERO feature retention needed
-# (at seq=10 / gap>=9 the conv would need X-ness retained 4-6 frames
-# after X ends, which the stage-1 objective never rewards — measured:
-# tmr stuck at pair_acc ~0.51 on that variant). Durations are chosen so:
+# their histories is the X->Y gap: 3-4 frames (close) vs 9-11 (far).
+# The task runs at clip length seq=4 (MULTISCALE_SEQ) and memory window
+# 40. The clip length matters doubly, and earlier variants of this spec
+# failed on exactly this point (measured, docs/QUALITY.md): bank rows are
+# LAST-STEP LSTM features, so a row STRONGLY encodes only the tokens at
+# its end — marker content at the clip's START is washed out by the
+# clip's own rollout (an X-CONTAINMENT linear probe reads at AUC 0.83 vs
+# 0.97+ for last-frame content; seq=10 additionally required inter-row
+# retention and both heads sat at chance). The construction therefore
+# counts distances between STRONG rows — rows whose last frame is inside
+# a marker: the last strong-X row and the first strong-Y row are exactly
+# gap+1 apart, which must fit the k=7 TimeConv span of 6 (C6) with
+# margin. Durations are chosen so:
 #
 #   C1 no single seq-frame row ever spans both X's end and Y's start
 #      (gap+2 > seq), so every individual row is class-uninformative;
 #   C2 TimeConv's k=7 kernel spans rows up to 6 apart: the nearest
 #      X-containing and Y-containing rows are gap-(seq-2) apart = 1-2 for
-#      the close gap (bridgeable by k=5/7) and >= 9 for the far gap —
+#      the close gap (bridgeable by k=5/7) and >= 7 for the far gap —
 #      unbridgeable INFORMATION-THEORETICALLY: a row ending >= seq frames
 #      after X contains no X frame at all, and the nearest Y row is >6
 #      away regardless of what features retain;
 #   C3 the OTHER block's structure stays out of the window: min distance
-#      from an AMB_b query to AMB_a content is fill+X+gap+Y+tail >= 46 =
+#      from an AMB_b query to AMB_a content is fill+X+gap+Y+tail >= 44 =
 #      window+seq frames, so old-T rows never leak in, while both X and Y
 #      of the OWN block stay fully inside (deepest X frame at offset
-#      o<=amb_max-seq: o+tail+Y+gap+X <= 4+4+8+15+8 = 39 <= 40);
+#      o<=amb_max-seq: o+tail+Y+gap+X <= 6+4+8+11+8 = 37 <= 40);
 #   C4 the window never clamps at video start for AMB_a queries (clip
-#      start >= lead+X+gap+Y+tail-(seq-1) >= 50 >= window), so
+#      start >= lead+X+gap+Y+tail-(seq-1) >= 40 >= window), so
 #      clamp-duplicate row MULTIPLICITY cannot leak class either;
 #   C5 every segment visible from the two AMB windows shares its token
 #      and duration distribution across blocks (gap/lead/fill all F),
 #      so the row multisets of the two classes are identically
-#      distributed and nl_only is at chance on the pair.
+#      distributed and nl_only is at chance on the pair;
+#   C6 the close conjunction is detectable WITHOUT any feature retention:
+#      the last strong-X row and first strong-Y row are gap+1 <= 5 apart,
+#      inside the k=7 span of 6 (the lesson of the failed seq=6 variant,
+#      whose strong rows sat 6-7 apart: only washed-out clip-start
+#      containment was within reach, and both heads stayed at chance).
 #
 # The remaining five phase pairs (0,6), (1,7), (2,8), (3,9), (4,10) also
 # share tokens; most are decidable from marker PRESENCE (which nl_only has:
@@ -223,18 +232,18 @@ def write_synthetic_dataset(
 MULTISCALE_SPEC: Tuple[Tuple[int, int, int], ...] = (
     (7, 26, 30),   # 0  lead    F (gray)
     (1, 6, 8),     # 1  marker  X (green)
-    (7, 5, 6),     # 2  gap     F — CLOSE
+    (7, 3, 4),     # 2  gap     F — CLOSE
     (2, 6, 8),     # 3  marker  Y (blue)
     (3, 2, 4),     # 4  tail    F2 (yellow)
     (0, 8, 10),    # 5  AMB     T (red)
-    (7, 19, 22),   # 6  fill    F
+    (7, 27, 30),   # 6  fill    F
     (1, 6, 8),     # 7  marker  X
-    (7, 13, 15),   # 8  gap     F — FAR
+    (7, 9, 11),    # 8  gap     F — FAR
     (2, 6, 8),     # 9  marker  Y
     (3, 2, 4),     # 10 tail    F2
     (0, 8, 10),    # 11 AMB     T
 )
-MULTISCALE_SEQ = 6          # data.sequence_length for this task
+MULTISCALE_SEQ = 4          # data.sequence_length for this task
 MULTISCALE_WINDOW = 40      # memory.window for this task
 MULTISCALE_PAIR = (5, 11)   # the designed multi-scale-only ambiguous pair
 
@@ -272,6 +281,12 @@ def check_multiscale_spec(spec: Sequence[Tuple[int, int, int]] = MULTISCALE_SPEC
     # C4: no clamp for AMB_a queries
     if lo[0] + lo[1] + lo[2] + lo[3] + lo[4] - (seq - 1) < window:
         raise ValueError("C4: AMB_a windows clamp at video start")
+    # C6: retention-free reachability — the last STRONG-X row (last frame
+    # in X) and first STRONG-Y row are gap+1 apart; k=7 spans 6
+    if hi[2] + 1 > 6:
+        raise ValueError("C6: close-gap strong rows outside the k=7 span "
+                         "(LSTM rows only strongly encode their last "
+                         "frames; see module comment)")
 
 
 def generate_video_multiscale(
@@ -297,10 +312,10 @@ def multiscale_frame_only_ceiling(seq: Optional[int] = None, n_mc: int = 4000,
                                   seed: int = 7) -> float:
     """Monte-Carlo Bayes ceiling of a MEMORYLESS model on the multi-scale
     task: the optimal classifier over the clip's own token string (clips
-    are scored by their last frame). Every phase pair shares its token
-    sequence distribution except clips straddling a distinctive previous
-    phase (phase 6's first seq-1 frames straddle AMB_a's T frames; phase
-    0 has no predecessor), so the ceiling lands just above 0.5."""
+    are scored by their last frame). Ambiguous phase pairs are coin flips,
+    and pure-F clips additionally split across FOUR phases (lead, close
+    gap, fill, far gap) with unequal mass, so the ceiling lands just
+    BELOW 0.5 (measured 0.484 at the shipped spec)."""
     seq = MULTISCALE_SEQ if seq is None else seq
     rng = np.random.default_rng(seed)
     from collections import Counter, defaultdict
