@@ -81,10 +81,15 @@ def common_overrides(work: str, seed: int, hw: int = 32, hidden: int = 32,
 
 def train_and_score(work: str, seed: int, head: str, stage1_dir: str,
                     epochs: int, lr: float, scale: dict = {},
-                    task: str = "pairs") -> dict:
-    """Stage-2 training (tmr | nl_only) + protocol scoring of the result."""
+                    task: str = "pairs", stage2_sets=()) -> dict:
+    """Stage-2 training (tmr | nl_only) + protocol scoring of the result.
+    stage2_sets: extra overrides applied ONLY to the stage-2 arms (e.g.
+    train.optimizer=adam to ablate the head optimizer while keeping the
+    stage-1 baseline arm canonical)."""
     ckpt = os.path.join(work, f"ckpt-{head}-s{seed}")
-    ov = common_overrides(work, seed, task=task, **scale)
+    s2 = {**scale, "extra_sets":
+          tuple(scale.get("extra_sets", ())) + tuple(stage2_sets)}
+    ov = common_overrides(work, seed, task=task, **s2)
     run_cli(["train-tmr",
              "--train-manifest", f"{work}/train.pkl",
              "--val-manifest", f"{work}/val.pkl",
@@ -96,7 +101,7 @@ def train_and_score(work: str, seed: int, head: str, stage1_dir: str,
              "--set", f"train.epochs={epochs}", "--set", f"train.lr={lr}",
              "--set", f"train.checkpoint_dir={ckpt}"])
     return score_arm(work, seed, head, ckpt, extractor=stage1_dir,
-                     scale=scale, task=task)
+                     scale=s2, task=task)
 
 
 def multiscale_metrics(manifest_path: str, preds_path: str,
@@ -171,7 +176,8 @@ def run_study(work: str, seed: int = 0, videos=(8, 2, 4),
               epochs1: int = 6, epochs2: int = 6,
               lr1: float = 0.05, lr2: float = 0.001,
               heads=("tmr", "nl_only"), hw: int = 32,
-              dur=(15, 25), scale: dict = {}, task: str = "pairs") -> list:
+              dur=(15, 25), scale: dict = {}, task: str = "pairs",
+              stage2_sets=()) -> list:
     """Full pipeline for one seed. Returns one result dict per arm
     (stage1 + each stage-2 head)."""
     os.makedirs(work, exist_ok=True)
@@ -206,7 +212,8 @@ def run_study(work: str, seed: int = 0, videos=(8, 2, 4),
     # 4) stage-2 heads over the bank
     for head in heads:
         results.append(train_and_score(work, seed, head, s1, epochs2, lr2,
-                                       scale=scale, task=task))
+                                       scale=scale, task=task,
+                                       stage2_sets=stage2_sets))
     return results
 
 
@@ -240,6 +247,11 @@ def main(argv=None) -> int:
     ap.add_argument("--set", dest="extra_sets", action="append", default=[],
                     help="extra key=value config overrides applied to every "
                          "arm (e.g. --set train.grad_clip=5.0)")
+    ap.add_argument("--stage2-set", dest="stage2_sets", action="append",
+                    default=[],
+                    help="extra overrides applied only to the stage-2 arms "
+                         "(e.g. --stage2-set train.optimizer=adam keeps the "
+                         "stage-1 baseline canonical)")
     args = ap.parse_args(argv)
     scale = ({"hw": 250, "hidden": 512, "backbone": "resnet50",
               "compute_dtype": "bfloat16"} if args.full_scale else {})
@@ -253,7 +265,8 @@ def main(argv=None) -> int:
                          epochs1=args.epochs1, epochs2=args.epochs2,
                          lr1=args.lr1, lr2=args.lr2, heads=tuple(args.heads),
                          dur=(args.dur_min, args.dur_max), scale=scale,
-                         task=args.task)
+                         task=args.task,
+                         stage2_sets=tuple(args.stage2_sets))
         all_rows.extend(rows)
         for r in rows:
             print(json.dumps(r))

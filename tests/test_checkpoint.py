@@ -51,6 +51,34 @@ def test_restore_roundtrip_values(tmp_path):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y))
 
 
+def test_restore_weights_ignores_optimizer_family(tmp_path):
+    """Weights-only partial restore: loading a checkpoint for eval or for
+    cross-stage init must not depend on train.optimizer — a stage-2 run
+    configured with adam crashed restoring its SGD stage-1 init (orbax
+    structure mismatch) before restore_weights existed."""
+    mgr = CheckpointManager(str(tmp_path), keep=2)
+    state = _state()  # SGD opt_state on disk
+    mgr.save(state, step=3, metrics={"val_acc": 0.5}, is_best=True)
+    fresh = _state()
+    mutated = {"params": jax.tree_util.tree_map(lambda x: x + 1.0,
+                                                fresh.params),
+               "batch_stats": fresh.batch_stats}
+    out = mgr.restore_weights(mutated)
+    for x, y in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(out["params"])):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+    for x, y in zip(jax.tree_util.tree_leaves(state.batch_stats),
+                    jax.tree_util.tree_leaves(out["batch_stats"])):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+    # no optimizer template involved: works without building one at all,
+    # and best/ is preferred over the latest step
+    mgr.save(state.replace(params=mutated["params"]), step=9, metrics={})
+    again = mgr.restore_weights(mutated)
+    for x, y in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(again["params"])):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+
 def test_restore_missing_raises(tmp_path):
     mgr = CheckpointManager(str(tmp_path))
     with pytest.raises(FileNotFoundError):

@@ -257,24 +257,15 @@ def _restore_variables(cfg, head: str, ckpt_dir: Optional[str],
         variables = {c: merge_variables(variables[c], conv.get(c, {}))
                      for c in variables}
     elif ckpt_dir:
-        from tmrnet_tpu.train.optim import make_optimizer
-        from tmrnet_tpu.train.state import create_train_state
         from tmrnet_tpu.utils.checkpoint import CheckpointManager
 
-        # the template's opt_state structure must match the TRAINER's
-        # exactly — see slow_modules_for_head (a mismatch made orbax restore
-        # those leaves from the checkpoint's own sharding file, which only
-        # reconstructs on the training topology; caught by the 2-process
-        # CLI eval test)
-        from tmrnet_tpu.train.optim import slow_modules_for_head
-
-        tx = make_optimizer(cfg.train, variables["params"],
-                            slow_modules=slow_modules_for_head(head))
-        state = create_train_state(model, variables, tx)
-        mgr = CheckpointManager(ckpt_dir)
-        state = (mgr.restore_best(state) if os.path.exists(mgr.best_dir)
-                 else mgr.restore(state))
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        # weights-only PARTIAL restore: no optimizer template is built at
+        # all, so checkpoint loading for eval / cross-stage init is
+        # independent of train.optimizer and of the trainer's param groups
+        # (the round-4 opt-group mismatch silently restored opt leaves from
+        # the checkpoint's sharding file; an optimizer-family mismatch was
+        # a loud structure crash — both classes are unrepresentable here)
+        variables = CheckpointManager(ckpt_dir).restore_weights(variables)
     return model, variables
 
 

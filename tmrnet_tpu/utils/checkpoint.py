@@ -176,6 +176,46 @@ class CheckpointManager:
                                        self._restore_target(state))
         return state.replace(**restored)
 
+    def restore_weights(self, variables: Dict[str, Any]) -> Dict[str, Any]:
+        """Weights-only restore: params/batch_stats via orbax PARTIAL
+        restore, ignoring the checkpoint's opt_state entirely. Loading a
+        checkpoint for eval or to initialize a different trainer must not
+        require the optimizer families to match (a stage-2 run with
+        train.optimizer=adam crashed restoring its SGD stage-1 init with a
+        structure mismatch) — and with no opt_state in the template, the
+        round-4 silent-degrade class (opt-group mismatch -> sharding-file
+        restore) cannot occur here at all. Explicit per-leaf shardings are
+        passed (ArrayRestoreArgs) so orbax never falls back to the
+        checkpoint's own sharding file, which only reconstructs on the
+        saving topology. Prefers best/, falls back to the newest step."""
+        import jax
+
+        path = self.best_dir
+        if not os.path.exists(path):
+            if os.path.exists(path + ".tmp"):
+                path = path + ".tmp"
+            else:
+                step = self.latest_step()
+                if step is None:
+                    raise FileNotFoundError(f"no checkpoints in {self.dir}")
+                path = self._step_dir(step)
+        self._ckptr.wait_until_finished()
+        tpl = {k: variables[k] for k in ("params", "batch_stats")
+               if variables.get(k)}
+        tgt = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                           sharding=x.sharding)
+            if isinstance(x, jax.Array) else x, tpl)
+        rargs = jax.tree.map(
+            lambda x: ocp.ArrayRestoreArgs(sharding=x.sharding,
+                                           dtype=x.dtype)
+            if isinstance(x, jax.ShapeDtypeStruct) else ocp.RestoreArgs(),
+            tgt)
+        with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ck:
+            out = ck.restore(path, args=ocp.args.PyTreeRestore(
+                item=tgt, restore_args=rargs, partial_restore=True))
+        return {**variables, **out}
+
     def restore_best(self, state):
         best = self.best_dir
         if not os.path.exists(best):
