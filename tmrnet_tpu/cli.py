@@ -1670,7 +1670,9 @@ def build_parser() -> argparse.ArgumentParser:
                     default="pairs",
                     help="'pairs' = the memory-required task; 'multiscale' "
                          "= the 12-phase tmr-vs-nl_only ranking task "
-                         "(fixed spec, needs memory.window=60)")
+                         "(fixed spec; run with memory.window="
+                         "MULTISCALE_WINDOW and data.sequence_length="
+                         "MULTISCALE_SEQ from data/synthetic.py)")
     sp.add_argument("--phases", type=int, default=7)
     sp.add_argument("--dur-min", type=int, default=15,
                     help="min frames per phase")
