@@ -312,3 +312,115 @@ def test_tcp_slow_consumer_disconnected_not_stalling():
         server.stop()
         th.join(timeout=30)
     assert not th.is_alive()
+
+
+def test_tcp_soak_sustained_churn_stays_correct_and_leak_free():
+    """Soak: four connections drive ~40 full stream lives (join -> every
+    frame -> clean end) through one daemon, with a hard mid-life client
+    disconnect (pending frame in the tick) every 8th life. Every routed row
+    must match the solo-engine oracle for that life's frame position — slot
+    recycling and per-life frame numbering cannot drift over sustained
+    churn — and afterwards the process is back at its fd/thread footprint
+    (no leaked sockets, reader threads, or decode workers). Sustained-load
+    counterpart of the protocol fuzz (tests/test_serve_fuzz.py); the
+    reference's eval drivers (`code/eval/python/test_*.py`) have no serving
+    surface to soak."""
+    import os
+
+    def fd_count():
+        return len(os.listdir("/proc/self/fd"))
+
+    cfg = _cfg()
+    variables, extractor = _variables(cfg, key=17)
+    engine = StreamingInference(cfg, variables, extractor)
+
+    n = 8
+    rng = np.random.RandomState(47)
+    vids = {k: rng.rand(n, HW, HW, 3).astype(np.float32) for k in "abc"}
+    ref = {k: _solo(engine, v) for k, v in vids.items()}
+    frames = {f"{k}{t}": vids[k][t] for k in vids for t in range(n)}
+
+    fd_base = fd_count()
+    thread_base = threading.active_count()
+
+    server = JsonlTcpServer("127.0.0.1", 0)
+    # decode_workers=2 soaks the decode pool alongside the transport
+    res = {}
+
+    def go():
+        res["summary"] = serve_loop(
+            engine, 4, server.lines(), server,
+            lambda key: frames[key], decode_workers=2)
+
+    th = threading.Thread(target=go, name="serve-loop-soak")
+    th.start()
+    clients = None
+    received = 0
+    try:
+        clients = [_Client(server.port) for _ in range(4)]
+        for gen in range(40):
+            c = clients[gen % len(clients)]
+            sid = "abc"[gen % 3]
+            oracle = ref[sid]
+            churn = gen % 8 == 5
+            steps = 4 if churn else n
+
+            # (re)join can race a previous life's teardown: a disconnect
+            # from the churned client or a clean end may not have been
+            # processed yet, so retry on ownership/slot errors
+            deadline = time.monotonic() + 60
+            while True:
+                c.send({"id": sid, "image": f"{sid}0"})
+                c.send({"step": True})
+                row = c.recv()
+                if "error" not in row:
+                    break
+                assert ("owned by another client" in row["error"]
+                        or "no free slot" in row["error"]), row
+                assert time.monotonic() < deadline, "slot never freed"
+                time.sleep(0.05)
+            assert (row["id"], row["frame"]) == (sid, 0)
+            assert row["valid"] == oracle[0][1]
+            assert row["pred"] == (oracle[0][0] if oracle[0][1] else None)
+            received += 1
+
+            for t in range(1, steps):
+                c.send({"id": sid, "image": f"{sid}{t}"})
+                c.send({"step": True})
+                row = c.recv()
+                assert (row["id"], row["frame"]) == (sid, t)
+                assert row["valid"] == oracle[t][1]
+                assert row["pred"] == (
+                    oracle[t][0] if oracle[t][1] else None)
+                received += 1
+
+            if churn:
+                # leave a frame PENDING and drop the connection: the
+                # Disconnect must drop the frame and free the slot
+                c.send({"id": sid, "image": f"{sid}{steps}"})
+                c.close()
+                clients[gen % len(clients)] = _Client(server.port)
+            else:
+                c.send({"id": sid, "end": True})
+    finally:
+        server.stop()
+        th.join(timeout=60)
+        for c in clients or []:
+            try:
+                c.close()
+            except Exception:
+                pass
+    assert not th.is_alive()
+    summary = res["summary"]
+    # every row the daemon emitted reached a client and matched the oracle
+    assert summary["rows"] == received
+    # every life ended (cleanly or by disconnect) before shutdown
+    assert summary["live_streams"] == 0
+    # no leaked sockets / reader threads / decode workers: footprint
+    # returns to baseline (reader threads unwind asynchronously)
+    deadline = time.monotonic() + 30
+    while (threading.active_count() > thread_base
+           and time.monotonic() < deadline):
+        time.sleep(0.1)
+    assert threading.active_count() <= thread_base + 1
+    assert fd_count() <= fd_base + 2
